@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ray.init() itself before importing this module:
+nothing here (or in ifctordf_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- entry(): flagship KG pipeline on /root/testdata/sf0.001 -> triples Dataset.
+- queries(): one callable per implemented operator/pipeline (SURVEY.md §2).
+- oracle_sql(): matching DuckDB SQL over the registered parquet views;
+  omitted for non-SQL-expressible ops (driver records rows-only checks).
 """
 
 from __future__ import annotations
@@ -20,25 +16,79 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: transcripts (derived from events) -> deduplicated KG
+    triple set, grouped (groupby conv_id) assembly path."""
+    from ifctordf_ray.pipelines import kg
+
+    return kg.kg_from_events("/root/testdata/sf0.001", mode="grouped")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+def _q_kg_transcripts(sf_dir: str):
+    from ifctordf_ray.sources.transcripts import transcripts_from_events
+
+    return transcripts_from_events(sf_dir)
+
+
+def _q_kg_triples(sf_dir: str):
+    from ifctordf_ray.pipelines import kg
+
+    return kg.kg_from_events(sf_dir, mode="fast")
+
+
+def _q_kg_triples_grouped(sf_dir: str):
+    from ifctordf_ray.pipelines import kg
+
+    return kg.kg_from_events(sf_dir, mode="grouped")
+
+
+def _q_kg_errors(sf_dir: str):
+    from ifctordf_ray.sources.transcripts import transcripts_from_events
+    from ifctordf_ray.stages.extract import extract_errors
+
+    return extract_errors(transcripts_from_events(sf_dir))
+
+
+def _q_kg_canonical_mentions(sf_dir: str):
+    from ifctordf_ray.sources.transcripts import transcripts_from_events
+    from ifctordf_ray.stages.canonicalize import canonicalize_mentions
+
+    return canonicalize_mentions(transcripts_from_events(sf_dir))
+
+
+def _q_kg_predicate_stats(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from ifctordf_ray.pipelines import kg
+
+    return (
+        kg.kg_from_events(sf_dir, mode="fast")
+        .groupby("pred")
+        .aggregate(Count(alias_name="n_triples"))
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_transcripts": _q_kg_transcripts,
+        "kg_triples": _q_kg_triples,
+        "kg_triples_grouped": _q_kg_triples_grouped,
+        "kg_errors": _q_kg_errors,
+        "kg_canonical_mentions": _q_kg_canonical_mentions,
+        "kg_predicate_stats": _q_kg_predicate_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ifctordf_ray import sql_oracle as O
+
+    return {
+        "kg_transcripts": O.kg_transcripts_sql(),
+        "kg_triples": O.kg_triples_sql(),
+        "kg_triples_grouped": O.kg_triples_sql(),
+        "kg_errors": O.kg_errors_sql(),
+        "kg_canonical_mentions": O.kg_canonical_mentions_sql(),
+        "kg_predicate_stats": O.kg_predicate_stats_sql(),
+    }

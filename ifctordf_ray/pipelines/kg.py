@@ -1,0 +1,123 @@
+"""Flagship pipeline: transcripts -> knowledge graph.
+
+End-to-end shape (SURVEY.md §3.4):
+
+    read_parquet(transcripts)                 # or derive from events
+      -> [assembly + extraction]              # groupby(conv_id) flagship,
+                                              # or shuffle-free fast path
+      -> distinct (s,p,o) via groupby         # set semantics (D2)
+      -> sort(subj)                           # final sorted shuffle
+      -> N-Triples + bucketed Parquet partitions + lineage manifest
+
+plus side outputs: errors dataset (per-conversation abort granularity) and
+the canonical-mention table (groupby-aggregate canonicalization, D3).
+
+`run_resumable` executes the same pipeline per input-file partition with a
+checkpoint manifest — kill it at any point and rerun: finished partitions
+are skipped (verified by tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import time
+
+import ray.data
+
+from ifctordf_ray.sources import sinks
+from ifctordf_ray.sources.transcripts import read_transcripts, transcripts_from_events
+from ifctordf_ray.stages import extract
+from ifctordf_ray.stages.canonicalize import canonicalize_mentions
+from ifctordf_ray.state import checkpoint as ckpt
+
+
+def kg_triples(transcripts: ray.data.Dataset, mode: str = "fast") -> ray.data.Dataset:
+    """Deduplicated triple set.  mode='fast' (map_batches, shuffle-free,
+    dense turn_idx) or 'grouped' (groupby(conv_id) flagship, any layout)."""
+    if mode == "grouped":
+        return extract.extract_grouped(transcripts)
+    return extract.extract_fast(transcripts)
+
+
+def kg_from_events(sf_dir: str, mode: str = "fast") -> ray.data.Dataset:
+    return kg_triples(transcripts_from_events(sf_dir), mode=mode)
+
+
+def materialize(
+    triples: ray.data.Dataset, out_dir: str, parquet: bool = False
+) -> list[dict]:
+    """Final sorted-shuffle materialization; returns manifest rows."""
+    manifest = sinks.write_ntriples(triples, f"{out_dir}/nt", sort=True)
+    if parquet:
+        sinks.write_graph_parquet(triples, f"{out_dir}/parquet")
+    return manifest
+
+
+def run(
+    source: str,
+    out_dir: str,
+    mode: str = "fast",
+    from_events: bool = True,
+    parquet: bool = False,
+) -> dict:
+    """One-shot (non-partitioned) flagship run.  Returns metrics."""
+    t0 = time.time()
+    tr = transcripts_from_events(source) if from_events else read_transcripts(source)
+    triples = kg_triples(tr, mode=mode)
+    manifest = materialize(triples, out_dir, parquet=parquet)
+    n = sum(m["n_triples"] for m in manifest)
+    return {
+        "n_triples": n,
+        "n_files": len(manifest),
+        "wall_sec": time.time() - t0,
+        "triples_per_sec": n / max(time.time() - t0, 1e-9),
+    }
+
+
+def run_resumable(
+    input_files: list[str],
+    out_dir: str,
+    num_partitions: int = 8,
+    mode: str = "fast",
+) -> dict[int, ckpt.PartitionEntry]:
+    """Partitioned, resumable run over a transcript Parquet file set.
+
+    Each partition (a deterministic group of input files) is processed by
+    its own sub-pipeline into out_dir/part=<id>/ with an atomic _SUCCESS
+    marker; the manifest carries lineage + metrics.  Rerunning skips
+    partitions whose _SUCCESS exists.  Correct because conversations never
+    span input files in this layout (the writer partitions transcripts by
+    conv hash — see tests/test_resume.py) — stated partitioning assumption.
+    """
+    groups = ckpt.plan_partitions(input_files, num_partitions)
+    entries = ckpt.load_manifest(out_dir)
+    for pid, files in enumerate(groups):
+        if pid in entries and entries[pid].status == "done" and ckpt.partition_done(out_dir, pid):
+            continue
+        t0 = time.time()
+        tr = read_transcripts(files)
+        n_rows = tr.count()
+        triples = kg_triples(tr, mode=mode)
+        part_dir = f"{out_dir}/part={pid}"
+        manifest = sinks.write_ntriples(triples, f"{part_dir}/nt", sort=True)
+        errors = extract.extract_errors(tr).count()
+        ckpt.mark_done(out_dir, pid)
+        entries[pid] = ckpt.PartitionEntry(
+            partition_id=pid,
+            input_files=files,
+            status="done",
+            n_input_rows=n_rows,
+            n_triples=sum(m["n_triples"] for m in manifest),
+            n_errors=errors,
+            wall_sec=time.time() - t0,
+            output_dir=part_dir,
+            finished_at=time.time(),
+        )
+        ckpt.save_manifest(out_dir, entries)
+    return entries
+
+
+def kg_side_outputs(transcripts: ray.data.Dataset) -> dict[str, ray.data.Dataset]:
+    return {
+        "errors": extract.extract_errors(transcripts),
+        "canonical_mentions": canonicalize_mentions(transcripts),
+    }

@@ -1,0 +1,155 @@
+"""The extraction Schema — the analog of the reference's EXPRESS schema
+dictionaries (`ent`/`typ`, IfcSpfReader.java:249-277) plus its ifcOWL
+ontology lookups (IfcSpfReader.java:367-377), collapsed into closed,
+precomputed Python lookup tables: no runtime reasoning.
+
+Everything here is THE single source of truth shared by three consumers:
+
+1. the distributed Ray Data pipeline (ifctordf_ray.stages.*),
+2. the single-process pure-Python reference oracle (ifctordf_ray.oracle),
+3. the generated DuckDB oracle SQL (__ray_entry__.oracle_sql),
+
+so that all three provably compute the same (subj, pred, obj) triple set.
+
+IRI minting is content-derived (hash / key-derived), replacing the
+reference's global sequential `idCounter` (IfcSpfParser.java:13-14,
+RDFWriter.java:136-137) which is fundamentally serial: content-derived IRIs
+make every task idempotent and retry-safe, and make the emitted triple set
+independent of execution order and parallelism.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+# --------------------------------------------------------------------------
+# Namespaces.  Compact CURIE strings are used throughout the engine's triple
+# datasets; the N-Triples sink expands them to full IRIs (sinks.py).
+# --------------------------------------------------------------------------
+PREFIXES: dict[str, str] = {
+    "inst": "https://w3id.org/conv/inst/",   # instances (analog of baseURI, RDFWriter.java:159)
+    "ont": "https://w3id.org/conv/ont#",     # classes/properties (analog of ontURI/ifcOWL)
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+}
+
+RDF_TYPE = "rdf:type"
+
+# Classes (TBox analog)
+CLS_CONVERSATION = "ont:Conversation"
+CLS_TURN = "ont:Turn"
+
+# Object / datatype properties
+P_HAS_TURN = "ont:hasTurn"            # conv -> turn (SET-valued, T4/test4 analog)
+P_NEXT_TURN = "ont:nextTurn"          # turn -> turn  (list:hasNext chain analog, T7-T10)
+P_HAS_ROLE = "ont:hasRole"            # turn -> role individual (enum analog, L6)
+P_USED_TOOL = "ont:usedTool"          # turn -> tool individual (enum analog, L6)
+P_TURN_INDEX = "ont:turnIndex"        # turn -> xsd:integer literal
+P_AT_TIME = "ont:atTime"              # turn -> xsd:dateTime literal
+P_HAS_TEXT = "ont:hasText"            # turn -> canonical text wrapper (D3 literal-wrapper analog, RDFWriter.java:799-827)
+P_HAS_STRING = "ont:hasString"        # wrapper -> xsd:string literal (express:hasString analog, test5)
+P_MENTIONS_NUMBER = "ont:mentionsNumber"  # turn -> canonical number wrapper
+P_HAS_INTEGER = "ont:hasInteger"      # wrapper -> xsd:integer literal (verbatim lexical form, P5/test11)
+P_MENTIONS_TURN = "ont:mentionsTurn"  # turn -> turn (cross-turn reference, J1 pointer-swizzle analog)
+
+# Closed vocabularies (the enum NamedIndividual analog — RDFWriter.java:659-672;
+# an unmatched value emits NO triple for the slot and an error row instead,
+# matching the reference's ERROR 9 / golden test7 behavior).
+ROLES: tuple[str, ...] = ("user", "assistant", "system", "tool")
+TOOLS: tuple[str, ...] = ("logger", "search", "code", "browser", "shell")
+
+# Mention-detection regexes (the tokenizer analog, IfcSpfParser.java:60-145).
+# RE2-compatible so Python `re` and DuckDB `regexp_extract_all` agree exactly.
+NUM_RE = r"\d+"          # numeric mention; lexical form kept VERBATIM (P5 contract)
+REF_RE = r"#(\d+)"       # reference to another turn of the same conversation
+
+# Timestamp lexical form — 6-digit microseconds; identical output from
+# pandas .dt.strftime and DuckDB strftime (verified parity).
+TS_FORMAT = "%Y-%m-%dT%H:%M:%S.%f"
+
+# Error codes (side-output rows; the reference aborts a whole file on these —
+# RDFWriter.java:132-134,160-162,671 — we abort exactly one conversation).
+E_BAD_ROLE = "E_BAD_ROLE"        # role not in ROLES          (ERROR 9 analog, test7)
+E_BAD_TOOL = "E_BAD_TOOL"        # non-null tool not in TOOLS (ERROR 9 analog)
+E_DANGLING_REF = "E_DANGLING_REF"  # '#N' mention with no such turn (ERROR 6/7, test6/test15)
+
+
+# --------------------------------------------------------------------------
+# IRI minting (content-derived; replaces ClassName_lineNum + idCounter)
+# --------------------------------------------------------------------------
+def conv_iri(conv_id: str) -> str:
+    return f"inst:conv/{conv_id}"
+
+
+def turn_iri(conv_id: str, turn_idx: int | str) -> str:
+    return f"inst:turn/{conv_id}/{turn_idx}"
+
+
+def role_iri(role: str) -> str:
+    return f"ont:role/{role}"
+
+
+def tool_iri(tool: str) -> str:
+    return f"ont:tool/{tool}"
+
+
+def text_wrapper_iri(text: str) -> str:
+    """Canonical wrapper instance for a string literal — one per distinct
+    surface form globally (the propertyResourceMap analog, RDFWriter.java:79,
+    807-819: one wrapper per (prop, type, lexical) key, reused everywhere).
+    Content-derived (md5) instead of idCounter-numbered."""
+    return "inst:text/" + hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def num_wrapper_iri(lexical: str) -> str:
+    """Canonical wrapper for a numeric literal; the VERBATIM lexical form is
+    the key ('0012' and '12' are distinct wrappers, matching the reference's
+    verbatim-lexical contract, RDFWriter.java:674-704 / golden test11)."""
+    return f"inst:num/{lexical}"
+
+
+# Literal object encoding inside the engine's triple datasets: the `obj`
+# column holds `<lexical>^^<datatype-curie>`; obj_kind distinguishes uri vs
+# literal.  The N-Triples sink renders proper RDF terms from these.
+XSD_INTEGER = "xsd:integer"
+XSD_STRING = "xsd:string"
+XSD_DATETIME = "xsd:dateTime"
+XSD_DOUBLE = "xsd:double"
+
+
+def typed_literal(lexical: str, dtype: str) -> str:
+    return f"{lexical}^^{dtype}"
+
+
+# sort key giving the reference's "first-seen wins" total order for
+# canonical-ID assignment (resolveDuplicates, IfcSpfParser.java:147-165):
+# lexicographic on conv_id then zero-padded turn_idx.  Must match the SQL
+# printf('%s#%010d', conv_id, turn_idx).
+def first_seen_key(conv_id: str, turn_idx: int) -> str:
+    return f"{conv_id}#{turn_idx:010d}"
+
+
+@dataclass(frozen=True)
+class Schema:
+    """Broadcastable read-only schema object (ray.put once on the driver,
+    read in every task / actor __init__ — the `ent`/`typ` dict analog,
+    SURVEY.md §2.3 L1)."""
+
+    roles: tuple[str, ...] = ROLES
+    tools: tuple[str, ...] = TOOLS
+    num_re: str = NUM_RE
+    ref_re: str = REF_RE
+    prefixes: dict[str, str] = field(default_factory=lambda: dict(PREFIXES))
+
+
+DEFAULT_SCHEMA = Schema()
+
+
+def expand_curie(term: str) -> str:
+    """Expand a compact CURIE used inside the engine to a full IRI."""
+    pfx, _, local = term.partition(":")
+    base = PREFIXES.get(pfx)
+    if base is None:
+        return term
+    return base + local

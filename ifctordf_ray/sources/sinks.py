@@ -1,0 +1,135 @@
+"""Graph sinks: N-Triples text partitions and bucketed Parquet.
+
+Analog of the reference's pluggable sink surface (parseModelToOutputStream /
+parseModelToGraph / parseModelToStreamRdf, RDFWriter.java:95-109) —
+re-expressed as Dataset consumers:
+
+- `write_ntriples`: map_batches writer emitting one content-addressed
+  `part-<md5>.nt` file per batch.  Content-addressing makes retried tasks
+  and resumed runs idempotent: an existing part file is skipped, never
+  rewritten (the "resumable output" contract).
+- `write_graph_parquet`: bucketed Parquet (`bucket=<hex>` partition dirs,
+  bucket = first hex digit of md5(subj)) so downstream readers can prune
+  by subject and a failed run can skip finished buckets.
+- `iter_triples`: the StreamRDF-analog consumer (ds.iter_batches).
+
+Term serialization follows N-Triples: CURIEs expanded via schema.PREFIXES,
+literals escaped (\\ \" \\n \\r \\t), datatype IRIs expanded.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow as pa
+import ray.data
+
+from ifctordf_ray import schema as S
+
+_ESCAPES = str.maketrans(
+    {"\\": "\\\\", '"': '\\"', "\n": "\\n", "\r": "\\r", "\t": "\\t"}
+)
+
+# datatype CURIEs the engine's `obj` encoding can carry (lexical^^dtype)
+_KNOWN_DTYPES = (S.XSD_INTEGER, S.XSD_STRING, S.XSD_DATETIME, S.XSD_DOUBLE)
+
+
+def _term_uri(curie: str) -> str:
+    return f"<{S.expand_curie(curie)}>"
+
+
+def _term_literal(obj: str) -> str:
+    lex, sep, dtype = obj.rpartition("^^")
+    if sep and dtype in _KNOWN_DTYPES:
+        return f'"{lex.translate(_ESCAPES)}"^^<{S.expand_curie(dtype)}>'
+    return f'"{obj.translate(_ESCAPES)}"'
+
+
+def format_ntriples(batch: pa.Table) -> str:
+    subj = batch["subj"].to_pylist()
+    pred = batch["pred"].to_pylist()
+    obj = batch["obj"].to_pylist()
+    kind = batch["obj_kind"].to_pylist()
+    lines = []
+    for s, p, o, k in zip(subj, pred, obj, kind):
+        ot = _term_uri(o) if k == "uri" else _term_literal(o)
+        lines.append(f"{_term_uri(s)} {_term_uri(p)} {ot} .")
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+class NTriplesWriter:
+    """Actor-pool sink stage: each batch -> one content-addressed .nt file.
+    Returns a manifest row per file (lineage: path, triple count, subject
+    range) — collected small on the driver into manifest.json."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"path": pa.array([], pa.string()),
+                 "n_triples": pa.array([], pa.int64()),
+                 "min_subj": pa.array([], pa.string()),
+                 "max_subj": pa.array([], pa.string()),
+                 "skipped": pa.array([], pa.bool_())}
+            )
+        content = format_ntriples(batch)
+        h = hashlib.md5(content.encode("utf-8")).hexdigest()[:20]
+        path = os.path.join(self.out_dir, f"part-{h}.nt")
+        skipped = os.path.exists(path)
+        if not skipped:
+            tmp = path + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(content)
+            os.replace(tmp, path)  # atomic publish
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "path": pa.array([path], pa.string()),
+                "n_triples": pa.array([batch.num_rows], pa.int64()),
+                "min_subj": pa.array([pc.min(batch["subj"]).as_py()], pa.string()),
+                "max_subj": pa.array([pc.max(batch["subj"]).as_py()], pa.string()),
+                "skipped": pa.array([skipped], pa.bool_()),
+            }
+        )
+
+
+def write_ntriples(
+    triples: ray.data.Dataset, out_dir: str, sort: bool = True
+) -> list[dict]:
+    """Final sorted-shuffle materialization (north-star step): sort by subj
+    (range shuffle) then stream batches through the content-addressed
+    writer.  Returns the manifest rows (small)."""
+    ds = triples.sort("subj") if sort else triples
+    manifest = ds.map_batches(
+        NTriplesWriter,
+        fn_constructor_kwargs={"out_dir": out_dir},
+        batch_format="pyarrow",
+        batch_size=65536,
+        concurrency=(1, 8),
+    ).take_all()
+    return manifest
+
+
+def add_subject_bucket(batch: pa.Table) -> pa.Table:
+    """bucket = first hex digit of md5(subj) -> 16 stable partitions."""
+    subs = batch["subj"].to_pylist()
+    buckets = [hashlib.md5(s.encode("utf-8")).hexdigest()[0] for s in subs]
+    return batch.append_column("bucket", pa.array(buckets, pa.string()))
+
+
+def write_graph_parquet(triples: ray.data.Dataset, out_dir: str) -> None:
+    """Bucketed Parquet graph partitions (hive layout bucket=<hex>)."""
+    triples.map_batches(add_subject_bucket, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"]
+    )
+
+
+def iter_triples(triples: ray.data.Dataset, batch_size: int = 65536):
+    """StreamRDF-analog consumer (parseModelToStreamRdf,
+    IfcSpfReader.java:357-365): yields pyarrow batches incrementally."""
+    yield from triples.iter_batches(batch_size=batch_size, batch_format="pyarrow")

@@ -1,0 +1,184 @@
+"""Transcript sources.
+
+The engine's input contract (BASELINE.json `input_hint`) is a Parquet table
+
+    conv_id:string, turn_idx:int32, role:string, text:string,
+    tool:string, ts:timestamp[us]
+
+`read_transcripts` reads such a table directly (the S1/S5 analog —
+IfcSpfReader.showFiles + IfcSpfParser.readModel: ray.data.read_parquet
+already does recursive discovery and logical-record assembly).
+
+Because the sandbox's driver-generated test data has no transcripts table,
+`transcripts_from_events` DERIVES one deterministically from the `events`
+table (event_id, ts, user_id, event_type, value, props): each user's
+events, ordered by (ts, event_id), are chunked into conversations of
+TURNS_PER_CONV turns.  The identical derivation is expressed in ANSI SQL by
+`transcripts_from_events_sql()` so the DuckDB oracle sees byte-identical
+transcripts — no external data is synthesized.
+
+The per-user ordering + chunking is itself the engine's "conversation
+assembly" pattern: groupby(key) + in-group sort — the Ray-Data analog of
+the reference's multi-line statement reassembly (IfcSpfParser.java:36-41).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+TURNS_PER_CONV = 8
+
+TRANSCRIPT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+# event_type -> role; unmapped event types pass through verbatim and are
+# flagged E_BAD_ROLE downstream (closed-vocab contract, SURVEY.md §2.3 L6).
+# 'view' is deliberately unmapped so the derived corpus exercises the
+# unknown-enum error path (reference golden test7) at every scale.
+ROLE_MAP = {
+    "click": "user",
+    "purchase": "assistant",
+    "signup": "system",
+    "error": "tool",
+}
+# event types that count as tool invocations -> tool name.  'mailer' is
+# deliberately OUTSIDE the closed TOOLS vocab -> E_BAD_TOOL path.
+TOOL_MAP = {"error": "logger", "signup": "mailer"}
+
+# purchase turns get a ' see #N' back-reference appended to their text:
+# turn_idx>0 -> previous turn (always valid); turn_idx==0 -> '#7', valid
+# only in full conversations -> partial trailing conversations exercise
+# the dangling-reference abort path (reference golden test6/test15).
+REF_TARGET_FOR_FIRST_TURN = TURNS_PER_CONV - 1
+
+
+def read_transcripts(path: str | list[str], **kwargs) -> ray.data.Dataset:
+    """Read a transcript Parquet table/directory with column pruning."""
+    cols = [f.name for f in TRANSCRIPT_SCHEMA]
+    return ray.data.read_parquet(path, columns=cols, **kwargs)
+
+
+def _events_group_to_turns(group: pa.Table) -> pa.Table:
+    """One user's events -> transcript rows.  Vectorized within the group."""
+    g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    n = g.num_rows
+    user_id = g["user_id"][0].as_py()
+    rn = np.arange(n, dtype=np.int64)
+    conv_seq = rn // TURNS_PER_CONV
+    turn_idx = (rn % TURNS_PER_CONV).astype(np.int32)
+    conv_id = np.array([f"c{user_id}-{s}" for s in conv_seq], dtype=object)
+    etype = g["event_type"].to_pylist()
+    role = np.array([ROLE_MAP.get(e, e) for e in etype], dtype=object)
+    tool = [TOOL_MAP.get(e) for e in etype]
+    props = g["props"].to_pylist()
+    text = [
+        p + f" see #{t - 1 if t > 0 else REF_TARGET_FOR_FIRST_TURN}"
+        if e == "purchase"
+        else p
+        for p, e, t in zip(props, etype, turn_idx.tolist())
+    ]
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_id, type=pa.string()),
+            "turn_idx": pa.array(turn_idx, type=pa.int32()),
+            "role": pa.array(role, type=pa.string()),
+            "text": pa.array(text, type=pa.string()),
+            "tool": pa.array(tool, type=pa.string()),
+            "ts": g["ts"].cast(pa.timestamp("us")),
+        }
+    )
+
+
+def transcripts_from_events(sf_dir: str) -> ray.data.Dataset:
+    """events.parquet -> deterministic transcript Dataset.
+
+    Shuffle: one groupby(user_id) (hash exchange); everything inside the
+    group is a vectorized sort + arithmetic.  user_id cardinality scales
+    with the data (sf0.1: 1500 users) so groups stay small and balanced.
+    """
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    )
+    return ev.groupby("user_id").map_groups(
+        _events_group_to_turns, batch_format="pyarrow"
+    )
+
+
+def transcripts_from_events_sql() -> str:
+    """The identical derivation as a DuckDB CTE body over the registered
+    `events` view.  Kept in lock-step with `_events_group_to_turns`."""
+    role_case = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in ROLE_MAP.items()
+    )
+    tool_case = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in TOOL_MAP.items()
+    )
+    return f"""
+        SELECT conv_id, turn_idx, role,
+               text0 || CASE WHEN etype = 'purchase'
+                    THEN ' see #' || CAST(CASE WHEN turn_idx > 0
+                         THEN turn_idx - 1
+                         ELSE {REF_TARGET_FOR_FIRST_TURN} END AS VARCHAR)
+                    ELSE '' END AS text,
+               tool, ts
+        FROM (
+            SELECT printf('c%d-%d', user_id, (rn - 1) // {TURNS_PER_CONV}) AS conv_id,
+                   CAST((rn - 1) % {TURNS_PER_CONV} AS INTEGER) AS turn_idx,
+                   CASE event_type {role_case} ELSE event_type END AS role,
+                   props AS text0,
+                   event_type AS etype,
+                   CASE event_type {tool_case} ELSE NULL END AS tool,
+                   ts
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events
+            )
+        )
+    """
+
+
+def transcripts_table(rows: list[dict]) -> pa.Table:
+    """Build an in-memory transcript table for tests/fixtures.  Missing
+    fields default to: role='user', text='', tool=None, ts derived as
+    epoch + conv_ordinal h + turn_idx min (FIXTURES.md)."""
+    import datetime as _dt
+
+    conv_ord: dict[str, int] = {}
+    out = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
+    for r in rows:
+        cid = r["conv_id"]
+        conv_ord.setdefault(cid, len(conv_ord))
+        out["conv_id"].append(cid)
+        out["turn_idx"].append(r["turn_idx"])
+        out["role"].append(r.get("role", "user"))
+        out["text"].append(r.get("text", ""))
+        out["tool"].append(r.get("tool"))
+        out["ts"].append(
+            r.get(
+                "ts",
+                _dt.datetime(2024, 1, 1)
+                + _dt.timedelta(hours=conv_ord[cid], minutes=r["turn_idx"]),
+            )
+        )
+    return pa.table(
+        {
+            "conv_id": pa.array(out["conv_id"], pa.string()),
+            "turn_idx": pa.array(out["turn_idx"], pa.int32()),
+            "role": pa.array(out["role"], pa.string()),
+            "text": pa.array(out["text"], pa.string()),
+            "tool": pa.array(out["tool"], pa.string()),
+            "ts": pa.array(out["ts"], pa.timestamp("us")),
+        }
+    )

@@ -1,0 +1,145 @@
+"""Generated DuckDB oracle SQL for the KG pipelines.
+
+Built from the same constants in ifctordf_ray.schema as the Ray pipeline
+and the pure-Python oracle — one spec, three executors.  The driver runs
+these against the registered parquet views (`events`, ...) side by side
+with the Ray pipelines and hash-compares results (CORRECTNESS_r{N}.json).
+"""
+
+from __future__ import annotations
+
+from ifctordf_ray import schema as S
+from ifctordf_ray.sources.transcripts import transcripts_from_events_sql
+
+
+def _roles_in() -> str:
+    return ", ".join(f"'{r}'" for r in S.ROLES)
+
+
+def _tools_in() -> str:
+    return ", ".join(f"'{t}'" for t in S.TOOLS)
+
+
+def transcripts_cte() -> str:
+    return f"transcripts AS ({transcripts_from_events_sql()})"
+
+
+def kg_transcripts_sql() -> str:
+    """The derived transcript table itself (conversation assembly check —
+    per-turn text equality under stable turn ordering)."""
+    return f"WITH {transcripts_cte()} SELECT * FROM transcripts"
+
+
+def _live_turn_cte() -> str:
+    """CTEs: transcripts -> refs -> dangling -> live -> turn (adds IRIs)."""
+    return f"""{transcripts_cte()},
+refs AS (
+    SELECT t.conv_id, t.turn_idx, u.m AS raw, CAST(u.m AS BIGINT) AS target
+    FROM transcripts t, UNNEST(regexp_extract_all(t.text, '{S.REF_RE}', 1)) AS u(m)
+),
+dangling AS (
+    SELECT DISTINCT r.conv_id FROM refs r
+    WHERE NOT EXISTS (SELECT 1 FROM transcripts t2
+                      WHERE t2.conv_id = r.conv_id AND t2.turn_idx = r.target)
+),
+live AS (
+    SELECT * FROM transcripts
+    WHERE conv_id NOT IN (SELECT conv_id FROM dangling)
+),
+turn AS (
+    SELECT *,
+           'inst:conv/' || conv_id AS c_iri,
+           'inst:turn/' || conv_id || '/' || CAST(turn_idx AS VARCHAR) AS t_iri,
+           coalesce(text, '') AS txt
+    FROM live
+)"""
+
+
+def kg_triples_sql() -> str:
+    """The full deduplicated triple set (spec in stages/extract.py)."""
+    return f"""WITH {_live_turn_cte()}
+SELECT DISTINCT subj, pred, obj, obj_kind FROM (
+    SELECT c_iri AS subj, '{S.RDF_TYPE}' AS pred,
+           '{S.CLS_CONVERSATION}' AS obj, 'uri' AS obj_kind FROM turn
+    UNION ALL
+    SELECT t_iri, '{S.RDF_TYPE}', '{S.CLS_TURN}', 'uri' FROM turn
+    UNION ALL
+    SELECT c_iri, '{S.P_HAS_TURN}', t_iri, 'uri' FROM turn
+    UNION ALL
+    SELECT t_iri, '{S.P_TURN_INDEX}',
+           CAST(turn_idx AS VARCHAR) || '^^{S.XSD_INTEGER}', 'literal' FROM turn
+    UNION ALL
+    SELECT t_iri, '{S.P_AT_TIME}',
+           strftime(ts, '{S.TS_FORMAT}') || '^^{S.XSD_DATETIME}', 'literal' FROM turn
+    UNION ALL
+    SELECT t_iri, '{S.P_HAS_ROLE}', 'ont:role/' || role, 'uri' FROM turn
+    WHERE role IN ({_roles_in()})
+    UNION ALL
+    SELECT t_iri, '{S.P_USED_TOOL}', 'ont:tool/' || tool, 'uri' FROM turn
+    WHERE tool IN ({_tools_in()})
+    UNION ALL
+    SELECT t_iri, '{S.P_HAS_TEXT}', 'inst:text/' || md5(txt), 'uri' FROM turn
+    UNION ALL
+    SELECT 'inst:text/' || md5(txt), '{S.P_HAS_STRING}',
+           txt || '^^{S.XSD_STRING}', 'literal' FROM turn
+    UNION ALL
+    SELECT prev_iri, '{S.P_NEXT_TURN}', t_iri, 'uri' FROM (
+        SELECT t_iri, lag(t_iri) OVER (
+            PARTITION BY conv_id ORDER BY turn_idx) AS prev_iri FROM turn
+    ) WHERE prev_iri IS NOT NULL
+    UNION ALL
+    SELECT t_iri, '{S.P_MENTIONS_NUMBER}', 'inst:num/' || u.m, 'uri'
+    FROM turn, UNNEST(regexp_extract_all(txt, '{S.NUM_RE}')) AS u(m)
+    UNION ALL
+    SELECT 'inst:num/' || u.m, '{S.P_HAS_INTEGER}',
+           u.m || '^^{S.XSD_INTEGER}', 'literal'
+    FROM turn, UNNEST(regexp_extract_all(txt, '{S.NUM_RE}')) AS u(m)
+    UNION ALL
+    SELECT t_iri, '{S.P_MENTIONS_TURN}',
+           'inst:turn/' || conv_id || '/' || CAST(CAST(u.m AS BIGINT) AS VARCHAR),
+           'uri'
+    FROM turn, UNNEST(regexp_extract_all(txt, '{S.REF_RE}', 1)) AS u(m)
+)"""
+
+
+def kg_errors_sql() -> str:
+    """Errors side-output: vocab violations + dangling refs."""
+    return f"""WITH {transcripts_cte()},
+refs AS (
+    SELECT t.conv_id, t.turn_idx, u.m AS raw, CAST(u.m AS BIGINT) AS target
+    FROM transcripts t, UNNEST(regexp_extract_all(t.text, '{S.REF_RE}', 1)) AS u(m)
+)
+SELECT conv_id, turn_idx, code, detail FROM (
+    SELECT conv_id, turn_idx, '{S.E_BAD_ROLE}' AS code, role AS detail
+    FROM transcripts WHERE role NOT IN ({_roles_in()})
+    UNION ALL
+    SELECT conv_id, turn_idx, '{S.E_BAD_TOOL}', tool
+    FROM transcripts WHERE tool IS NOT NULL AND tool NOT IN ({_tools_in()})
+    UNION ALL
+    SELECT r.conv_id, r.turn_idx, '{S.E_DANGLING_REF}', '#' || r.raw
+    FROM refs r
+    WHERE NOT EXISTS (SELECT 1 FROM transcripts t2
+                      WHERE t2.conv_id = r.conv_id AND t2.turn_idx = r.target)
+)"""
+
+
+def kg_canonical_mentions_sql() -> str:
+    """Canonical-ID assignment on surface-form keys via GROUP BY —
+    first-seen-wins (the D3 propertyResourceMap analog)."""
+    return f"""WITH {transcripts_cte()},
+m AS (
+    SELECT u.m AS surface_key,
+           printf('%s#%010d', conv_id, turn_idx) AS sk
+    FROM transcripts, UNNEST(regexp_extract_all(coalesce(text, ''), '{S.NUM_RE}')) AS u(m)
+)
+SELECT surface_key,
+       'inst:num/' || surface_key AS canonical_id,
+       min(sk) AS first_seen,
+       count(*) AS n_mentions
+FROM m GROUP BY surface_key"""
+
+
+def kg_predicate_stats_sql() -> str:
+    """Per-predicate triple counts over the deduplicated graph."""
+    return f"""WITH t AS ({kg_triples_sql()})
+SELECT pred, count(*) AS n_triples FROM t GROUP BY pred"""

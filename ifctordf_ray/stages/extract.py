@@ -1,0 +1,539 @@
+r"""Schema-guided triple extraction — the heart of the engine.
+
+This is the Ray-Data re-expression of the reference's core transform
+(RDFWriter.createInstances + fillProperties*, RDFWriter.java:147-628):
+for every record, resolve its class, mint an IRI, and emit rdf:type +
+attribute/property triples; literal values become canonical wrapper
+instances with VERBATIM lexical forms (RDFWriter.java:674-704); unmatched
+closed-vocab values emit an error instead of a triple (ERROR 9,
+RDFWriter.java:659-672); dangling references abort — here, abort exactly
+one conversation to an errors side-output instead of the whole job
+(RDFWriter.java:132-134 aborts the whole file; see SURVEY.md §7.3).
+
+Triple spec (one source of truth; oracle.py and the generated SQL mirror it):
+
+per conversation c:
+  (inst:conv/c, rdf:type, ont:Conversation)
+per turn (c, i, role, text, tool, ts):
+  (inst:turn/c/i, rdf:type, ont:Turn)
+  (inst:conv/c,  ont:hasTurn,   inst:turn/c/i)
+  (inst:turn/c/i, ont:turnIndex, "i"^^xsd:integer)
+  (inst:turn/c/i, ont:atTime,    strftime(ts)^^xsd:dateTime)
+  (inst:turn/c/i, ont:hasRole,   ont:role/<role>)        if role in ROLES else E_BAD_ROLE
+  (inst:turn/c/i, ont:usedTool,  ont:tool/<tool>)        if tool not null; unknown -> E_BAD_TOOL
+  (inst:turn/c/i, ont:hasText,   inst:text/md5(text))
+  (inst:text/md5(text), ont:hasString, text^^xsd:string)
+  (inst:turn/c/p, ont:nextTurn,  inst:turn/c/i)          p = predecessor in turn_idx order
+  for m in findall(r'\d+', text):
+      (inst:turn/c/i, ont:mentionsNumber, inst:num/m)
+      (inst:num/m, ont:hasInteger, m^^xsd:integer)       # verbatim lexical
+  for '#N' in text:
+      (inst:turn/c/i, ont:mentionsTurn, inst:turn/c/N)   if turn N exists in c
+      else: conversation c is DANGLING -> all of c's triples dropped, E_DANGLING_REF
+
+The final triple set has SET semantics: a global distinct over
+(subj, pred, obj, obj_kind) — the analog of the reference's
+resourceMap/propertyResourceMap memoization (RDFWriter.java:1092-1105).
+
+Two physical plans, same result (asserted by tests):
+
+- `extract_grouped` (flagship): groupby(conv_id).map_groups — each
+  conversation assembled and extracted as one ordered Arrow group.
+  Handles any turn_idx layout (gaps, unsorted) and does dangling-ref
+  validation in-group with zero driver state.  One hash shuffle on
+  conv_id.
+- `extract_fast`: pure map_batches (no shuffle), vectorized row-local
+  emission.  Requires dense 0-based turn_idx per conversation (the
+  nextTurn edge is emitted arithmetically from turn i to i-1's IRI) —
+  guaranteed by `transcripts_from_events`.  Cross-turn '#N' references
+  are validated via a sparse pre-pass: only conversations containing a
+  ref marker are collected to the driver (assumed sparse; for ref-dense
+  corpora use `extract_grouped`, where validation stays distributed).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ifctordf_ray import schema as S
+
+TRIPLE_COLS = ["subj", "pred", "obj", "obj_kind"]
+
+_EMPTY_TRIPLES = pa.table(
+    {
+        "conv_id": pa.array([], pa.string()),
+        "subj": pa.array([], pa.string()),
+        "pred": pa.array([], pa.string()),
+        "obj": pa.array([], pa.string()),
+        "obj_kind": pa.array([], pa.string()),
+    }
+)
+
+_EMPTY_ERRORS = pa.table(
+    {
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int32()),
+        "code": pa.array([], pa.string()),
+        "detail": pa.array([], pa.string()),
+    }
+)
+
+
+def _ts_lexical(ts_array: pa.Array) -> np.ndarray:
+    """Timestamp -> verbatim lexical form (6-digit microseconds)."""
+    import pandas as pd
+
+    return (
+        pd.Series(ts_array.to_pandas())
+        .dt.strftime(S.TS_FORMAT)
+        .to_numpy(dtype=object)
+    )
+
+
+def _md5_hex(values: list[str]) -> list[str]:
+    """md5 per distinct value (no vectorized md5 kernel exists in Arrow;
+    dedup within the batch keeps the Python loop off the hot path)."""
+    cache: dict[str, str] = {}
+    out = []
+    for v in values:
+        h = cache.get(v)
+        if h is None:
+            h = hashlib.md5(v.encode("utf-8")).hexdigest()
+            cache[v] = h
+        out.append(h)
+    return out
+
+
+class ExtractTriples:
+    """Vectorized row-local triple emission (actor-pool stage: regexes are
+    compiled once per actor in __init__, the L1 pattern — schema state
+    loaded once, read-only per batch).
+
+    `dangling_ref`: ray ObjectRef to a frozenset of conversation ids to
+    drop (reference's abort semantics, per-conversation granularity).
+    `valid_ref_targets_ref`: ObjectRef to dict conv_id -> frozenset of
+    existing turn_idx, ONLY for conversations containing '#N' markers.
+    """
+
+    def __init__(self, dangling_ref=None, valid_ref_targets_ref=None):
+        self.num_re = re.compile(S.NUM_RE)
+        self.ref_re = re.compile(S.REF_RE)
+        self.roles = frozenset(S.ROLES)
+        self.tools = frozenset(S.TOOLS)
+        self.dangling = (
+            frozenset() if dangling_ref is None else ray.get(dangling_ref)
+        )
+        self.ref_targets = (
+            {} if valid_ref_targets_ref is None else ray.get(valid_ref_targets_ref)
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.dangling:
+            keep = pc.invert(
+                pc.is_in(batch["conv_id"], pa.array(sorted(self.dangling)))
+            )
+            batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return _EMPTY_TRIPLES
+        return extract_batch_triples(
+            batch,
+            num_re=self.num_re,
+            ref_re=self.ref_re,
+            roles=self.roles,
+            tools=self.tools,
+            ref_targets=self.ref_targets,
+        )
+
+
+def _str_concat(*parts) -> pa.Array:
+    """Element-wise concatenation of string arrays/scalars."""
+    args = [p if isinstance(p, (pa.Array, pa.ChunkedArray)) else pa.scalar(p) for p in parts]
+    return pc.binary_join_element_wise(*args, "")
+
+
+def extract_batch_triples(
+    batch: pa.Table,
+    num_re,
+    ref_re,
+    roles: frozenset,
+    tools: frozenset,
+    ref_targets: dict | None = None,
+) -> pa.Table:
+    """One Arrow batch of transcript rows -> Arrow batch of triples,
+    locally deduplicated.  Columns: conv_id, subj, pred, obj, obj_kind.
+    Row-local: valid for dense 0-based turn_idx (see module docstring)."""
+    conv = batch["conv_id"].combine_chunks() if isinstance(batch["conv_id"], pa.ChunkedArray) else batch["conv_id"]
+    idx = batch["turn_idx"]
+    idx_str = pc.cast(idx, pa.string())
+    conv_iri = _str_concat("inst:conv/", conv)
+    turn_iri = _str_concat("inst:turn/", conv, "/", idx_str)
+    role = batch["role"]
+    tool = batch["tool"]
+    text = batch["text"]
+    uri = "uri"
+    lit = "literal"
+
+    tables: list[pa.Table] = []
+
+    def emit(conv_a, subj_a, pred: str, obj_a, kind: str, mask=None):
+        t = pa.table(
+            {
+                "conv_id": conv_a,
+                "subj": subj_a,
+                "pred": pa.array([pred] * len(conv_a)).cast(pa.string())
+                if isinstance(pred, str)
+                else pred,
+                "obj": obj_a,
+                "obj_kind": pa.array([kind] * len(conv_a)).cast(pa.string()),
+            }
+        )
+        if mask is not None:
+            t = t.filter(mask)
+        tables.append(t)
+
+    # rdf:type triples (T1 analog)
+    emit(conv, conv_iri, S.RDF_TYPE, pa.array([S.CLS_CONVERSATION] * len(conv)), uri)
+    emit(conv, turn_iri, S.RDF_TYPE, pa.array([S.CLS_TURN] * len(conv)), uri)
+    # conv -hasTurn-> turn (SET-valued, T4)
+    emit(conv, conv_iri, S.P_HAS_TURN, turn_iri, uri)
+    # turnIndex literal
+    emit(
+        conv,
+        turn_iri,
+        S.P_TURN_INDEX,
+        _str_concat(idx_str, "^^" + S.XSD_INTEGER),
+        lit,
+    )
+    # atTime literal (verbatim strftime lexical)
+    ts_lex = pa.array(_ts_lexical(batch["ts"]), pa.string())
+    emit(conv, turn_iri, S.P_AT_TIME, _str_concat(ts_lex, "^^" + S.XSD_DATETIME), lit)
+    # hasRole enum individual — unmatched emits nothing (ERROR 9 contract)
+    role_ok = pc.is_in(role, pa.array(sorted(roles)))
+    emit(conv, turn_iri, S.P_HAS_ROLE, _str_concat("ont:role/", role), uri, mask=role_ok)
+    # usedTool enum individual
+    tool_ok = pc.and_kleene(pc.is_valid(tool), pc.is_in(tool, pa.array(sorted(tools))))
+    tool_ok = pc.fill_null(tool_ok, False)
+    emit(conv, turn_iri, S.P_USED_TOOL, _str_concat("ont:tool/", pc.fill_null(tool, "")), uri, mask=tool_ok)
+    # hasText -> canonical wrapper + wrapper hasString literal (T11/D3 analog)
+    text_py = text.to_pylist()
+    text_hash = pa.array(_md5_hex([t if t is not None else "" for t in text_py]), pa.string())
+    text_iri = _str_concat("inst:text/", text_hash)
+    emit(conv, turn_iri, S.P_HAS_TEXT, text_iri, uri)
+    emit(
+        conv,
+        text_iri,
+        S.P_HAS_STRING,
+        _str_concat(pc.fill_null(text, ""), "^^" + S.XSD_STRING),
+        lit,
+    )
+    # nextTurn chain (T7-T10 analog): arithmetic predecessor (dense idx)
+    prev_mask = pc.greater(idx, 0)
+    prev_iri = _str_concat(
+        "inst:turn/", conv, "/", pc.cast(pc.subtract(idx, 1), pa.string())
+    )
+    emit(conv, prev_iri, S.P_NEXT_TURN, turn_iri, uri, mask=prev_mask)
+
+    # mentions — regex over text, flattened with row offsets
+    conv_py = conv.to_pylist()
+    idx_py = idx.to_pylist()
+    m_conv, m_turn, m_lex = [], [], []
+    r_conv, r_turn, r_tgt = [], [], []
+    for i, t in enumerate(text_py):
+        if not t:
+            continue
+        for m in num_re.findall(t):
+            m_conv.append(conv_py[i])
+            m_turn.append(i)
+            m_lex.append(m)
+        for m in ref_re.findall(t):
+            r_conv.append(conv_py[i])
+            r_turn.append(i)
+            r_tgt.append(m)
+    if m_lex:
+        turn_iri_py = turn_iri.to_pylist()
+        num_iri = pa.array([f"inst:num/{m}" for m in m_lex], pa.string())
+        src = pa.array([turn_iri_py[i] for i in m_turn], pa.string())
+        cv = pa.array(m_conv, pa.string())
+        emit(cv, src, S.P_MENTIONS_NUMBER, num_iri, uri)
+        emit(
+            cv,
+            num_iri,
+            S.P_HAS_INTEGER,
+            pa.array([f"{m}^^{S.XSD_INTEGER}" for m in m_lex], pa.string()),
+            lit,
+        )
+    if r_tgt:
+        ref_targets = ref_targets or {}
+        turn_iri_py = turn_iri.to_pylist()
+        keep_c, keep_s, keep_o = [], [], []
+        for cv, i, tgt in zip(r_conv, r_turn, r_tgt):
+            valid = ref_targets.get(cv)
+            if valid is not None and int(tgt) in valid:
+                keep_c.append(cv)
+                keep_s.append(turn_iri_py[i])
+                keep_o.append(f"inst:turn/{cv}/{int(tgt)}")
+        if keep_c:
+            emit(
+                pa.array(keep_c, pa.string()),
+                pa.array(keep_s, pa.string()),
+                S.P_MENTIONS_TURN,
+                pa.array(keep_o, pa.string()),
+                uri,
+            )
+
+    out = pa.concat_tables(tables).combine_chunks()
+    # local pre-dedup: shrinks the global distinct shuffle (SURVEY.md §7.3)
+    return out.group_by(["conv_id"] + TRIPLE_COLS).aggregate([]).select(
+        ["conv_id"] + TRIPLE_COLS
+    )
+
+
+class ExtractErrors:
+    """Side-output error rows (the reference logs + aborts; we emit data —
+    SURVEY.md §7.3 abort semantics)."""
+
+    def __init__(self):
+        self.roles = frozenset(S.ROLES)
+        self.tools = frozenset(S.TOOLS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv, idx = [], []
+        code, detail = [], []
+        roles = batch["role"].to_pylist()
+        tools = batch["tool"].to_pylist()
+        conv_py = batch["conv_id"].to_pylist()
+        idx_py = batch["turn_idx"].to_pylist()
+        for i in range(batch.num_rows):
+            if roles[i] not in self.roles:
+                conv.append(conv_py[i]); idx.append(idx_py[i])
+                code.append(S.E_BAD_ROLE); detail.append(str(roles[i]))
+            if tools[i] is not None and tools[i] not in self.tools:
+                conv.append(conv_py[i]); idx.append(idx_py[i])
+                code.append(S.E_BAD_TOOL); detail.append(str(tools[i]))
+        return pa.table(
+            {
+                "conv_id": pa.array(conv, pa.string()),
+                "turn_idx": pa.array(idx, pa.int32()),
+                "code": pa.array(code, pa.string()),
+                "detail": pa.array(detail, pa.string()),
+            }
+        )
+
+
+# --------------------------------------------------------------------------
+# dangling-reference pre-pass (fast path only)
+# --------------------------------------------------------------------------
+def _find_refs(batch: pa.Table) -> pa.Table:
+    """Rows of '#N' mentions: (conv_id, turn_idx, target)."""
+    ref_re = re.compile(S.REF_RE)
+    has = pc.match_substring_regex(pc.fill_null(batch["text"], ""), S.REF_RE)
+    sub = batch.filter(has)
+    conv, idx, tgt, raw = [], [], [], []
+    for c, i, t in zip(
+        sub["conv_id"].to_pylist(), sub["turn_idx"].to_pylist(), sub["text"].to_pylist()
+    ):
+        for m in ref_re.findall(t):
+            conv.append(c); idx.append(i); tgt.append(int(m)); raw.append(m)
+    return pa.table(
+        {
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": pa.array(idx, pa.int32()),
+            "target": pa.array(tgt, pa.int64()),
+            "raw": pa.array(raw, pa.string()),
+        }
+    )
+
+
+def resolve_references(transcripts: ray.data.Dataset):
+    """Sparse '#N' reference resolution (the J1 pointer-swizzle analog,
+    IfcSpfParser.mapEntries, IfcSpfParser.java:167-259).
+
+    Returns (dangling_convs: frozenset, ref_targets: dict conv->frozenset,
+    dangling_error_rows: list[dict]).  Collects ONLY conversations that
+    contain a ref marker to the driver; assumed sparse — ref-dense corpora
+    should use extract_grouped (fully distributed in-group validation)."""
+    refs = transcripts.map_batches(_find_refs, batch_format="pyarrow").take_all()
+    if not refs:
+        return frozenset(), {}, []
+    ref_convs = {r["conv_id"] for r in refs}
+    ref_conv_arr = pa.array(sorted(ref_convs))
+    turns = (
+        transcripts.map_batches(
+            lambda b: b.select(["conv_id", "turn_idx"]).filter(
+                pc.is_in(b["conv_id"], ref_conv_arr)
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    turn_sets: dict[str, set] = {}
+    for r in turns:
+        turn_sets.setdefault(r["conv_id"], set()).add(r["turn_idx"])
+    dangling = set()
+    err_rows = []
+    for r in refs:
+        if r["target"] not in turn_sets.get(r["conv_id"], set()):
+            dangling.add(r["conv_id"])
+            err_rows.append(
+                {
+                    "conv_id": r["conv_id"],
+                    "turn_idx": r["turn_idx"],
+                    "code": S.E_DANGLING_REF,
+                    "detail": f"#{r['raw']}",  # verbatim lexical, leading zeros kept
+                }
+            )
+    ref_targets = {c: frozenset(s) for c, s in turn_sets.items()}
+    return frozenset(dangling), ref_targets, err_rows
+
+
+# --------------------------------------------------------------------------
+# grouped (flagship) path
+# --------------------------------------------------------------------------
+def extract_conversation_group(group: pa.Table) -> pa.Table:
+    """One conversation -> its triples (+tag), assembled in turn order.
+
+    In-group: sort by turn_idx (stable ordering contract — never block
+    order), validate '#N' refs against the group's own turn set, chain
+    nextTurn between consecutive-sorted turns, drop the whole conversation
+    on a dangling ref (reference ERROR 6/7 semantics at conversation
+    granularity)."""
+    g = group.sort_by("turn_idx")
+    ref_re = re.compile(S.REF_RE)
+    turn_set = set(g["turn_idx"].to_pylist())
+    for t in g["text"].to_pylist():
+        if t:
+            for m in ref_re.findall(t):
+                if int(m) not in turn_set:
+                    return _EMPTY_TRIPLES  # conversation aborted
+    ref_targets = {g["conv_id"][0].as_py(): frozenset(turn_set)}
+    out = extract_batch_triples(
+        g,
+        num_re=re.compile(S.NUM_RE),
+        ref_re=ref_re,
+        roles=frozenset(S.ROLES),
+        tools=frozenset(S.TOOLS),
+        ref_targets=ref_targets,
+    )
+    # fix nextTurn for sparse turn_idx: arithmetic links were emitted for
+    # i-1; replace with true sorted-successor links
+    idx = g["turn_idx"].to_pylist()
+    cid = g["conv_id"][0].as_py()
+    out = out.filter(pc.invert(pc.equal(out["pred"], S.P_NEXT_TURN)))
+    if len(idx) > 1:
+        nt = pa.table(
+            {
+                "conv_id": pa.array([cid] * (len(idx) - 1), pa.string()),
+                "subj": pa.array(
+                    [f"inst:turn/{cid}/{idx[k]}" for k in range(len(idx) - 1)],
+                    pa.string(),
+                ),
+                "pred": pa.array([S.P_NEXT_TURN] * (len(idx) - 1), pa.string()),
+                "obj": pa.array(
+                    [f"inst:turn/{cid}/{idx[k + 1]}" for k in range(len(idx) - 1)],
+                    pa.string(),
+                ),
+                "obj_kind": pa.array(["uri"] * (len(idx) - 1), pa.string()),
+            }
+        )
+        out = pa.concat_tables([out, nt])
+    return out
+
+
+def conversation_errors_group(group: pa.Table) -> pa.Table:
+    """One conversation -> its error rows (role/tool vocab + dangling)."""
+    g = group.sort_by("turn_idx")
+    base = ExtractErrors()(g)
+    ref_re = re.compile(S.REF_RE)
+    turn_set = set(g["turn_idx"].to_pylist())
+    conv, idx, code, detail = [], [], [], []
+    for c, i, t in zip(
+        g["conv_id"].to_pylist(), g["turn_idx"].to_pylist(), g["text"].to_pylist()
+    ):
+        if t:
+            for m in ref_re.findall(t):
+                if int(m) not in turn_set:
+                    conv.append(c); idx.append(i)
+                    code.append(S.E_DANGLING_REF); detail.append(f"#{m}")
+    extra = pa.table(
+        {
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": pa.array(idx, pa.int32()),
+            "code": pa.array(code, pa.string()),
+            "detail": pa.array(detail, pa.string()),
+        }
+    )
+    return pa.concat_tables([base, extra])
+
+
+# --------------------------------------------------------------------------
+# public pipelines
+# --------------------------------------------------------------------------
+def distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
+    """Global distinct on `cols` via groupby-aggregate (set semantics, the
+    D2 resourceMap analog).  Upstream stages pre-dedup per batch so the
+    shuffle moves mostly-unique rows."""
+    from ray.data.aggregate import Count
+
+    return (
+        ds.select_columns(cols)
+        .groupby(cols)
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(cols)
+    )
+
+
+def extract_fast(transcripts: ray.data.Dataset) -> ray.data.Dataset:
+    """map_batches-only extraction (no shuffle before the final distinct).
+
+    Requires dense 0-based turn_idx per conversation (nextTurn emitted
+    arithmetically); '#N' refs validated via the sparse pre-pass."""
+    dangling, ref_targets, _ = resolve_references(transcripts)
+    d_ref = ray.put(dangling)
+    t_ref = ray.put(ref_targets)
+    triples = transcripts.map_batches(
+        ExtractTriples,
+        fn_constructor_kwargs={
+            "dangling_ref": d_ref,
+            "valid_ref_targets_ref": t_ref,
+        },
+        batch_format="pyarrow",
+        batch_size=16384,
+        concurrency=(1, 8),
+    )
+    return distinct(triples, TRIPLE_COLS)
+
+
+def extract_grouped(transcripts: ray.data.Dataset) -> ray.data.Dataset:
+    """Flagship path: groupby(conv_id) conversation assembly + extraction.
+    One hash shuffle on conv_id; everything else in-group and vectorized."""
+    triples = transcripts.groupby("conv_id").map_groups(
+        extract_conversation_group, batch_format="pyarrow"
+    )
+    return distinct(triples, TRIPLE_COLS)
+
+
+def extract_errors(transcripts: ray.data.Dataset) -> ray.data.Dataset:
+    """Errors side-output (fast path): vocab violations via map_batches +
+    dangling refs from the sparse pre-pass."""
+    _, _, dangling_errs = resolve_references(transcripts)
+    errs = transcripts.map_batches(
+        ExtractErrors, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    if dangling_errs:
+        extra = pa.table(
+            {
+                "conv_id": pa.array([e["conv_id"] for e in dangling_errs], pa.string()),
+                "turn_idx": pa.array([e["turn_idx"] for e in dangling_errs], pa.int32()),
+                "code": pa.array([e["code"] for e in dangling_errs], pa.string()),
+                "detail": pa.array([e["detail"] for e in dangling_errs], pa.string()),
+            }
+        )
+        errs = errs.union(ray.data.from_arrow(extra))
+    return errs
