@@ -70,19 +70,63 @@ def _q_kg_predicate_stats(sf_dir: str):
     )
 
 
+def _rel(name):
+    def q(sf_dir: str):
+        from ifctordf_ray.pipelines import relational
+
+        return getattr(relational, name)(sf_dir)
+
+    return q
+
+
+def _stage(module, name):
+    def q(sf_dir: str):
+        import importlib
+
+        m = importlib.import_module(f"ifctordf_ray.stages.{module}")
+        return getattr(m, name)(sf_dir)
+
+    return q
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # --- KG construction (SURVEY.md §2.1-2.7) ---
         "kg_transcripts": _q_kg_transcripts,
         "kg_triples": _q_kg_triples,
         "kg_triples_grouped": _q_kg_triples_grouped,
         "kg_errors": _q_kg_errors,
         "kg_canonical_mentions": _q_kg_canonical_mentions,
         "kg_predicate_stats": _q_kg_predicate_stats,
+        # --- relational operator coverage ---
+        "rel_pricing_summary": _rel("pricing_summary"),
+        "rel_nation_revenue": _rel("nation_revenue"),
+        "rel_order_lineitem_join": _rel("order_lineitem_join"),
+        "rel_top_orders": _rel("top_orders"),
+        "rel_events_daily_window": _rel("events_daily_window"),
+        "rel_sessionize": _rel("sessionize"),
+        # --- text analysis ---
+        "doc_token_counts": _stage("textstats", "token_counts"),
+        "doc_quality_scores": _stage("textstats", "quality_scores"),
+        "doc_lang_id": _stage("textstats", "lang_id"),
+        "doc_fingerprints": _stage("textstats", "fingerprints"),
+        # --- dedup ---
+        "doc_exact_duplicates": _stage("dedup", "exact_duplicates"),
+        "doc_minhash_near_dups": _stage("dedup", "near_dup_pairs_minhash"),
+        "doc_simhash": _stage("dedup", "simhash_fingerprints"),
+        "doc_verified_near_dups": _stage("dedup", "verified_near_dups"),
+        # --- similarity search ---
+        "emb_knn_brute_force": _stage("similarity", "knn_brute_force"),
+        "emb_knn_lsh": _stage("similarity", "knn_lsh"),
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from ifctordf_ray import sql_oracle as O
+    from ifctordf_ray.pipelines import relational as R
+    from ifctordf_ray.stages import dedup as D
+    from ifctordf_ray.stages import similarity as SIM
+    from ifctordf_ray.stages import textstats as T
 
     return {
         "kg_transcripts": O.kg_transcripts_sql(),
@@ -91,4 +135,20 @@ def oracle_sql() -> dict[str, str]:
         "kg_errors": O.kg_errors_sql(),
         "kg_canonical_mentions": O.kg_canonical_mentions_sql(),
         "kg_predicate_stats": O.kg_predicate_stats_sql(),
+        "rel_pricing_summary": R.pricing_summary_sql(),
+        "rel_nation_revenue": R.nation_revenue_sql(),
+        "rel_order_lineitem_join": R.order_lineitem_join_sql(),
+        "rel_top_orders": R.top_orders_sql(),
+        "rel_events_daily_window": R.events_daily_window_sql(),
+        "rel_sessionize": R.sessionize_sql(),
+        "doc_token_counts": T.token_counts_sql(),
+        "doc_quality_scores": T.quality_scores_sql(),
+        "doc_lang_id": T.lang_id_sql(),
+        "doc_fingerprints": T.fingerprints_sql(),
+        "doc_exact_duplicates": D.exact_duplicates_sql(),
+        "emb_knn_brute_force": SIM.knn_brute_force_sql(),
+        # doc_minhash_near_dups / doc_simhash / doc_verified_near_dups /
+        # emb_knn_lsh: not SQL-expressible (md5-derived minhash & simhash
+        # bit math, LSH probing) -> rows-only checks; unit-tested against
+        # pure-Python oracles in tests/test_dedup.py & test_similarity.py.
     }

@@ -39,14 +39,25 @@ def kg_triples(transcripts: ray.data.Dataset, mode: str = "fast") -> ray.data.Da
 
 
 def kg_from_events(sf_dir: str, mode: str = "fast") -> ray.data.Dataset:
-    return kg_triples(transcripts_from_events(sf_dir), mode=mode)
+    """Derived-transcript variant.  The derivation (a window function over
+    events) is materialized ONCE: the fast path consumes the transcript
+    set twice (reference-resolution aggregate + extraction) and a lazy
+    dataset would re-execute the derivation per consumer.  For Parquet
+    transcript input do NOT materialize — a column-pruned re-read streams
+    (see run_resumable)."""
+    tr = transcripts_from_events(sf_dir)
+    if mode == "fast":
+        tr = tr.materialize()
+    return kg_triples(tr, mode=mode)
 
 
 def materialize(
     triples: ray.data.Dataset, out_dir: str, parquet: bool = False
 ) -> list[dict]:
-    """Final sorted-shuffle materialization; returns manifest rows."""
-    manifest = sinks.write_ntriples(triples, f"{out_dir}/nt", sort=True)
+    """Final sorted-shuffle materialization; returns manifest rows.
+    kg_triples output is already subject-sorted (distinct() sorts on
+    (subj,pred,obj,obj_kind) as its shuffle) — no second sort."""
+    manifest = sinks.write_ntriples(triples, f"{out_dir}/nt", sort=False)
     if parquet:
         sinks.write_graph_parquet(triples, f"{out_dir}/parquet")
     return manifest
@@ -62,6 +73,8 @@ def run(
     """One-shot (non-partitioned) flagship run.  Returns metrics."""
     t0 = time.time()
     tr = transcripts_from_events(source) if from_events else read_transcripts(source)
+    if mode == "fast":
+        tr = tr.materialize()
     triples = kg_triples(tr, mode=mode)
     manifest = materialize(triples, out_dir, parquet=parquet)
     n = sum(m["n_triples"] for m in manifest)

@@ -1,0 +1,352 @@
+"""Relational operator coverage over the TPC-H-ish tables.
+
+The reference has no relational operators beyond its maps/joins/dedup
+(SURVEY.md §2.8 — no sort/topk/sampling in IFCtoRDF); these pipelines
+exercise the engine-level Ray Data operators a user of a general
+data-processing engine needs — filter/project at the read, grouped
+aggregation with algebraic pre-combine, broadcast hash join, sort/top-k,
+and tumbling windows — each with an exact DuckDB oracle.
+
+Float-parity discipline: monetary aggregates are summed as integer cents
+(floor(x*100 + 0.5), identical in numpy and DuckDB) because distributed
+double summation is order-dependent and would never hash-match the
+oracle; averages are ratios of exact integers.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _cents(arr) -> pa.Array:
+    """Exact, order-independent money representation (see module doc)."""
+    return pc.cast(pc.floor(pc.add(pc.multiply(arr, 100.0), 0.5)), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary (filter -> project -> grouped aggregate)
+# ---------------------------------------------------------------------------
+def pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """Grouped aggregate with column-pruned read + algebraic aggregates
+    (pre-combined per block before the shuffle)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.less_equal(t["l_shipdate"], pa.scalar(pa.scalar("1998-09-02").cast(pa.timestamp("us"))))
+        )
+        disc_price = pc.multiply(
+            t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+                "base_cents": _cents(t["l_extendedprice"]),
+                "disc_cents": _cents(disc_price),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        avg_qty = pc.divide(pc.cast(t["sum_qty"], pa.float64()),
+                            pc.cast(t["count_order"], pa.float64()))
+        return t.append_column("avg_qty", avg_qty)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def pricing_summary_sql() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sum_base_cents,
+           sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS sum_disc_cents,
+           count(*) AS count_order,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+
+# ---------------------------------------------------------------------------
+# Broadcast hash join: orders x customer x nation -> revenue per nation
+# ---------------------------------------------------------------------------
+class JoinOrdersToNation:
+    """Actor-pool broadcast join (small-side pattern, ray_guide 'Joins'):
+    customer+nation dimension tables are read ONCE per actor in __init__
+    from a ray.put handle and probed per batch with a vectorized
+    dictionary-take — no shuffle of the big (orders) side."""
+
+    def __init__(self, cust_nation_ref):
+        import numpy as np
+
+        cust_key, nation_name = ray.get(cust_nation_ref)
+        self.np = np
+        # dense custkey -> nation-name index (custkeys are 1..N)
+        self.max_key = int(cust_key.max())
+        lookup = np.full(self.max_key + 1, -1, dtype=np.int32)
+        lookup[cust_key] = nation_name[1]
+        self.lookup = lookup
+        self.names = nation_name[0]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch["o_custkey"].to_numpy()
+        nation_idx = self.lookup[keys]
+        names = pa.DictionaryArray.from_arrays(
+            pa.array(nation_idx, pa.int32()), pa.array(self.names, pa.string())
+        ).cast(pa.string())
+        return pa.table(
+            {
+                "n_name": names,
+                "price_cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+
+def nation_revenue(sf_dir: str) -> ray.data.Dataset:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    n_names = nation["n_name"].to_pylist()
+    nat_pos = {k: i for i, k in enumerate(nation["n_nationkey"].to_pylist())}
+    cust_key = cust["c_custkey"].to_numpy()
+    cust_nat_pos = np.array(
+        [nat_pos[k] for k in cust["c_nationkey"].to_pylist()], dtype=np.int32
+    )
+    ref = ray.put((cust_key, (n_names, cust_nat_pos)))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    joined = orders.map_batches(
+        JoinOrdersToNation,
+        fn_constructor_kwargs={"cust_nation_ref": ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return joined.groupby("n_name").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("price_cents", alias_name="revenue_cents"),
+    )
+
+
+def nation_revenue_sql() -> str:
+    return """
+    SELECT n.n_name, count(*) AS n_orders,
+           sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS revenue_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """
+
+
+# ---------------------------------------------------------------------------
+# Distributed hash join (both sides large): Dataset.join
+# ---------------------------------------------------------------------------
+def order_lineitem_join(sf_dir: str) -> ray.data.Dataset:
+    """Large-large hash join via Dataset.join (hash-partitioned on the
+    key), then grouped aggregate: line count + revenue per order priority."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"l_orderkey": t["l_orderkey"], "price_cents": _cents(t["l_extendedprice"])}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = lineitem.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    return joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_lines"),
+        Sum("price_cents", alias_name="revenue_cents"),
+    )
+
+
+def order_lineitem_join_sql() -> str:
+    return """
+    SELECT o.o_orderpriority, count(*) AS n_lines,
+           sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS revenue_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """
+
+
+# ---------------------------------------------------------------------------
+# Sort / top-k
+# ---------------------------------------------------------------------------
+def top_orders(sf_dir: str) -> ray.data.Dataset:
+    """Global sort (range shuffle) + limit; deterministic tie-break on the
+    unique key."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "price_cents": _cents(t["o_totalprice"]),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort(["price_cents", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def top_orders_sql() -> str:
+    return """
+    SELECT o_orderkey, o_custkey,
+           CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+    FROM orders
+    ORDER BY price_cents DESC, o_orderkey ASC
+    LIMIT 10
+    """
+
+
+# ---------------------------------------------------------------------------
+# Tumbling window over the event stream
+# ---------------------------------------------------------------------------
+def events_daily_window(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling 1-day window per (user, event_type): floor_temporal inside
+    map_batches (no per-row Python), then grouped aggregate — the
+    streaming-window analog for a batch log (ray_guide 'Streaming-shaped
+    workloads')."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "day": pc.floor_temporal(t["ts"], unit="day"),
+                "value_cents": _cents(t["value"]),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["user_id", "event_type", "day"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_cents", alias_name="sum_value_cents"),
+            Min("value_cents", alias_name="min_value_cents"),
+            Max("value_cents", alias_name="max_value_cents"),
+        )
+    )
+
+
+def events_daily_window_sql() -> str:
+    return """
+    SELECT user_id, event_type, date_trunc('day', ts) AS day,
+           count(*) AS n_events,
+           sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS sum_value_cents,
+           min(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS min_value_cents,
+           max(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS max_value_cents
+    FROM events
+    GROUP BY user_id, event_type, date_trunc('day', ts)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gap-based windows, per-user ordered state)
+# ---------------------------------------------------------------------------
+SESSION_GAP_MIN = 30
+
+
+def _sessionize_group(g: pa.Table) -> pa.Table:
+    import numpy as np
+
+    g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    new_session = np.ones(len(ts), dtype=bool)
+    if len(ts) > 1:
+        new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
+    session_seq = np.cumsum(new_session) - 1
+    uid = g["user_id"][0].as_py()
+    out = pa.table(
+        {
+            "user_id": g["user_id"],
+            "session_id": pa.array(
+                [f"u{uid}-s{s}" for s in session_seq], pa.string()
+            ),
+        }
+    )
+    return (
+        out.group_by(["user_id", "session_id"])
+        .aggregate([("session_id", "count")])
+        .rename_columns(["user_id", "session_id", "n_events"])
+    )
+
+
+def sessionize(sf_dir: str) -> ray.data.Dataset:
+    """Gap-based sessionization: groupby(user) + in-group ordered scan —
+    the per-key ordered-state pattern (same shuffle shape as conversation
+    assembly)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return ds.groupby("user_id").map_groups(
+        _sessionize_group, batch_format="pyarrow"
+    )
+
+
+def sessionize_sql() -> str:
+    return f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+        FROM ordered
+    )
+    SELECT user_id,
+           printf('u%d-s%d', user_id, session_seq) AS session_id,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_seq
+    """

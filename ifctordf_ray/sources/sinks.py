@@ -76,6 +76,12 @@ class NTriplesWriter:
                  "max_subj": pa.array([], pa.string()),
                  "skipped": pa.array([], pa.bool_())}
             )
+        # guarantee per-file sortedness regardless of upstream block
+        # bundling (Ray may coalesce small sorted blocks out of order);
+        # the batch is already mostly-sorted runs, so this is cheap.
+        batch = batch.sort_by(
+            [(c, "ascending") for c in ("subj", "pred", "obj", "obj_kind")]
+        )
         content = format_ntriples(batch)
         h = hashlib.md5(content.encode("utf-8")).hexdigest()[:20]
         path = os.path.join(self.out_dir, f"part-{h}.nt")
@@ -105,11 +111,16 @@ def write_ntriples(
     (range shuffle) then stream batches through the content-addressed
     writer.  Returns the manifest rows (small)."""
     ds = triples.sort("subj") if sort else triples
+    # batch_size=None: one .nt file per upstream block, so each part file
+    # is internally sorted and covers a disjoint subject range (recorded
+    # as min_subj/max_subj in the manifest).  Global order across files is
+    # given by the manifest ranges, not by filenames — blocks stream
+    # through in arbitrary order.
     manifest = ds.map_batches(
         NTriplesWriter,
         fn_constructor_kwargs={"out_dir": out_dir},
         batch_format="pyarrow",
-        batch_size=65536,
+        batch_size=None,
         concurrency=(1, 8),
     ).take_all()
     return manifest

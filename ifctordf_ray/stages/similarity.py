@@ -1,0 +1,186 @@
+"""Similarity search over the embeddings table (vec_id, embedding:
+list<float>, label).
+
+- `knn_brute_force`: exact cosine top-k per query — the baseline: the
+  query matrix is broadcast once (ray.put), each batch does one float64
+  numpy matmul against it.  No shuffle; scales linearly in corpus size.
+- `knn_lsh`: random-hyperplane LSH bucketing — the scale path: corpus and
+  queries are bucketed by sign-pattern hash; only same-bucket (plus
+  multi-probe) candidates are scored.  Returns the same schema; recall
+  depends on nbits/nprobes.
+
+Float-parity discipline for the SQL oracle: similarities are computed in
+float64 and ROUNDED to 6 decimals; ranking is (rounded sim DESC, vec_id
+ASC) so ordering never depends on sub-1e-6 float noise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+DEFAULT_K = 10
+DEFAULT_NQ = 5  # queries = the NQ lowest vec_ids
+ROUND_DP = 6
+
+
+def _load_queries(sf_dir: str, nq: int) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = np.argsort(t["vec_id"].to_numpy())[:nq]
+    ids = t["vec_id"].to_numpy()[order]
+    mat = np.stack(
+        [np.asarray(t["embedding"][int(i)].as_py(), dtype=np.float64) for i in order]
+    )
+    return ids, mat
+
+
+class CosineScorer:
+    """Actor-pool stage: query matrix fetched once per actor; per batch a
+    single (batch x dim) @ (dim x nq) float64 matmul."""
+
+    def __init__(self, queries_ref):
+        self.q_ids, q = ray.get(queries_ref)
+        self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        embs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(embs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (embs / norms) @ self.qn.T  # (batch, nq)
+        vec_ids = batch["vec_id"].to_numpy()
+        nq = len(self.q_ids)
+        n = len(vec_ids)
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(self.q_ids, n), pa.int64()),
+                "neighbor_id": pa.array(np.tile(vec_ids, nq), pa.int64()),
+                "sim": pa.array(np.round(sims.T.ravel(), ROUND_DP), pa.float64()),
+            }
+        )
+
+
+def _topk_per_query(group: pa.Table, k: int) -> pa.Table:
+    g = group.sort_by([("sim", "descending"), ("neighbor_id", "ascending")])
+    out = g.slice(0, k)
+    rank = pa.array(np.arange(1, out.num_rows + 1), pa.int64())
+    return out.append_column("rank", rank)
+
+
+def knn_brute_force(
+    sf_dir: str, k: int = DEFAULT_K, nq: int = DEFAULT_NQ
+) -> ray.data.Dataset:
+    """Exact cosine top-k (self-match included: it ranks first by
+    construction, a useful sanity anchor)."""
+    q_ref = ray.put(_load_queries(sf_dir, nq))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    scored = ds.map_batches(
+        CosineScorer,
+        fn_constructor_kwargs={"queries_ref": q_ref},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    # per-query top-k: nq groups, each tiny after per-batch scoring
+    return scored.groupby("query_id").map_groups(
+        lambda g: _topk_per_query(g, k), batch_format="pyarrow"
+    )
+
+
+def knn_brute_force_sql(k: int = DEFAULT_K, nq: int = DEFAULT_NQ) -> str:
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings ORDER BY vec_id LIMIT {nq}
+    ), scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]),
+                   CAST(q.qe AS DOUBLE[])), {ROUND_DP}) AS sim
+        FROM embeddings e, q
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed variant (the scale path)
+# ---------------------------------------------------------------------------
+NBITS = 8
+
+
+def _hyperplanes(dim: int, nbits: int = NBITS) -> np.ndarray:
+    rng = np.random.RandomState(7)
+    return rng.standard_normal((nbits, dim))
+
+
+class LshBucketer:
+    def __init__(self, planes_ref):
+        self.planes = ray.get(planes_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        embs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        signs = (embs @ self.planes.T) > 0
+        codes = signs @ (1 << np.arange(self.planes.shape[0]))
+        return batch.append_column("bucket", pa.array(codes.astype(np.int64)))
+
+
+def knn_lsh(
+    sf_dir: str, k: int = DEFAULT_K, nq: int = DEFAULT_NQ, nprobe_bits: int = 1
+) -> ray.data.Dataset:
+    """Approximate top-k: score only vectors whose hyperplane sign-code is
+    within `nprobe_bits` Hamming distance of the query's code.  Bucketing
+    is a narrow map; candidate scoring reuses CosineScorer semantics on
+    the filtered corpus."""
+    import pyarrow.parquet as pq_mod
+
+    ids, qmat = _load_queries(sf_dir, nq)
+    dim = qmat.shape[1]
+    planes = _hyperplanes(dim)
+    q_codes = ((qmat @ planes.T) > 0) @ (1 << np.arange(NBITS))
+    # probe set: all codes within hamming distance nprobe_bits of any query
+    probe: set[int] = set()
+    for c in q_codes.astype(int):
+        probe.add(c)
+        if nprobe_bits >= 1:
+            for b in range(NBITS):
+                probe.add(c ^ (1 << b))
+    probe_arr = pa.array(sorted(probe), pa.int64())
+
+    planes_ref = ray.put(planes)
+    q_ref = ray.put((ids, qmat))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    bucketed = ds.map_batches(
+        LshBucketer,
+        fn_constructor_kwargs={"planes_ref": planes_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def keep_probed(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t["bucket"], probe_arr)).drop_columns(["bucket"])
+
+    candidates = bucketed.map_batches(keep_probed, batch_format="pyarrow")
+    scored = candidates.map_batches(
+        CosineScorer,
+        fn_constructor_kwargs={"queries_ref": q_ref},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+    return scored.groupby("query_id").map_groups(
+        lambda g: _topk_per_query(g, k), batch_format="pyarrow"
+    )

@@ -1,0 +1,205 @@
+r"""Text analysis over the documents table: token counting, quality
+scoring, language ID, document fingerprinting.
+
+All metrics are defined with exact DuckDB-parity semantics (RE2-safe
+regexes, integer counts, md5 fingerprints) so each operator has a SQL
+oracle.  Stages are actor pools: regexes compile once per actor
+(__init__), batches are processed vectorized-per-batch with compiled
+patterns (the stateful-stage pattern, SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+import ray.data
+
+# token = maximal run of non-whitespace
+TOKEN_RE = r"\S+"
+# word = maximal run of ascii alnum, lowercased text
+WORD_RE = r"[a-z0-9]+"
+DIGIT_RE = r"[0-9]"
+PUNCT_RE = r"[.,;:!?]"
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+STOP_RE = r"\b(?:" + "|".join(STOPWORDS) + r")\b"
+
+# language markers: per-language word sets; lang = first language (in
+# LANGS order) whose marker-hit count is maximal (deterministic tie-break).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "en": ("the", "and", "is", "of", "to", "in"),
+    "es": ("el", "la", "los", "y", "es", "de"),
+    "fr": ("le", "la", "les", "et", "est", "de"),
+}
+LANGS = tuple(sorted(LANG_MARKERS))
+FALLBACK_LANG = "und"  # no marker hit at all
+
+
+class TokenCounter:
+    def __init__(self):
+        self.token_re = re.compile(TOKEN_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(
+                    [len(self.token_re.findall(t or "")) for t in texts], pa.int64()
+                ),
+                "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
+            }
+        )
+
+
+def token_counts(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(TokenCounter, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def token_counts_sql() -> str:
+    return rf"""
+    SELECT doc_id,
+           len(regexp_extract_all(coalesce(text, ''), '{TOKEN_RE}')) AS n_tokens,
+           length(coalesce(text, '')) AS n_chars
+    FROM documents
+    """
+
+
+class QualityScorer:
+    """Quality heuristics: token/digit/punct/stopword counts + ratios.
+    Ratios are quotients of identical integers on both sides -> exact
+    float parity."""
+
+    def __init__(self):
+        self.token_re = re.compile(TOKEN_RE)
+        self.digit_re = re.compile(DIGIT_RE)
+        self.punct_re = re.compile(PUNCT_RE)
+        self.stop_re = re.compile(STOP_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch["text"].to_pylist()]
+        n_tok = [len(self.token_re.findall(t)) for t in texts]
+        n_stop = [len(self.stop_re.findall(t.lower())) for t in texts]
+        n_digit = [len(self.digit_re.findall(t)) for t in texts]
+        n_punct = [len(self.punct_re.findall(t)) for t in texts]
+        stop_ratio = [s / t if t else 0.0 for s, t in zip(n_stop, n_tok)]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_stopwords": pa.array(n_stop, pa.int64()),
+                "n_digits": pa.array(n_digit, pa.int64()),
+                "n_punct": pa.array(n_punct, pa.int64()),
+                "stop_ratio": pa.array(stop_ratio, pa.float64()),
+            }
+        )
+
+
+def quality_scores(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def quality_scores_sql() -> str:
+    return rf"""
+    SELECT doc_id,
+           len(regexp_extract_all(coalesce(text, ''), '{TOKEN_RE}')) AS n_tokens,
+           len(regexp_extract_all(lower(coalesce(text, '')), '{STOP_RE}')) AS n_stopwords,
+           len(regexp_extract_all(coalesce(text, ''), '{DIGIT_RE}')) AS n_digits,
+           len(regexp_extract_all(coalesce(text, ''), '{PUNCT_RE}')) AS n_punct,
+           CASE WHEN len(regexp_extract_all(coalesce(text, ''), '{TOKEN_RE}')) = 0
+                THEN 0.0
+                ELSE CAST(len(regexp_extract_all(lower(coalesce(text, '')), '{STOP_RE}')) AS DOUBLE)
+                     / len(regexp_extract_all(coalesce(text, ''), '{TOKEN_RE}'))
+           END AS stop_ratio
+    FROM documents
+    """
+
+
+class LangId:
+    """n-gram-free marker-word language ID (deterministic, closed-form;
+    a real model would be an actor-pool stage with the model loaded in
+    __init__ — same plumbing)."""
+
+    def __init__(self):
+        self.markers = {
+            lang: re.compile(r"\b(?:" + "|".join(ws) + r")\b")
+            for lang, ws in LANG_MARKERS.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch["text"].to_pylist()]
+        out = []
+        for t in texts:
+            low = t.lower()
+            scores = {lang: len(rx.findall(low)) for lang, rx in self.markers.items()}
+            best = max(scores.values())
+            out.append(
+                FALLBACK_LANG
+                if best == 0
+                else next(l for l in LANGS if scores[l] == best)
+            )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "pred_lang": pa.array(out, pa.string())}
+        )
+
+
+def lang_id(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def lang_id_sql() -> str:
+    score = {
+        lang: rf"len(regexp_extract_all(lower(coalesce(text, '')), '\b(?:{'|'.join(ws)})\b'))"
+        for lang, ws in LANG_MARKERS.items()
+    }
+    # first lang (alphabetical) whose score >= all others; 'und' if all 0
+    cases = []
+    for lang in LANGS:
+        conds = [f"s_{lang} >= s_{other}" for other in LANGS if other != lang]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = " ".join(cases)
+    scores_sql = ", ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    return f"""
+    SELECT doc_id,
+           CASE WHEN {' + '.join('s_' + l for l in LANGS)} = 0 THEN '{FALLBACK_LANG}'
+                {case_sql}
+                ELSE '{FALLBACK_LANG}' END AS pred_lang
+    FROM (SELECT doc_id, {scores_sql} FROM documents)
+    """
+
+
+class Fingerprinter:
+    """Document fingerprint: md5 of lowercased, whitespace-collapsed text
+    (canonical-form dedup key; the D1 fullLineAfterNum analog,
+    IfcSpfParser.java:62)."""
+
+    def __init__(self):
+        self.ws_re = re.compile(r"\s+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch["text"].to_pylist()]
+        fps = [
+            hashlib.md5(self.ws_re.sub(" ", t.lower()).encode("utf-8")).hexdigest()
+            for t in texts
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "fingerprint": pa.array(fps, pa.string())}
+        )
+
+
+def fingerprints(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def fingerprints_sql() -> str:
+    return r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """
