@@ -70,6 +70,23 @@ def _q_kg_predicate_stats(sf_dir: str):
     )
 
 
+def _stage_tr(module, name, materialize=False):
+    """Stage operating on the derived transcript Dataset."""
+
+    def q(sf_dir: str):
+        import importlib
+
+        from ifctordf_ray.sources.transcripts import transcripts_from_events
+
+        tr = transcripts_from_events(sf_dir)
+        if materialize:
+            tr = tr.materialize()
+        m = importlib.import_module(f"ifctordf_ray.stages.{module}")
+        return getattr(m, name)(tr)
+
+    return q
+
+
 def _rel(name):
     def q(sf_dir: str):
         from ifctordf_ray.pipelines import relational
@@ -98,6 +115,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_errors": _q_kg_errors,
         "kg_canonical_mentions": _q_kg_canonical_mentions,
         "kg_predicate_stats": _q_kg_predicate_stats,
+        "kg_dedup_turns": _stage_tr("turndedup", "dedup_turns"),
+        "kg_turn_redirects": _stage_tr("turndedup", "turn_redirects"),
+        "kg_linked_mentions": _stage_tr("link", "link_mentions", materialize=True),
         # --- relational operator coverage ---
         "rel_pricing_summary": _rel("pricing_summary"),
         "rel_nation_revenue": _rel("nation_revenue"),
@@ -125,8 +145,10 @@ def oracle_sql() -> dict[str, str]:
     from ifctordf_ray import sql_oracle as O
     from ifctordf_ray.pipelines import relational as R
     from ifctordf_ray.stages import dedup as D
+    from ifctordf_ray.stages import link as L
     from ifctordf_ray.stages import similarity as SIM
     from ifctordf_ray.stages import textstats as T
+    from ifctordf_ray.stages import turndedup as TD
 
     return {
         "kg_transcripts": O.kg_transcripts_sql(),
@@ -135,6 +157,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_errors": O.kg_errors_sql(),
         "kg_canonical_mentions": O.kg_canonical_mentions_sql(),
         "kg_predicate_stats": O.kg_predicate_stats_sql(),
+        "kg_dedup_turns": TD.dedup_turns_sql(),
+        "kg_turn_redirects": TD.turn_redirects_sql(),
+        "kg_linked_mentions": L.link_mentions_sql(),
         "rel_pricing_summary": R.pricing_summary_sql(),
         "rel_nation_revenue": R.nation_revenue_sql(),
         "rel_order_lineitem_join": R.order_lineitem_join_sql(),

@@ -56,10 +56,33 @@ def materialize(
 ) -> list[dict]:
     """Final sorted-shuffle materialization; returns manifest rows.
     kg_triples output is already subject-sorted (distinct() sorts on
-    (subj,pred,obj,obj_kind) as its shuffle) — no second sort."""
+    (subj,pred,obj,obj_kind) as its shuffle) — no second sort.
+
+    A manifest.json is written beside the parts: prefix declarations (the
+    S7 header/prefix-emission analog, RDFWriter.java:111-122) plus
+    per-file lineage (path, triple count, subject range)."""
+    import json
+    import os
+
     manifest = sinks.write_ntriples(triples, f"{out_dir}/nt", sort=False)
     if parquet:
         sinks.write_graph_parquet(triples, f"{out_dir}/parquet")
+    from ifctordf_ray import schema as S
+
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = f"{out_dir}/manifest.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "prefixes": S.PREFIXES,
+                "n_triples": sum(m["n_triples"] for m in manifest),
+                "files": manifest,
+            },
+            f,
+            indent=1,
+            default=str,
+        )
+    os.replace(tmp, f"{out_dir}/manifest.json")
     return manifest
 
 

@@ -22,9 +22,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
 
-def _cents(arr) -> pa.Array:
-    """Exact, order-independent money representation (see module doc)."""
-    return pc.cast(pc.floor(pc.add(pc.multiply(arr, 100.0), 0.5)), pa.int64())
+from ifctordf_ray.functions.kernels import cents as _cents  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -346,7 +344,7 @@ def sessionize_sql() -> str:
         FROM ordered
     )
     SELECT user_id,
-           printf('u%d-s%d', user_id, session_seq) AS session_id,
+           printf('u%d-s%d', user_id, CAST(session_seq AS BIGINT)) AS session_id,
            count(*) AS n_events
     FROM sessions GROUP BY user_id, session_seq
     """

@@ -122,6 +122,34 @@ def typed_literal(lexical: str, dtype: str) -> str:
     return f"{lexical}^^{dtype}"
 
 
+# --------------------------------------------------------------------------
+# Compact predicate encoding.  The predicate vocabulary is CLOSED (the
+# schema defines it), so the engine ships an int8 `pred_id` through its
+# shuffles instead of a predicate string, and `obj_kind` is a function of
+# the predicate (derived at the edges, never stored).  This cuts ~20
+# bytes/row from every exchanged triple — significant when the sorted
+# dedup shuffle moves the whole triple set.
+# --------------------------------------------------------------------------
+# (pred, obj_kind) in id order; ids are part of the internal wire format
+PRED_TABLE: tuple[tuple[str, str], ...] = (
+    (RDF_TYPE, "uri"),
+    (P_HAS_TURN, "uri"),
+    (P_TURN_INDEX, "literal"),
+    (P_AT_TIME, "literal"),
+    (P_HAS_ROLE, "uri"),
+    (P_USED_TOOL, "uri"),
+    (P_HAS_TEXT, "uri"),
+    (P_HAS_STRING, "literal"),
+    (P_NEXT_TURN, "uri"),
+    (P_MENTIONS_NUMBER, "uri"),
+    (P_HAS_INTEGER, "literal"),
+    (P_MENTIONS_TURN, "uri"),
+)
+PRED_ID: dict[str, int] = {p: i for i, (p, _) in enumerate(PRED_TABLE)}
+PRED_NAMES: tuple[str, ...] = tuple(p for p, _ in PRED_TABLE)
+PRED_KINDS: tuple[str, ...] = tuple(k for _, k in PRED_TABLE)
+
+
 # sort key giving the reference's "first-seen wins" total order for
 # canonical-ID assignment (resolveDuplicates, IfcSpfParser.java:147-165):
 # lexicographic on conv_id then zero-padded turn_idx.  Must match the SQL

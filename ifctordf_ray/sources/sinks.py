@@ -58,50 +58,46 @@ def format_ntriples(batch: pa.Table) -> str:
     return "\n".join(lines) + ("\n" if lines else "")
 
 
-class NTriplesWriter:
-    """Actor-pool sink stage: each batch -> one content-addressed .nt file.
-    Returns a manifest row per file (lineage: path, triple count, subject
-    range) — collected small on the driver into manifest.json."""
-
-    def __init__(self, out_dir: str):
-        self.out_dir = out_dir
-        os.makedirs(out_dir, exist_ok=True)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table(
-                {"path": pa.array([], pa.string()),
-                 "n_triples": pa.array([], pa.int64()),
-                 "min_subj": pa.array([], pa.string()),
-                 "max_subj": pa.array([], pa.string()),
-                 "skipped": pa.array([], pa.bool_())}
-            )
-        # guarantee per-file sortedness regardless of upstream block
-        # bundling (Ray may coalesce small sorted blocks out of order);
-        # the batch is already mostly-sorted runs, so this is cheap.
-        batch = batch.sort_by(
-            [(c, "ascending") for c in ("subj", "pred", "obj", "obj_kind")]
-        )
-        content = format_ntriples(batch)
-        h = hashlib.md5(content.encode("utf-8")).hexdigest()[:20]
-        path = os.path.join(self.out_dir, f"part-{h}.nt")
-        skipped = os.path.exists(path)
-        if not skipped:
-            tmp = path + ".tmp"
-            with open(tmp, "w", encoding="utf-8") as f:
-                f.write(content)
-            os.replace(tmp, path)  # atomic publish
-        import pyarrow.compute as pc
-
+def write_nt_batch(batch: pa.Table, out_dir: str) -> pa.Table:
+    """Sink task: one batch -> one content-addressed .nt file.  Returns a
+    manifest row per file (lineage: path, triple count, subject range) —
+    collected small on the driver into manifest.json.  Stateless task, not
+    an actor pool: no per-stage actor spawn; makedirs is idempotent."""
+    if batch.num_rows == 0:
         return pa.table(
-            {
-                "path": pa.array([path], pa.string()),
-                "n_triples": pa.array([batch.num_rows], pa.int64()),
-                "min_subj": pa.array([pc.min(batch["subj"]).as_py()], pa.string()),
-                "max_subj": pa.array([pc.max(batch["subj"]).as_py()], pa.string()),
-                "skipped": pa.array([skipped], pa.bool_()),
-            }
+            {"path": pa.array([], pa.string()),
+             "n_triples": pa.array([], pa.int64()),
+             "min_subj": pa.array([], pa.string()),
+             "max_subj": pa.array([], pa.string()),
+             "skipped": pa.array([], pa.bool_())}
         )
+    os.makedirs(out_dir, exist_ok=True)
+    # guarantee per-file sortedness regardless of upstream block
+    # bundling (Ray may coalesce small sorted blocks out of order);
+    # the batch is already mostly-sorted runs, so this is cheap.
+    batch = batch.sort_by(
+        [(c, "ascending") for c in ("subj", "pred", "obj", "obj_kind")]
+    )
+    content = format_ntriples(batch)
+    h = hashlib.md5(content.encode("utf-8")).hexdigest()[:20]
+    path = os.path.join(out_dir, f"part-{h}.nt")
+    skipped = os.path.exists(path)
+    if not skipped:
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(content)
+        os.replace(tmp, path)  # atomic publish
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            "path": pa.array([path], pa.string()),
+            "n_triples": pa.array([batch.num_rows], pa.int64()),
+            "min_subj": pa.array([pc.min(batch["subj"]).as_py()], pa.string()),
+            "max_subj": pa.array([pc.max(batch["subj"]).as_py()], pa.string()),
+            "skipped": pa.array([skipped], pa.bool_()),
+        }
+    )
 
 
 def write_ntriples(
@@ -117,11 +113,10 @@ def write_ntriples(
     # given by the manifest ranges, not by filenames — blocks stream
     # through in arbitrary order.
     manifest = ds.map_batches(
-        NTriplesWriter,
-        fn_constructor_kwargs={"out_dir": out_dir},
+        write_nt_batch,
+        fn_kwargs={"out_dir": out_dir},
         batch_format="pyarrow",
         batch_size=None,
-        concurrency=(1, 8),
     ).take_all()
     return manifest
 

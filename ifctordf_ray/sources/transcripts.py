@@ -68,15 +68,19 @@ def read_transcripts(path: str | list[str], **kwargs) -> ray.data.Dataset:
     return ray.data.read_parquet(path, columns=cols, **kwargs)
 
 
-def _events_group_to_turns(group: pa.Table) -> pa.Table:
-    """One user's events -> transcript rows.  Vectorized within the group."""
+def _events_group_to_turns(group: pa.Table, replicate: int = 1) -> pa.Table:
+    """One user's events -> transcript rows.  Vectorized within the group.
+
+    replicate>1 emits k deterministic copies with disjoint conv-id spaces
+    ('r<k>-' prefix) — used by the benchmark to scale the corpus without
+    external data; replica 0 keeps unprefixed ids (identical to
+    replicate=1)."""
     g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
     n = g.num_rows
     user_id = g["user_id"][0].as_py()
     rn = np.arange(n, dtype=np.int64)
     conv_seq = rn // TURNS_PER_CONV
     turn_idx = (rn % TURNS_PER_CONV).astype(np.int32)
-    conv_id = np.array([f"c{user_id}-{s}" for s in conv_seq], dtype=object)
     etype = g["event_type"].to_pylist()
     role = np.array([ROLE_MAP.get(e, e) for e in etype], dtype=object)
     tool = [TOOL_MAP.get(e) for e in etype]
@@ -87,32 +91,46 @@ def _events_group_to_turns(group: pa.Table) -> pa.Table:
         else p
         for p, e, t in zip(props, etype, turn_idx.tolist())
     ]
-    return pa.table(
-        {
-            "conv_id": pa.array(conv_id, type=pa.string()),
-            "turn_idx": pa.array(turn_idx, type=pa.int32()),
-            "role": pa.array(role, type=pa.string()),
-            "text": pa.array(text, type=pa.string()),
-            "tool": pa.array(tool, type=pa.string()),
-            "ts": g["ts"].cast(pa.timestamp("us")),
-        }
-    )
+    tables = []
+    for k in range(replicate):
+        prefix = "" if k == 0 else f"r{k}-"
+        conv_id = np.array(
+            [f"{prefix}c{user_id}-{s}" for s in conv_seq], dtype=object
+        )
+        tables.append(
+            pa.table(
+                {
+                    "conv_id": pa.array(conv_id, type=pa.string()),
+                    "turn_idx": pa.array(turn_idx, type=pa.int32()),
+                    "role": pa.array(role, type=pa.string()),
+                    "text": pa.array(text, type=pa.string()),
+                    "tool": pa.array(tool, type=pa.string()),
+                    "ts": g["ts"].cast(pa.timestamp("us")),
+                }
+            )
+        )
+    return pa.concat_tables(tables)
 
 
-def transcripts_from_events(sf_dir: str) -> ray.data.Dataset:
+def transcripts_from_events(sf_dir: str, replicate: int = 1) -> ray.data.Dataset:
     """events.parquet -> deterministic transcript Dataset.
 
     Shuffle: one groupby(user_id) (hash exchange); everything inside the
     group is a vectorized sort + arithmetic.  user_id cardinality scales
     with the data (sf0.1: 1500 users) so groups stay small and balanced.
     """
+    import functools
+
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "props"],
     )
-    return ev.groupby("user_id").map_groups(
-        _events_group_to_turns, batch_format="pyarrow"
+    fn = (
+        _events_group_to_turns
+        if replicate == 1
+        else functools.partial(_events_group_to_turns, replicate=replicate)
     )
+    return ev.groupby("user_id").map_groups(fn, batch_format="pyarrow")
 
 
 def transcripts_from_events_sql() -> str:

@@ -22,7 +22,6 @@ output (`truncated` flag) rather than silent.
 
 from __future__ import annotations
 
-import hashlib
 import re
 from itertools import combinations
 
@@ -40,10 +39,7 @@ MAX_BUCKET = 50         # skew guard: max docs per LSH bucket expanded to pairs
 _MERSENNE = (1 << 61) - 1
 
 
-def _stable_hash64(s: str) -> int:
-    """md5-derived 64-bit hash — deterministic everywhere (the engine
-    NEVER uses Python hash(), which is salted per process)."""
-    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+from ifctordf_ray.functions.kernels import stable_hash64 as _stable_hash64  # noqa: E402
 
 
 def _perm_params(num_perm: int = NUM_PERM) -> tuple[np.ndarray, np.ndarray]:

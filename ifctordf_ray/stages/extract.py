@@ -42,18 +42,17 @@ Two physical plans, same result (asserted by tests):
   Handles any turn_idx layout (gaps, unsorted) and does dangling-ref
   validation in-group with zero driver state.  One hash shuffle on
   conv_id.
-- `extract_fast`: pure map_batches (no shuffle), vectorized row-local
-  emission.  Requires dense 0-based turn_idx per conversation (the
-  nextTurn edge is emitted arithmetically from turn i to i-1's IRI) —
-  guaranteed by `transcripts_from_events`.  Cross-turn '#N' references
-  are validated via a sparse pre-pass: only conversations containing a
-  ref marker are collected to the driver (assumed sparse; for ref-dense
-  corpora use `extract_grouped`, where validation stays distributed).
+- `extract_fast`: pure map_batches (no shuffle before the final
+  distinct), vectorized row-local emission.  Requires dense 0-based
+  turn_idx per conversation (the nextTurn edge is emitted arithmetically
+  from turn i to i-1's IRI) — guaranteed by `transcripts_from_events`.
+  Cross-turn '#N' references are validated by `resolve_references`: a
+  distributed per-batch partial-max combine; only DANGLING conversations
+  (error cases, assumed rare) are collected and broadcast.
 """
 
 from __future__ import annotations
 
-import hashlib
 import re
 
 import numpy as np
@@ -63,16 +62,19 @@ import ray
 import ray.data
 
 from ifctordf_ray import schema as S
+from ifctordf_ray.functions.kernels import md5_hex as _md5_hex
+from ifctordf_ray.functions.kernels import str_concat as _str_concat
+from ifctordf_ray.functions.kernels import ts_lexical as _ts_lexical
 
-TRIPLE_COLS = ["subj", "pred", "obj", "obj_kind"]
+TRIPLE_COLS = ["subj", "pred", "obj", "obj_kind"]   # public schema
+COMPACT_COLS = ["subj", "pred_id", "obj"]           # internal wire format
 
 _EMPTY_TRIPLES = pa.table(
     {
         "conv_id": pa.array([], pa.string()),
         "subj": pa.array([], pa.string()),
-        "pred": pa.array([], pa.string()),
+        "pred_id": pa.array([], pa.int8()),
         "obj": pa.array([], pa.string()),
-        "obj_kind": pa.array([], pa.string()),
     }
 )
 
@@ -86,29 +88,56 @@ _EMPTY_ERRORS = pa.table(
 )
 
 
-def _ts_lexical(ts_array) -> np.ndarray:
-    """Timestamp -> verbatim lexical form.  np.datetime_as_string(unit='us')
-    yields exactly %Y-%m-%dT%H:%M:%S.%f (6-digit micro) — the same lexical
-    DuckDB strftime produces — at C speed (pandas strftime is ~10x slower)."""
-    if isinstance(ts_array, pa.ChunkedArray):
-        ts_array = ts_array.combine_chunks()
-    return np.datetime_as_string(
-        ts_array.to_numpy(zero_copy_only=False).astype("datetime64[us]"), unit="us"
+_WORKER_STATE: dict = {}
+
+
+def _compiled() -> dict:
+    """Per-worker-process compiled state (regexes, vocab sets).  A plain
+    function + module-level cache gives the amortize-setup-once property
+    of an actor pool WITHOUT per-stage actor process spawning: stateless
+    tasks reuse warm worker processes across stages and pipelines, which
+    measurably beats actor pools for cheap-state stages (actor spawn cost
+    dominated small-run wall time; heavy-state stages — linker dict,
+    query matrix — remain actor pools, SURVEY.md §2.3 L1)."""
+    st = _WORKER_STATE.get("c")
+    if st is None:
+        st = {
+            "num_re": re.compile(S.NUM_RE),
+            "ref_re": re.compile(S.REF_RE),
+            "roles": frozenset(S.ROLES),
+            "tools": frozenset(S.TOOLS),
+        }
+        _WORKER_STATE["c"] = st
+    return st
+
+
+def extract_triples_fn(batch: pa.Table, dangling_ref=None) -> pa.Table:
+    """Vectorized row-local triple emission (stateless task form; broadcast
+    dangling set fetched once per worker from the object store).
+
+    Because every conversation containing ANY invalid '#N' reference is
+    dropped wholesale, every surviving reference is valid by construction —
+    mentionsTurn triples are emitted unconditionally (ref_targets=None)."""
+    st = _compiled()
+    if dangling_ref is not None:
+        key = ("dangling", getattr(dangling_ref, "hex", lambda: id(dangling_ref))())
+        arr = _WORKER_STATE.get(key)
+        if arr is None:
+            d = ray.get(dangling_ref)
+            arr = pa.array(sorted(d)) if d else False
+            _WORKER_STATE[key] = arr
+        if arr is not False:
+            batch = batch.filter(pc.invert(pc.is_in(batch["conv_id"], arr)))
+    if batch.num_rows == 0:
+        return _EMPTY_TRIPLES
+    return extract_batch_triples(
+        batch,
+        num_re=st["num_re"],
+        ref_re=st["ref_re"],
+        roles=st["roles"],
+        tools=st["tools"],
+        ref_targets=None,
     )
-
-
-def _md5_hex(values: list[str]) -> list[str]:
-    """md5 per distinct value (no vectorized md5 kernel exists in Arrow;
-    dedup within the batch keeps the Python loop off the hot path)."""
-    cache: dict[str, str] = {}
-    out = []
-    for v in values:
-        h = cache.get(v)
-        if h is None:
-            h = hashlib.md5(v.encode("utf-8")).hexdigest()
-            cache[v] = h
-        out.append(h)
-    return out
 
 
 class ExtractTriples:
@@ -151,10 +180,21 @@ class ExtractTriples:
         )
 
 
-def _str_concat(*parts) -> pa.Array:
-    """Element-wise concatenation of string arrays/scalars."""
-    args = [p if isinstance(p, (pa.Array, pa.ChunkedArray)) else pa.scalar(p) for p in parts]
-    return pc.binary_join_element_wise(*args, "")
+def decode_triples(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Compact wire format (subj, pred_id, obj) -> public triple schema
+    (subj, pred, obj, obj_kind).  pred/obj_kind strings exist only at the
+    edges; the shuffles move an int8."""
+
+    def dec(t: pa.Table) -> pa.Table:
+        ids = t["pred_id"].combine_chunks() if isinstance(t["pred_id"], pa.ChunkedArray) else t["pred_id"]
+        idx = ids.cast(pa.int32())
+        pred = pa.DictionaryArray.from_arrays(idx, pa.array(S.PRED_NAMES)).cast(pa.string())
+        kind = pa.DictionaryArray.from_arrays(idx, pa.array(S.PRED_KINDS)).cast(pa.string())
+        return pa.table(
+            {"subj": t["subj"], "pred": pred, "obj": t["obj"], "obj_kind": kind}
+        )
+
+    return ds.map_batches(dec, batch_format="pyarrow")
 
 
 def extract_batch_triples(
@@ -164,10 +204,16 @@ def extract_batch_triples(
     roles: frozenset,
     tools: frozenset,
     ref_targets: dict | None = None,
+    conv_type_idx: int = 0,
 ) -> pa.Table:
-    """One Arrow batch of transcript rows -> Arrow batch of triples,
-    locally deduplicated.  Columns: conv_id, subj, pred, obj, obj_kind.
-    Row-local: valid for dense 0-based turn_idx (see module docstring)."""
+    """One Arrow batch of transcript rows -> Arrow batch of triples in the
+    COMPACT wire format, locally deduplicated.  Columns: conv_id, subj,
+    pred_id (int8, see schema.PRED_TABLE), obj.  Row-local: valid for
+    dense 0-based turn_idx (see module docstring).
+
+    The conversation rdf:type triple is emitted only from the turn with
+    turn_idx == conv_type_idx (unique-by-construction instead of
+    once-per-turn + global dedup; grouped path passes the group's min)."""
     conv = batch["conv_id"].combine_chunks() if isinstance(batch["conv_id"], pa.ChunkedArray) else batch["conv_id"]
     idx = batch["turn_idx"]
     idx_str = pc.cast(idx, pa.string())
@@ -176,72 +222,61 @@ def extract_batch_triples(
     role = batch["role"]
     tool = batch["tool"]
     text = batch["text"]
-    uri = "uri"
-    lit = "literal"
 
     tables: list[pa.Table] = []
 
-    def emit(conv_a, subj_a, pred: str, obj_a, kind: str, mask=None):
+    def emit(conv_a, subj_a, pred: str, obj_a, mask=None):
+        n = len(conv_a)
         t = pa.table(
             {
                 "conv_id": conv_a,
                 "subj": subj_a,
-                "pred": pa.array([pred] * len(conv_a)).cast(pa.string())
-                if isinstance(pred, str)
-                else pred,
+                "pred_id": pa.nulls(n, pa.int8()).fill_null(S.PRED_ID[pred]),
                 "obj": obj_a,
-                "obj_kind": pa.array([kind] * len(conv_a)).cast(pa.string()),
             }
         )
         if mask is not None:
             t = t.filter(mask)
         tables.append(t)
 
-    # rdf:type triples (T1 analog)
-    emit(conv, conv_iri, S.RDF_TYPE, pa.array([S.CLS_CONVERSATION] * len(conv)), uri)
-    emit(conv, turn_iri, S.RDF_TYPE, pa.array([S.CLS_TURN] * len(conv)), uri)
+    # rdf:type triples (T1 analog); conv type once per conversation
+    first_mask = pc.equal(idx, conv_type_idx)
+    emit(conv, conv_iri, S.RDF_TYPE,
+         pa.nulls(len(conv), pa.string()).fill_null(S.CLS_CONVERSATION),
+         mask=first_mask)
+    emit(conv, turn_iri, S.RDF_TYPE,
+         pa.nulls(len(conv), pa.string()).fill_null(S.CLS_TURN))
     # conv -hasTurn-> turn (SET-valued, T4)
-    emit(conv, conv_iri, S.P_HAS_TURN, turn_iri, uri)
+    emit(conv, conv_iri, S.P_HAS_TURN, turn_iri)
     # turnIndex literal
-    emit(
-        conv,
-        turn_iri,
-        S.P_TURN_INDEX,
-        _str_concat(idx_str, "^^" + S.XSD_INTEGER),
-        lit,
-    )
+    emit(conv, turn_iri, S.P_TURN_INDEX, _str_concat(idx_str, "^^" + S.XSD_INTEGER))
     # atTime literal (verbatim strftime lexical)
     ts_lex = pa.array(_ts_lexical(batch["ts"]), pa.string())
-    emit(conv, turn_iri, S.P_AT_TIME, _str_concat(ts_lex, "^^" + S.XSD_DATETIME), lit)
+    emit(conv, turn_iri, S.P_AT_TIME, _str_concat(ts_lex, "^^" + S.XSD_DATETIME))
     # hasRole enum individual — unmatched emits nothing (ERROR 9 contract)
     role_ok = pc.is_in(role, pa.array(sorted(roles)))
-    emit(conv, turn_iri, S.P_HAS_ROLE, _str_concat("ont:role/", role), uri, mask=role_ok)
+    emit(conv, turn_iri, S.P_HAS_ROLE, _str_concat("ont:role/", role), mask=role_ok)
     # usedTool enum individual
     tool_ok = pc.and_kleene(pc.is_valid(tool), pc.is_in(tool, pa.array(sorted(tools))))
     tool_ok = pc.fill_null(tool_ok, False)
-    emit(conv, turn_iri, S.P_USED_TOOL, _str_concat("ont:tool/", pc.fill_null(tool, "")), uri, mask=tool_ok)
+    emit(conv, turn_iri, S.P_USED_TOOL,
+         _str_concat("ont:tool/", pc.fill_null(tool, "")), mask=tool_ok)
     # hasText -> canonical wrapper + wrapper hasString literal (T11/D3 analog)
     text_py = text.to_pylist()
     text_hash = pa.array(_md5_hex([t if t is not None else "" for t in text_py]), pa.string())
     text_iri = _str_concat("inst:text/", text_hash)
-    emit(conv, turn_iri, S.P_HAS_TEXT, text_iri, uri)
-    emit(
-        conv,
-        text_iri,
-        S.P_HAS_STRING,
-        _str_concat(pc.fill_null(text, ""), "^^" + S.XSD_STRING),
-        lit,
-    )
+    emit(conv, turn_iri, S.P_HAS_TEXT, text_iri)
+    emit(conv, text_iri, S.P_HAS_STRING,
+         _str_concat(pc.fill_null(text, ""), "^^" + S.XSD_STRING))
     # nextTurn chain (T7-T10 analog): arithmetic predecessor (dense idx)
     prev_mask = pc.greater(idx, 0)
     prev_iri = _str_concat(
         "inst:turn/", conv, "/", pc.cast(pc.subtract(idx, 1), pa.string())
     )
-    emit(conv, prev_iri, S.P_NEXT_TURN, turn_iri, uri, mask=prev_mask)
+    emit(conv, prev_iri, S.P_NEXT_TURN, turn_iri, mask=prev_mask)
 
     # mentions — regex over text, flattened with row offsets
     conv_py = conv.to_pylist()
-    idx_py = idx.to_pylist()
     m_conv, m_turn, m_lex = [], [], []
     r_conv, r_turn, r_tgt = [], [], []
     for i, t in enumerate(text_py):
@@ -260,14 +295,9 @@ def extract_batch_triples(
         num_iri = pa.array([f"inst:num/{m}" for m in m_lex], pa.string())
         src = pa.array([turn_iri_py[i] for i in m_turn], pa.string())
         cv = pa.array(m_conv, pa.string())
-        emit(cv, src, S.P_MENTIONS_NUMBER, num_iri, uri)
-        emit(
-            cv,
-            num_iri,
-            S.P_HAS_INTEGER,
-            pa.array([f"{m}^^{S.XSD_INTEGER}" for m in m_lex], pa.string()),
-            lit,
-        )
+        emit(cv, src, S.P_MENTIONS_NUMBER, num_iri)
+        emit(cv, num_iri, S.P_HAS_INTEGER,
+             pa.array([f"{m}^^{S.XSD_INTEGER}" for m in m_lex], pa.string()))
     if r_tgt:
         turn_iri_py = turn_iri.to_pylist()
         keep_c, keep_s, keep_o = [], [], []
@@ -283,13 +313,12 @@ def extract_batch_triples(
                 pa.array(keep_s, pa.string()),
                 S.P_MENTIONS_TURN,
                 pa.array(keep_o, pa.string()),
-                uri,
             )
 
     out = pa.concat_tables(tables).combine_chunks()
     # local pre-dedup: shrinks the global distinct shuffle (SURVEY.md §7.3)
-    return out.group_by(["conv_id"] + TRIPLE_COLS).aggregate([]).select(
-        ["conv_id"] + TRIPLE_COLS
+    return out.group_by(["conv_id"] + COMPACT_COLS).aggregate([]).select(
+        ["conv_id"] + COMPACT_COLS
     )
 
 
@@ -349,17 +378,18 @@ def _find_refs(batch: pa.Table) -> pa.Table:
     )
 
 
-def _conv_bounds_rows(batch: pa.Table) -> pa.Table:
-    """Per-row contributions to the per-conversation (max_idx, max_target)
-    aggregate: each turn row yields (conv, turn_idx, -1); each '#N' mention
-    yields (conv, -1, N).  A single algebraic groupby(conv_id) Max over
-    these detects dangling refs with no driver-side data movement."""
+def _conv_bounds_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch PARTIAL (max_idx, max_target) per conversation: each turn
+    row contributes (conv, turn_idx, -1); each '#N' mention (conv, -1, N);
+    then a vectorized Arrow group_by(max) collapses to one row per
+    conversation per batch.  The partials are combined globally by
+    `resolve_references` — the combiner-before-shuffle pattern
+    (ray_guide 'Aggregation at scale')."""
     ref_re = re.compile(S.REF_RE)
     conv_py = batch["conv_id"].to_pylist()
-    idx_py = batch["turn_idx"].to_pylist()
     text_py = batch["text"].to_pylist()
     conv = list(conv_py)
-    idxs = [int(i) for i in idx_py]
+    idxs = batch["turn_idx"].cast(pa.int64()).to_pylist()
     tgts = [-1] * len(conv_py)
     for c, t in zip(conv_py, text_py):
         if t and "#" in t:
@@ -367,13 +397,15 @@ def _conv_bounds_rows(batch: pa.Table) -> pa.Table:
                 conv.append(c)
                 idxs.append(-1)
                 tgts.append(int(m))
-    return pa.table(
+    rows = pa.table(
         {
             "conv_id": pa.array(conv, pa.string()),
             "idx": pa.array(idxs, pa.int64()),
             "tgt": pa.array(tgts, pa.int64()),
         }
     )
+    part = rows.group_by("conv_id").aggregate([("idx", "max"), ("tgt", "max")])
+    return part.rename_columns(["conv_id", "max_idx", "max_tgt"])
 
 
 def resolve_references(transcripts: ray.data.Dataset):
@@ -390,18 +422,28 @@ def resolve_references(transcripts: ray.data.Dataset):
     Returns (dangling_convs: frozenset, dangling_error_rows: list[dict]).
     For sparse/gapped turn_idx use extract_grouped (in-group validation).
     """
-    from ray.data.aggregate import Max
+    partials = transcripts.map_batches(
+        _conv_bounds_partial, batch_format="pyarrow"
+    )
 
-    bounds = transcripts.map_batches(
-        _conv_bounds_rows, batch_format="pyarrow"
-    )
-    agg = bounds.groupby("conv_id").aggregate(
-        Max("idx", alias_name="max_idx"), Max("tgt", alias_name="max_tgt")
-    )
-    bad = agg.map_batches(
-        lambda b: b.filter(pc.greater(b["max_tgt"], b["max_idx"])),
-        batch_format="pyarrow",
-    ).take_all()  # small: dangling conversations are error cases
+    def combine(t: pa.Table) -> pa.Table:
+        # final combine of the per-batch partials (one row per conv per
+        # batch; convs are near-contiguous so ~1 partial each).  A single
+        # vectorized Arrow group_by beats Ray's per-group aggregate by
+        # >10x here; the repartition(1) moves only the partial rows.
+        # At conv counts beyond one task's memory, replace the
+        # repartition(1) with groupby(conv_id) over the partials — the
+        # combiner shape is unchanged.
+        g = t.group_by("conv_id").aggregate(
+            [("max_idx", "max"), ("max_tgt", "max")]
+        ).rename_columns(["conv_id", "max_idx", "max_tgt"])
+        return g.filter(pc.greater(g["max_tgt"], g["max_idx"]))
+
+    bad = (
+        partials.repartition(1)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )  # small: dangling conversations are error cases
     if not bad:
         return frozenset(), []
     dangling = frozenset(r["conv_id"] for r in bad)
@@ -452,12 +494,14 @@ def extract_conversation_group(group: pa.Table) -> pa.Table:
         roles=frozenset(S.ROLES),
         tools=frozenset(S.TOOLS),
         ref_targets=ref_targets,
+        conv_type_idx=min(turn_set),  # sparse layouts may lack turn 0
     )
     # fix nextTurn for sparse turn_idx: arithmetic links were emitted for
     # i-1; replace with true sorted-successor links
     idx = g["turn_idx"].to_pylist()
     cid = g["conv_id"][0].as_py()
-    out = out.filter(pc.invert(pc.equal(out["pred"], S.P_NEXT_TURN)))
+    nt_id = S.PRED_ID[S.P_NEXT_TURN]
+    out = out.filter(pc.invert(pc.equal(out["pred_id"], nt_id)))
     if len(idx) > 1:
         nt = pa.table(
             {
@@ -466,12 +510,11 @@ def extract_conversation_group(group: pa.Table) -> pa.Table:
                     [f"inst:turn/{cid}/{idx[k]}" for k in range(len(idx) - 1)],
                     pa.string(),
                 ),
-                "pred": pa.array([S.P_NEXT_TURN] * (len(idx) - 1), pa.string()),
+                "pred_id": pa.array([nt_id] * (len(idx) - 1), pa.int8()),
                 "obj": pa.array(
                     [f"inst:turn/{cid}/{idx[k + 1]}" for k in range(len(idx) - 1)],
                     pa.string(),
                 ),
-                "obj_kind": pa.array(["uri"] * (len(idx) - 1), pa.string()),
             }
         )
         out = pa.concat_tables([out, nt])
@@ -519,12 +562,21 @@ def distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
     mask is an EXACT global distinct with exactly one shuffle — and the
     output is already sorted by the leading column, so the final
     sort-by-subject materialization comes for free.  Upstream stages
-    pre-dedup per batch so the shuffle moves mostly-unique rows."""
-    sorted_ds = ds.select_columns(cols).sort(cols)
+    pre-dedup per batch so the shuffle moves mostly-unique rows.
+
+    Refinement: the DISTRIBUTED sort keys only on cols[0] (cheap single
+    short-string compares in the exchange); each block then FULLY sorts
+    on all cols locally (Arrow C++ sort of an in-memory block) before the
+    adjacency mask.  Exact because two equal rows share cols[0], hence
+    land in the same range partition."""
+    sorted_ds = ds.select_columns(cols).sort(cols[0])
 
     def dedup_sorted(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        if n <= 1:
+        if n == 0:
+            return t
+        t = t.sort_by([(c, "ascending") for c in cols])
+        if n == 1:
             return t
         keep = np.ones(n, dtype=bool)
         same = np.ones(n - 1, dtype=bool)
@@ -548,17 +600,20 @@ def extract_fast(transcripts: ray.data.Dataset) -> ray.data.Dataset:
     """map_batches-only extraction (no shuffle before the final distinct).
 
     Requires dense 0-based turn_idx per conversation (nextTurn emitted
-    arithmetically); '#N' refs validated via the distributed aggregate."""
+    arithmetically); '#N' refs validated via the distributed aggregate.
+
+    Stateless tasks (not an actor pool): the per-batch state is two
+    compiled regexes + a broadcast set, cached per worker process — task
+    pools reuse warm workers and scale elastically with the cluster."""
     dangling, _ = resolve_references(transcripts)
     d_ref = ray.put(dangling)
     triples = transcripts.map_batches(
-        ExtractTriples,
-        fn_constructor_kwargs={"dangling_ref": d_ref},
+        extract_triples_fn,
+        fn_kwargs={"dangling_ref": d_ref},
         batch_format="pyarrow",
-        batch_size=16384,
-        concurrency=(1, 8),
+        batch_size=8192,
     )
-    return distinct(triples, TRIPLE_COLS)
+    return decode_triples(distinct(triples, COMPACT_COLS))
 
 
 def extract_grouped(transcripts: ray.data.Dataset) -> ray.data.Dataset:
@@ -567,16 +622,14 @@ def extract_grouped(transcripts: ray.data.Dataset) -> ray.data.Dataset:
     triples = transcripts.groupby("conv_id").map_groups(
         extract_conversation_group, batch_format="pyarrow"
     )
-    return distinct(triples, TRIPLE_COLS)
+    return decode_triples(distinct(triples, COMPACT_COLS))
 
 
 def extract_errors(transcripts: ray.data.Dataset) -> ray.data.Dataset:
     """Errors side-output (fast path): vocab violations via map_batches +
     dangling refs from the distributed aggregate."""
     _, dangling_errs = resolve_references(transcripts)
-    errs = transcripts.map_batches(
-        ExtractErrors, batch_format="pyarrow", concurrency=(1, 4)
-    )
+    errs = transcripts.map_batches(ExtractErrors(), batch_format="pyarrow")
     if dangling_errs:
         extra = pa.table(
             {

@@ -1,0 +1,140 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as `binary` columns with a sidecar
+metadata struct (media_type, width/height or sample_rate, codec).  The
+decode/feature kernels themselves are STUBBED — the image/audio libraries
+are not in this container — behind `_decode_image` / `_decode_audio`,
+which raise NotImplementedError unless `deterministic_fake=True`, where a
+seeded, content-derived fake is produced instead.  Everything Ray-side is
+real and tested: schema, actor-pool stage shape, batch sizing for large
+binary rows, and output layout.
+
+Scale notes: binary rows are large, so these stages use SMALL batch
+sizes (default 64) and actor pools sized so batch x concurrency fits the
+worker heap; blocks of binary columns should flow with
+batch_format="pyarrow" (pandas would copy to object dtype).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("item_id", pa.int64()),
+        ("media_type", pa.string()),   # "image" | "audio"
+        ("payload", pa.binary()),
+        ("meta", pa.string()),         # JSON sidecar (codec, dims, ...)
+    ]
+)
+
+EMBED_DIM = 16
+
+
+def _decode_image(payload: bytes, deterministic_fake: bool) -> np.ndarray:
+    """-> HxWx3 uint8.  STUB: no image codec libs in this container."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image decode requires an image codec library (not installed); "
+            "run with deterministic_fake=True for plumbing tests"
+        )
+    h = hashlib.md5(payload).digest()
+    rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
+    return rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+
+def _decode_audio(payload: bytes, deterministic_fake: bool) -> np.ndarray:
+    """-> float32 mono samples.  STUB: no audio codec libs installed."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "audio decode requires an audio codec library (not installed); "
+            "run with deterministic_fake=True for plumbing tests"
+        )
+    h = hashlib.md5(payload).digest()
+    rng = np.random.RandomState(int.from_bytes(h[4:8], "big"))
+    return rng.standard_normal(128).astype(np.float32)
+
+
+class MediaFeaturizer:
+    """Actor-pool stage: decode -> fixed-dim feature vector.  One actor
+    holds the (stub) decoder; batches stay Arrow end to end."""
+
+    def __init__(self, deterministic_fake: bool = False):
+        self.fake = deterministic_fake
+
+    def _features(self, media_type: str, payload: bytes) -> np.ndarray:
+        if media_type == "image":
+            img = _decode_image(payload, self.fake).astype(np.float64)
+            v = img.mean(axis=(0, 1))  # per-channel means
+            out = np.zeros(EMBED_DIM)
+            out[: len(v)] = v
+            return out
+        if media_type == "audio":
+            sig = _decode_audio(payload, self.fake).astype(np.float64)
+            spec = np.abs(np.fft.rfft(sig))[:EMBED_DIM]
+            out = np.zeros(EMBED_DIM)
+            out[: len(spec)] = spec
+            return out
+        raise ValueError(f"unknown media_type {media_type!r}")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [
+            self._features(m, p)
+            for m, p in zip(
+                batch["media_type"].to_pylist(), batch["payload"].to_pylist()
+            )
+        ]
+        return pa.table(
+            {
+                "item_id": batch["item_id"],
+                "media_type": batch["media_type"],
+                "payload_bytes": pa.array(
+                    [len(p) for p in batch["payload"].to_pylist()], pa.int64()
+                ),
+                "features": pa.array(
+                    [f.tolist() for f in feats], pa.list_(pa.float64(), EMBED_DIM)
+                ),
+            }
+        )
+
+
+def featurize_media(
+    media: ray.data.Dataset,
+    deterministic_fake: bool = False,
+    batch_size: int = 64,
+    concurrency=(1, 4),
+) -> ray.data.Dataset:
+    """media Dataset (MEDIA_SCHEMA) -> features Dataset.  Small batches:
+    binary payloads are large; batch x concurrency must fit worker heap."""
+    return media.map_batches(
+        MediaFeaturizer,
+        fn_constructor_kwargs={"deterministic_fake": deterministic_fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def synthetic_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic opaque payloads for plumbing tests (NOT real media)."""
+    rng = np.random.RandomState(seed)
+    items, types, payloads, metas = [], [], [], []
+    for i in range(n):
+        kind = "image" if i % 2 == 0 else "audio"
+        size = int(rng.randint(200, 2000))
+        items.append(i)
+        types.append(kind)
+        payloads.append(rng.bytes(size))
+        metas.append('{"codec": "fake", "bytes": %d}' % size)
+    return pa.table(
+        {
+            "item_id": pa.array(items, pa.int64()),
+            "media_type": pa.array(types, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(metas, pa.string()),
+        }
+    )

@@ -135,7 +135,7 @@ class LshBucketer:
 
 
 def knn_lsh(
-    sf_dir: str, k: int = DEFAULT_K, nq: int = DEFAULT_NQ, nprobe_bits: int = 1
+    sf_dir: str, k: int = DEFAULT_K, nq: int = DEFAULT_NQ, nprobe_bits: int = 2
 ) -> ray.data.Dataset:
     """Approximate top-k: score only vectors whose hyperplane sign-code is
     within `nprobe_bits` Hamming distance of the query's code.  Bucketing
@@ -148,12 +148,17 @@ def knn_lsh(
     planes = _hyperplanes(dim)
     q_codes = ((qmat @ planes.T) > 0) @ (1 << np.arange(NBITS))
     # probe set: all codes within hamming distance nprobe_bits of any query
+    from itertools import combinations
+
     probe: set[int] = set()
     for c in q_codes.astype(int):
         probe.add(c)
-        if nprobe_bits >= 1:
-            for b in range(NBITS):
-                probe.add(c ^ (1 << b))
+        for d in range(1, nprobe_bits + 1):
+            for bits in combinations(range(NBITS), d):
+                flip = 0
+                for b in bits:
+                    flip |= 1 << b
+                probe.add(c ^ flip)
     probe_arr = pa.array(sorted(probe), pa.int64())
 
     planes_ref = ray.put(planes)

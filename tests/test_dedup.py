@@ -1,0 +1,77 @@
+"""Dedup operators: MinHash estimates vs exact Jaccard (pure-Python
+oracle), SimHash locality, exact-dedup first-seen semantics."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from ifctordf_ray.stages import dedup
+
+
+def test_minhash_estimates_jaccard():
+    mh = dedup.MinHasher()
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "the quick brown fox jumps over the lazy cat again and again"
+    c = "completely different words entirely unrelated content here now"
+    sa, sb, sc = mh.signature(a), mh.signature(b), mh.signature(c)
+    ja = len(dedup.shingles(a) & dedup.shingles(b)) / len(
+        dedup.shingles(a) | dedup.shingles(b)
+    )
+    est = float(np.mean(sa == sb))
+    assert abs(est - ja) < 0.25  # 64 perms -> ~1/sqrt(64) error
+    assert float(np.mean(sa == sc)) < 0.2
+    # determinism across instances (seeded spec, never Python hash())
+    assert np.array_equal(sa, dedup.MinHasher().signature(a))
+
+
+def test_simhash_locality():
+    sh = dedup.SimHasher()
+    a = sh.simhash("the quick brown fox jumps over the lazy dog " * 5)
+    b = sh.simhash("the quick brown fox jumps over the lazy cat " * 5)
+    c = sh.simhash("entirely unrelated totally different text body " * 5)
+    ham_ab = bin(a ^ b).count("1")
+    ham_ac = bin(a ^ c).count("1")
+    assert ham_ab < ham_ac
+
+
+def _docs_ds(tmp_path, texts):
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["t"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(tmp_path / "docs")
+
+
+def test_lsh_pipeline_finds_planted_near_dups(tmp_path):
+    base = "spark group query row data slow small filter customer line batch value " * 3
+    texts = [f"unique document number {i} with its own words {i * 7} " * 4 for i in range(20)]
+    texts += [base, base + " tiny change"]  # planted near-dup pair: ids 20, 21
+    sf = _docs_ds(tmp_path, texts)
+    pairs = dedup.near_dup_pairs_minhash(sf, threshold=0.5).take_all()
+    assert any(p["doc_a"] == 20 and p["doc_b"] == 21 for p in pairs)
+    verified = dedup.verified_near_dups(sf, threshold=0.5).take_all()
+    got = {(p["doc_a"], p["doc_b"]): p["jaccard"] for p in verified}
+    assert (20, 21) in got
+    sa, sb = dedup.shingles(texts[20]), dedup.shingles(texts[21])
+    assert got[(20, 21)] == pytest.approx(len(sa & sb) / len(sa | sb))
+
+
+def test_exact_duplicates_first_seen(tmp_path):
+    texts = ["same  TEXT here", "same text HERE", "other", "same text here"]
+    sf = _docs_ds(tmp_path, texts)
+    rows = dedup.exact_duplicates(sf).take_all()
+    by_n = {r["n_docs"]: r for r in rows}
+    # whitespace-collapsed lowercase canonical form: docs 0,1,3 are one group
+    assert by_n[3]["keep_doc_id"] == 0  # first-seen (min doc_id) wins
+    assert by_n[1]["keep_doc_id"] == 2
