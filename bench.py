@@ -72,12 +72,11 @@ def _run_benchmarks() -> dict:
     out_dir = f"/tmp/bench_kg_{num_cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)
 
-    # headline: full flagship on the replicated corpus —
-    # derive transcripts, extract, dedup via sorted shuffle, write
+    # headline: full flagship on the replicated corpus, ONE fused stream —
+    # derive+validate transcripts, extract, dedup via sorted shuffle, write
+    n_turns = replicate * transcripts_from_events(sf_dir).count()
     t0 = time.time()
-    tr = transcripts_from_events(sf_dir, replicate=replicate).materialize()
-    n_turns = tr.count()
-    triples = kg.kg_triples(tr, mode="fast")
+    triples = kg.kg_from_events(sf_dir, mode="fast", replicate=replicate)
     manifest = kg.materialize(triples, out_dir)
     n_triples = sum(m["n_triples"] for m in manifest)
     headline = time.time() - t0

@@ -38,16 +38,19 @@ def kg_triples(transcripts: ray.data.Dataset, mode: str = "fast") -> ray.data.Da
     return extract.extract_fast(transcripts)
 
 
-def kg_from_events(sf_dir: str, mode: str = "fast") -> ray.data.Dataset:
-    """Derived-transcript variant.  The derivation (a window function over
-    events) is materialized ONCE: the fast path consumes the transcript
-    set twice (reference-resolution aggregate + extraction) and a lazy
-    dataset would re-execute the derivation per consumer.  For Parquet
-    transcript input do NOT materialize — a column-pruned re-read streams
-    (see run_resumable)."""
-    tr = transcripts_from_events(sf_dir)
+def kg_from_events(
+    sf_dir: str, mode: str = "fast", replicate: int = 1
+) -> ray.data.Dataset:
+    """Derived-transcript variant.  The fast path derives with
+    drop_dangling=True — reference validation happens inside the
+    assembly groupby (a user's conversations are complete in-group), so
+    the whole pipeline is ONE fused stream: derive -> extract ->
+    sorted-dedup -> consume.  No reference-resolution pass, no
+    materialize barrier."""
     if mode == "fast":
-        tr = tr.materialize()
+        tr = transcripts_from_events(sf_dir, replicate=replicate, drop_dangling=True)
+        return extract.extract_fast(tr, prevalidated=True)
+    tr = transcripts_from_events(sf_dir, replicate=replicate)
     return kg_triples(tr, mode=mode)
 
 
@@ -95,10 +98,13 @@ def run(
 ) -> dict:
     """One-shot (non-partitioned) flagship run.  Returns metrics."""
     t0 = time.time()
-    tr = transcripts_from_events(source) if from_events else read_transcripts(source)
-    if mode == "fast":
-        tr = tr.materialize()
-    triples = kg_triples(tr, mode=mode)
+    if from_events:
+        triples = kg_from_events(source, mode=mode)
+    else:
+        tr = read_transcripts(source)
+        if mode == "fast":
+            tr = tr.materialize()  # two consumers: resolve pass + extraction
+        triples = kg_triples(tr, mode=mode)
     manifest = materialize(triples, out_dir, parquet=parquet)
     n = sum(m["n_triples"] for m in manifest)
     return {

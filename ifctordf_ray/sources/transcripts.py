@@ -68,13 +68,22 @@ def read_transcripts(path: str | list[str], **kwargs) -> ray.data.Dataset:
     return ray.data.read_parquet(path, columns=cols, **kwargs)
 
 
-def _events_group_to_turns(group: pa.Table, replicate: int = 1) -> pa.Table:
+def _events_group_to_turns(
+    group: pa.Table, replicate: int = 1, drop_dangling: bool = False
+) -> pa.Table:
     """One user's events -> transcript rows.  Vectorized within the group.
 
     replicate>1 emits k deterministic copies with disjoint conv-id spaces
     ('r<k>-' prefix) — used by the benchmark to scale the corpus without
     external data; replica 0 keeps unprefixed ids (identical to
-    replicate=1)."""
+    replicate=1).
+
+    drop_dangling=True performs the per-conversation dangling-'#N'
+    validation (reference ERROR 6/7 abort, J1) RIGHT HERE: a user's
+    conversations are complete within the group, so validity is in-group
+    decidable and the downstream pipeline needs no separate
+    reference-resolution pass or materialize barrier — the whole
+    flagship becomes one fused streaming pipeline."""
     g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
     n = g.num_rows
     user_id = g["user_id"][0].as_py()
@@ -91,33 +100,59 @@ def _events_group_to_turns(group: pa.Table, replicate: int = 1) -> pa.Table:
         else p
         for p, e, t in zip(props, etype, turn_idx.tolist())
     ]
+    keep = None
+    if drop_dangling:
+        import re as _re
+
+        ref_re = _re.compile(r"#(\d+)")
+        n_convs = int(conv_seq[-1]) + 1 if n else 0
+        conv_len = np.minimum(
+            n - np.arange(n_convs) * TURNS_PER_CONV, TURNS_PER_CONV
+        )
+        bad = np.zeros(n_convs, dtype=bool)
+        for i, t in enumerate(text):
+            if t and "#" in t:
+                c = conv_seq[i]
+                for m in ref_re.findall(t):
+                    if int(m) >= conv_len[c]:
+                        bad[c] = True
+                        break
+        keep = ~bad[conv_seq]
+
     tables = []
     for k in range(replicate):
         prefix = "" if k == 0 else f"r{k}-"
         conv_id = np.array(
             [f"{prefix}c{user_id}-{s}" for s in conv_seq], dtype=object
         )
-        tables.append(
-            pa.table(
-                {
-                    "conv_id": pa.array(conv_id, type=pa.string()),
-                    "turn_idx": pa.array(turn_idx, type=pa.int32()),
-                    "role": pa.array(role, type=pa.string()),
-                    "text": pa.array(text, type=pa.string()),
-                    "tool": pa.array(tool, type=pa.string()),
-                    "ts": g["ts"].cast(pa.timestamp("us")),
-                }
-            )
+        t = pa.table(
+            {
+                "conv_id": pa.array(conv_id, type=pa.string()),
+                "turn_idx": pa.array(turn_idx, type=pa.int32()),
+                "role": pa.array(role, type=pa.string()),
+                "text": pa.array(text, type=pa.string()),
+                "tool": pa.array(tool, type=pa.string()),
+                "ts": g["ts"].cast(pa.timestamp("us")),
+            }
         )
+        if keep is not None:
+            t = t.filter(pa.array(keep))
+        tables.append(t)
     return pa.concat_tables(tables)
 
 
-def transcripts_from_events(sf_dir: str, replicate: int = 1) -> ray.data.Dataset:
+def transcripts_from_events(
+    sf_dir: str, replicate: int = 1, drop_dangling: bool = False
+) -> ray.data.Dataset:
     """events.parquet -> deterministic transcript Dataset.
 
     Shuffle: one groupby(user_id) (hash exchange); everything inside the
     group is a vectorized sort + arithmetic.  user_id cardinality scales
     with the data (sf0.1: 1500 users) so groups stay small and balanced.
+
+    drop_dangling=True additionally drops conversations with dangling
+    '#N' refs in-group (see _events_group_to_turns) — the fused-assembly
+    fast path used by the flagship pipeline.
     """
     import functools
 
@@ -125,11 +160,12 @@ def transcripts_from_events(sf_dir: str, replicate: int = 1) -> ray.data.Dataset
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "props"],
     )
-    fn = (
-        _events_group_to_turns
-        if replicate == 1
-        else functools.partial(_events_group_to_turns, replicate=replicate)
-    )
+    if replicate == 1 and not drop_dangling:
+        fn = _events_group_to_turns
+    else:
+        fn = functools.partial(
+            _events_group_to_turns, replicate=replicate, drop_dangling=drop_dangling
+        )
     return ev.groupby("user_id").map_groups(fn, batch_format="pyarrow")
 
 

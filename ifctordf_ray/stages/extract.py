@@ -596,7 +596,9 @@ def distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
     )
 
 
-def extract_fast(transcripts: ray.data.Dataset) -> ray.data.Dataset:
+def extract_fast(
+    transcripts: ray.data.Dataset, prevalidated: bool = False
+) -> ray.data.Dataset:
     """map_batches-only extraction (no shuffle before the final distinct).
 
     Requires dense 0-based turn_idx per conversation (nextTurn emitted
@@ -604,12 +606,20 @@ def extract_fast(transcripts: ray.data.Dataset) -> ray.data.Dataset:
 
     Stateless tasks (not an actor pool): the per-batch state is two
     compiled regexes + a broadcast set, cached per worker process — task
-    pools reuse warm workers and scale elastically with the cluster."""
-    dangling, _ = resolve_references(transcripts)
-    d_ref = ray.put(dangling)
+    pools reuse warm workers and scale elastically with the cluster.
+
+    prevalidated=True asserts dangling conversations were already dropped
+    upstream (e.g. transcripts_from_events(drop_dangling=True), where
+    validation is in-group decidable) — the reference-resolution pass and
+    its barrier are skipped and the pipeline is fully streaming."""
+    if prevalidated:
+        fn_kwargs = {}
+    else:
+        dangling, _ = resolve_references(transcripts)
+        fn_kwargs = {"dangling_ref": ray.put(dangling)}
     triples = transcripts.map_batches(
         extract_triples_fn,
-        fn_kwargs={"dangling_ref": d_ref},
+        fn_kwargs=fn_kwargs,
         batch_format="pyarrow",
         batch_size=8192,
     )
