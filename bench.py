@@ -82,6 +82,19 @@ def _run_benchmarks() -> dict:
     headline = time.time() - t0
     queries["kg_construct"] = round(headline, 3)
 
+    # compute-bound sub-pipeline (derive + extract, no sorted exchange):
+    # isolates software scaling from the single-box memory-bandwidth
+    # ceiling that the full sorted-dedup shuffle hits (see BASELINE.md)
+    t0 = time.time()
+    from ifctordf_ray.stages.extract import extract_triples_fn
+
+    transcripts_from_events(
+        sf_dir, replicate=replicate, drop_dangling=True
+    ).map_batches(
+        extract_triples_fn, batch_format="pyarrow", batch_size=8192
+    ).count()
+    queries["kg_extract_only"] = round(time.time() - t0, 3)
+
     if not os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
         # secondary pipelines at replicate=1 (operator-level timings)
         t0 = time.time()
@@ -149,6 +162,11 @@ def _scaling() -> None:
             results = {lo: r_lo, hi: r_hi}
     t_lo, t_hi = results[lo]["value"], results[hi]["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    x_lo = results[lo]["queries"].get("kg_extract_only")
+    x_hi = results[hi]["queries"].get("kg_extract_only")
+    compute_eff = (
+        round((x_lo / x_hi) / (hi / lo), 3) if x_lo and x_hi else None
+    )
     print(
         json.dumps(
             {
@@ -159,6 +177,7 @@ def _scaling() -> None:
                 f"triples_per_sec_{lo}": results[lo]["triples_per_sec"],
                 f"triples_per_sec_{hi}": results[hi]["triples_per_sec"],
                 "scaling_efficiency": round(eff, 3),
+                "compute_scaling_efficiency": compute_eff,
                 "n_triples": results[hi]["n_triples"],
                 "n_turns": results[hi]["n_turns"],
             }

@@ -635,6 +635,130 @@ def extract_grouped(transcripts: ray.data.Dataset) -> ray.data.Dataset:
     return decode_triples(distinct(triples, COMPACT_COLS))
 
 
+# --------------------------------------------------------------------------
+# salted-key skew path (north-rule: "skewed conversation lengths via
+# explicit repartitioning and salted keys"; SURVEY.md §7.3 "very wide
+# records")
+# --------------------------------------------------------------------------
+def _salt_batch(batch: pa.Table, chunk_size: int) -> pa.Table:
+    """Add salt = turn_idx // chunk_size: a 10^5-turn conversation becomes
+    many bounded (conv_id, salt) groups instead of one giant group."""
+    salt = pc.cast(
+        pc.floor(pc.divide(pc.cast(batch["turn_idx"], pa.float64()), chunk_size)),
+        pa.int32(),
+    )
+    return batch.append_column("salt", salt)
+
+
+def _extract_chunk_group(group: pa.Table) -> pa.Table:
+    """One (conv_id, salt) chunk -> its triples.  Like the grouped path but
+    per chunk: nextTurn links only WITHIN the chunk; cross-chunk stitch
+    edges and the conversation rdf:type come from the follow-up stage.
+    Dangling validation is NOT possible per chunk — the salted path
+    requires prevalidated input (dense turn_idx, refs resolved upstream),
+    which the assembly derivation guarantees."""
+    g = group.drop_columns(["salt"]).sort_by("turn_idx")
+    idx = g["turn_idx"].to_pylist()
+    out = extract_batch_triples(
+        g,
+        num_re=re.compile(S.NUM_RE),
+        ref_re=re.compile(S.REF_RE),
+        roles=frozenset(S.ROLES),
+        tools=frozenset(S.TOOLS),
+        ref_targets=None,
+        # conv type only from the true first turn (idx 0); other chunks
+        # emit none (mask matches nothing)
+        conv_type_idx=0,
+    )
+    # replace arithmetic nextTurn links with in-chunk sorted-successor
+    # links (identical for dense idx; boundary links added by stitching)
+    nt_id = S.PRED_ID[S.P_NEXT_TURN]
+    out = out.filter(pc.invert(pc.equal(out["pred_id"], nt_id)))
+    cid = g["conv_id"][0].as_py()
+    if len(idx) > 1:
+        nt = pa.table(
+            {
+                "conv_id": pa.array([cid] * (len(idx) - 1), pa.string()),
+                "subj": pa.array(
+                    [f"inst:turn/{cid}/{idx[k]}" for k in range(len(idx) - 1)],
+                    pa.string(),
+                ),
+                "pred_id": pa.array([nt_id] * (len(idx) - 1), pa.int8()),
+                "obj": pa.array(
+                    [f"inst:turn/{cid}/{idx[k + 1]}" for k in range(len(idx) - 1)],
+                    pa.string(),
+                ),
+            }
+        )
+        out = pa.concat_tables([out, nt])
+    return out
+
+
+def extract_salted(
+    transcripts: ray.data.Dataset, chunk_size: int = 1024
+) -> ray.data.Dataset:
+    """Skew-proof grouped extraction: pre-split giant conversations with a
+    salted key (conv_id, turn_idx // chunk_size), extract each bounded
+    chunk independently, then stitch the cross-chunk nextTurn edges with a
+    small per-chunk boundary aggregate (min/max turn_idx per (conv, salt)
+    -> one edge per adjacent chunk pair).
+
+    Output is identical to extract_grouped for dense prevalidated input
+    (asserted by tests/test_skew.py).  The boundary table has one row per
+    chunk — ~rows/chunk_size — collected small to the driver; at extreme
+    scale, stitch via a groupby(conv_id) over the boundary table instead.
+    """
+    salted = transcripts.map_batches(
+        _salt_batch, fn_kwargs={"chunk_size": chunk_size}, batch_format="pyarrow"
+    )
+    triples = salted.groupby(["conv_id", "salt"]).map_groups(
+        _extract_chunk_group, batch_format="pyarrow"
+    )
+
+    # boundary stitch: per (conv, salt) min/max turn_idx, vectorized partials
+    def bounds(b: pa.Table) -> pa.Table:
+        t = b.select(["conv_id", "salt", "turn_idx"])
+        g = t.group_by(["conv_id", "salt"]).aggregate(
+            [("turn_idx", "min"), ("turn_idx", "max")]
+        )
+        return g.rename_columns(["conv_id", "salt", "lo", "hi"])
+
+    bt = (
+        salted.map_batches(bounds, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(
+            lambda t: t.group_by(["conv_id", "salt"]).aggregate(
+                [("lo", "min"), ("hi", "max")]
+            ).rename_columns(["conv_id", "salt", "lo", "hi"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .take_all()
+    )
+    by_conv: dict[str, list] = {}
+    for r in bt:
+        by_conv.setdefault(r["conv_id"], []).append((r["salt"], r["lo"], r["hi"]))
+    nt_id = S.PRED_ID[S.P_NEXT_TURN]
+    conv_l, subj_l, obj_l = [], [], []
+    for cid, chunks in by_conv.items():
+        chunks.sort()
+        for (s0, lo0, hi0), (s1, lo1, hi1) in zip(chunks, chunks[1:]):
+            conv_l.append(cid)
+            subj_l.append(f"inst:turn/{cid}/{hi0}")
+            obj_l.append(f"inst:turn/{cid}/{lo1}")
+    if conv_l:
+        stitch = pa.table(
+            {
+                "conv_id": pa.array(conv_l, pa.string()),
+                "subj": pa.array(subj_l, pa.string()),
+                "pred_id": pa.array([nt_id] * len(conv_l), pa.int8()),
+                "obj": pa.array(obj_l, pa.string()),
+            }
+        )
+        triples = triples.union(ray.data.from_arrow(stitch))
+    return decode_triples(distinct(triples, COMPACT_COLS))
+
+
 def extract_errors(transcripts: ray.data.Dataset) -> ray.data.Dataset:
     """Errors side-output (fast path): vocab violations via map_batches +
     dangling refs from the distributed aggregate."""
