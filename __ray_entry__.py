@@ -125,6 +125,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_orders": _rel("top_orders"),
         "rel_events_daily_window": _rel("events_daily_window"),
         "rel_sessionize": _rel("sessionize"),
+        "rel_orders_without_lineitem": _rel("orders_without_lineitem"),
+        "rel_top_orders_per_customer": _rel("top_orders_per_customer"),
+        "rel_active_entity_keys": _rel("active_entity_keys"),
         # --- text analysis ---
         "doc_token_counts": _stage("textstats", "token_counts"),
         "doc_quality_scores": _stage("textstats", "quality_scores"),
@@ -166,6 +169,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_top_orders": R.top_orders_sql(),
         "rel_events_daily_window": R.events_daily_window_sql(),
         "rel_sessionize": R.sessionize_sql(),
+        "rel_orders_without_lineitem": R.orders_without_lineitem_sql(),
+        "rel_top_orders_per_customer": R.top_orders_per_customer_sql(),
+        "rel_active_entity_keys": R.active_entity_keys_sql(),
         "doc_token_counts": T.token_counts_sql(),
         "doc_quality_scores": T.quality_scores_sql(),
         "doc_lang_id": T.lang_id_sql(),

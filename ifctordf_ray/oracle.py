@@ -44,7 +44,7 @@ def extract_reference(rows: list[dict]) -> tuple[set[Triple], list[dict]]:
             if r["role"] not in S.ROLES:
                 errors.append(
                     {"conv_id": cid, "turn_idx": i, "code": S.E_BAD_ROLE,
-                     "detail": str(r["role"])}
+                     "detail": "" if r["role"] is None else str(r["role"])}
                 )
             if r.get("tool") is not None and r["tool"] not in S.TOOLS:
                 errors.append(

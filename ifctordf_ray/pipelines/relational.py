@@ -348,3 +348,131 @@ def sessionize_sql() -> str:
            count(*) AS n_events
     FROM sessions GROUP BY user_id, session_seq
     """
+
+
+# ---------------------------------------------------------------------------
+# Broadcast anti join (semi/anti pattern: broadcast the key set, filter)
+# ---------------------------------------------------------------------------
+def orders_without_lineitem(sf_dir: str) -> ray.data.Dataset:
+    """Orders with no lineitem rows: ANTI join via a broadcast key set
+    (ray_guide 'Semi / anti join').  The key set is distinct l_orderkey —
+    small relative to the fact table; for key sets beyond broadcast size,
+    swap in a Bloom filter or Dataset.join(left_anti)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    keys = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    )["l_orderkey"].to_numpy()
+    key_arr = pa.array(np.unique(keys))
+    keys_ref = ray.put(key_arr)
+
+    class AntiJoin:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pc.invert(pc.is_in(t["o_orderkey"], self.keys))
+            return t.filter(mask).select(["o_orderkey", "o_orderstatus"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    )
+    return orders.map_batches(AntiJoin, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def orders_without_lineitem_sql() -> str:
+    return """
+    SELECT o_orderkey, o_orderstatus FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Per-group top-k (windowed rank)
+# ---------------------------------------------------------------------------
+TOPK_PER_CUST = 3
+
+
+def _top_orders_group(g: pa.Table) -> pa.Table:
+    import numpy as np
+
+    g = g.sort_by([("price_cents", "descending"), ("o_orderkey", "ascending")])
+    out = g.slice(0, TOPK_PER_CUST)
+    return out.append_column(
+        "rank", pa.array(np.arange(1, out.num_rows + 1), pa.int64())
+    )
+
+
+def top_orders_per_customer(sf_dir: str) -> ray.data.Dataset:
+    """Top-3 orders per customer: groupby(key).map_groups with in-group
+    sort — the windowed-rank pattern (row_number() OVER PARTITION BY)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "price_cents": _cents(t["o_totalprice"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("o_custkey").map_groups(
+        _top_orders_group, batch_format="pyarrow"
+    )
+
+
+def top_orders_per_customer_sql() -> str:
+    return f"""
+    SELECT o_custkey, o_orderkey, price_cents, rank FROM (
+        SELECT o_custkey, o_orderkey,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) DESC,
+                            o_orderkey ASC) AS rank
+        FROM orders
+    ) WHERE rank <= {TOPK_PER_CUST}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Union + global distinct (set operation)
+# ---------------------------------------------------------------------------
+def active_entity_keys(sf_dir: str) -> ray.data.Dataset:
+    """Distinct union of two key streams (customers with orders, suppliers
+    with stock): Dataset.union -> sorted-dedup distinct (the engine's D2
+    primitive on relational data)."""
+    from ifctordf_ray.stages.extract import distinct
+
+    a = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"kind": pa.nulls(t.num_rows, pa.string()).fill_null("cust"),
+             "key": t["o_custkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+    b = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"kind": pa.nulls(t.num_rows, pa.string()).fill_null("supp"),
+             "key": t["s_suppkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return distinct(a.union(b), ["kind", "key"])
+
+
+def active_entity_keys_sql() -> str:
+    return """
+    SELECT DISTINCT kind, key FROM (
+        SELECT 'cust' AS kind, o_custkey AS key FROM orders
+        UNION ALL
+        SELECT 'supp', s_suppkey FROM supplier
+    )
+    """

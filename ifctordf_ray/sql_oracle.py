@@ -110,8 +110,9 @@ refs AS (
     FROM transcripts t, UNNEST(regexp_extract_all(t.text, '{S.REF_RE}', 1)) AS u(m)
 )
 SELECT conv_id, turn_idx, code, detail FROM (
-    SELECT conv_id, turn_idx, '{S.E_BAD_ROLE}' AS code, role AS detail
-    FROM transcripts WHERE role NOT IN ({_roles_in()})
+    SELECT conv_id, turn_idx, '{S.E_BAD_ROLE}' AS code,
+           coalesce(role, '') AS detail
+    FROM transcripts WHERE role IS NULL OR role NOT IN ({_roles_in()})
     UNION ALL
     SELECT conv_id, turn_idx, '{S.E_BAD_TOOL}', tool
     FROM transcripts WHERE tool IS NOT NULL AND tool NOT IN ({_tools_in()})

@@ -340,7 +340,8 @@ class ExtractErrors:
         for i in range(batch.num_rows):
             if roles[i] not in self.roles:
                 conv.append(conv_py[i]); idx.append(idx_py[i])
-                code.append(S.E_BAD_ROLE); detail.append(str(roles[i]))
+                code.append(S.E_BAD_ROLE)
+                detail.append("" if roles[i] is None else str(roles[i]))
             if tools[i] is not None and tools[i] not in self.tools:
                 conv.append(conv_py[i]); idx.append(idx_py[i])
                 code.append(S.E_BAD_TOOL); detail.append(str(tools[i]))

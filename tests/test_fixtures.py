@@ -179,3 +179,32 @@ def test_f19_skew_giant_conversation():
     got, _ = run_both(rows)
     chain = [t for t in got if t[1] == S.P_NEXT_TURN and t[0].startswith("inst:turn/giant")]
     assert len(chain) == n - 1
+
+
+def test_null_role_and_text():
+    import pyarrow as pa
+    import datetime as dt
+
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["c", "c"], pa.string()),
+            "turn_idx": pa.array([0, 1], pa.int32()),
+            "role": pa.array([None, "user"], pa.string()),
+            "text": pa.array([None, "ok"], pa.string()),
+            "tool": pa.array([None, None], pa.string()),
+            "ts": pa.array([dt.datetime(2024, 1, 1)] * 2, pa.timestamp("us")),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["obj_kind"])
+        for r in extract.extract_grouped(ds).take_all()
+    }
+    exp, errs = oracle.extract_reference(tbl.to_pylist())
+    assert got == exp
+    # null role -> error row with empty detail, turn still emitted
+    assert any(e["code"] == S.E_BAD_ROLE and e["detail"] == "" for e in errs)
+    assert ("inst:turn/c/0", S.RDF_TYPE, S.CLS_TURN, "uri") in got
+    assert not any(p == S.P_HAS_ROLE and s.endswith("/0") for s, p, _, _ in got)
+    # null text behaves as empty string (wrapper for "")
+    assert (S.text_wrapper_iri(""), S.P_HAS_STRING, "^^xsd:string", "literal") in got
