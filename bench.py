@@ -56,6 +56,16 @@ def _run_benchmarks() -> dict:
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
+    # memory-bandwidth-aware execution cap (see ifctordf_ray/tuning.py):
+    # beyond ~12 concurrent tasks the sorted exchange thrashes this box's
+    # shared memory bus (measured 99.8 s uncapped vs 38.8 s capped at 32
+    # session CPUs).  Only applied when the session exceeds the cap.
+    from ifctordf_ray import tuning
+
+    cap = int(os.environ.get("GRAFT_EXEC_CPU_CAP", "12"))
+    if num_cpus > cap:
+        tuning.apply_exec_cpu_cap(cap)
+
     from ifctordf_ray.pipelines import kg
     from ifctordf_ray.sources.transcripts import transcripts_from_events
     from ifctordf_ray.stages.canonicalize import canonicalize_mentions
