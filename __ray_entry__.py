@@ -141,6 +141,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "emb_knn_brute_force": _stage("similarity", "knn_brute_force"),
         "emb_knn_lsh": _stage("similarity", "knn_lsh"),
+        "emb_near_dup_pairs": _stage("similarity", "near_dup_pairs_cosine"),
+        # --- multimodal plumbing (stubbed decode; rows-only) ---
+        "mm_media_features": _stage("multimodal", "media_features"),
     }
 
 
@@ -178,6 +181,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": T.fingerprints_sql(),
         "doc_exact_duplicates": D.exact_duplicates_sql(),
         "emb_knn_brute_force": SIM.knn_brute_force_sql(),
+        "emb_near_dup_pairs": SIM.near_dup_pairs_cosine_sql(),
         # doc_minhash_near_dups / doc_simhash / doc_verified_near_dups /
         # emb_knn_lsh: not SQL-expressible (md5-derived minhash & simhash
         # bit math, LSH probing) -> rows-only checks; unit-tested against

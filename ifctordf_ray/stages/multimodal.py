@@ -138,3 +138,43 @@ def synthetic_media_table(n: int, seed: int = 42) -> pa.Table:
             "meta": pa.array(metas, pa.string()),
         }
     )
+
+
+def media_from_documents(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic opaque media table DERIVED from the real documents
+    table (payload = utf-8 bytes of text; media_type alternates by
+    doc_id) — exercises the full binary-column plumbing against real
+    driver-generated data with no external inputs."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def to_media(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        doc_id = t["doc_id"]
+        texts = [s or "" for s in t["text"].to_pylist()]
+        kind = pc.if_else(
+            pc.equal(pc.bit_wise_and(doc_id, 1), 0),
+            pa.scalar("image"),
+            pa.scalar("audio"),
+        )
+        return pa.table(
+            {
+                "item_id": doc_id,
+                "media_type": kind.cast(pa.string()),
+                "payload": pa.array([s.encode("utf-8") for s in texts], pa.binary()),
+                "meta": pa.array(
+                    ['{"codec": "fake"}'] * len(texts), pa.string()
+                ),
+            }
+        )
+
+    return ds.map_batches(to_media, batch_format="pyarrow")
+
+
+def media_features(sf_dir: str) -> ray.data.Dataset:
+    """queries() entry: decode-stub featurization over the derived media
+    table (rows-only check: the fake decode is outside SQL's reach, but
+    determinism is asserted by tests)."""
+    return featurize_media(media_from_documents(sf_dir), deterministic_fake=True)

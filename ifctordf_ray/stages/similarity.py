@@ -189,3 +189,83 @@ def knn_lsh(
     return scored.groupby("query_id").map_groups(
         lambda g: _topk_per_query(g, k), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs
+# ---------------------------------------------------------------------------
+NEAR_DUP_THRESHOLD = 0.45
+
+
+class PairScorer:
+    """Actor-pool stage: the full (normalized, float64) corpus matrix is
+    broadcast once; each batch computes its block of the similarity matrix
+    and emits pairs (a < b) above threshold.  O(n^2/batches) brute force —
+    the exact baseline; the LSH-bucketed variant (knn_lsh's bucketer)
+    bounds candidates at scale."""
+
+    def __init__(self, corpus_ref, threshold):
+        ids, mat = ray.get(corpus_ref)
+        self.ids = ids
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        self.mat = mat / norms
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_ids = batch["vec_id"].to_numpy()
+        embs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(embs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = np.round((embs / norms) @ self.mat.T, ROUND_DP)
+        rows_a, rows_b, out_sim = [], [], []
+        for i, a in enumerate(vec_ids):
+            hits = np.where(sims[i] >= self.threshold)[0]
+            for j in hits:
+                b = self.ids[j]
+                if a < b:  # each unordered pair once, no self-pairs
+                    rows_a.append(int(a))
+                    rows_b.append(int(b))
+                    out_sim.append(float(sims[i, j]))
+        return pa.table(
+            {
+                "vec_a": pa.array(rows_a, pa.int64()),
+                "vec_b": pa.array(rows_b, pa.int64()),
+                "sim": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+
+def near_dup_pairs_cosine(
+    sf_dir: str, threshold: float = NEAR_DUP_THRESHOLD
+) -> ray.data.Dataset:
+    """All embedding pairs with cosine similarity >= threshold."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    corpus_ref = ray.put((ids, mat))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ds.map_batches(
+        PairScorer,
+        fn_constructor_kwargs={"corpus_ref": corpus_ref, "threshold": threshold},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 8),
+    )
+
+
+def near_dup_pairs_cosine_sql(threshold: float = NEAR_DUP_THRESHOLD) -> str:
+    return f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(
+               CAST(a.embedding AS DOUBLE[]),
+               CAST(b.embedding AS DOUBLE[])), {ROUND_DP}) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(
+        CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), {ROUND_DP})
+        >= {threshold}
+    """

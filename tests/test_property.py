@@ -1,0 +1,97 @@
+"""Property-based test (hypothesis): for arbitrary small transcript
+tables, the vectorized batch extractor agrees EXACTLY with the
+pure-Python oracle — no Ray involved, so hundreds of examples run fast.
+The reference has no property tests (SURVEY.md §5.1); this guards the
+tokenizer/mention edge cases its 19 goldens cannot enumerate."""
+
+import datetime as dt
+import re
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ifctordf_ray import oracle
+from ifctordf_ray import schema as S
+from ifctordf_ray.stages import extract
+
+ALPHABET = "ab9 #01'\"\\\n(),.Ü→"
+
+texts = st.text(alphabet=ALPHABET, min_size=0, max_size=16)
+roles = st.sampled_from(list(S.ROLES) + ["bad", "usre", ""])
+tools = st.sampled_from(list(S.TOOLS) + [None, None, "xtool"])
+
+
+@st.composite
+def transcript_rows(draw):
+    rows = []
+    n_convs = draw(st.integers(1, 3))
+    for c in range(n_convs):
+        n_turns = draw(st.integers(1, 5))
+        for i in range(n_turns):  # dense 0-based (fast-path contract)
+            rows.append(
+                {
+                    "conv_id": f"c{c}",
+                    "turn_idx": i,
+                    "role": draw(roles),
+                    "text": draw(texts),
+                    "tool": draw(tools),
+                    "ts": dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+                }
+            )
+    return rows
+
+
+def pure_fast_path(rows):
+    """The fast path's semantics without Ray: drop dangling convs, one
+    extract_batch_triples call, global set-dedup, decode."""
+    ref_re = re.compile(S.REF_RE)
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    live = []
+    for cid, turns in by_conv.items():
+        idx_set = {t["turn_idx"] for t in turns}
+        ok = all(
+            int(m) in idx_set
+            for t in turns
+            for m in ref_re.findall(t["text"] or "")
+        )
+        if ok:
+            live.extend(turns)
+    if not live:
+        return set()
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([r["conv_id"] for r in live], pa.string()),
+            "turn_idx": pa.array([r["turn_idx"] for r in live], pa.int32()),
+            "role": pa.array([r["role"] for r in live], pa.string()),
+            "text": pa.array([r["text"] for r in live], pa.string()),
+            "tool": pa.array([r["tool"] for r in live], pa.string()),
+            "ts": pa.array([r["ts"] for r in live], pa.timestamp("us")),
+        }
+    )
+    out = extract.extract_batch_triples(
+        tbl,
+        num_re=re.compile(S.NUM_RE),
+        ref_re=ref_re,
+        roles=frozenset(S.ROLES),
+        tools=frozenset(S.TOOLS),
+        ref_targets=None,
+    )
+    return {
+        (s, S.PRED_NAMES[p], o, S.PRED_KINDS[p])
+        for s, p, o in zip(
+            out["subj"].to_pylist(),
+            out["pred_id"].to_pylist(),
+            out["obj"].to_pylist(),
+        )
+    }
+
+
+@settings(max_examples=300, deadline=None)
+@given(transcript_rows())
+def test_batch_extractor_matches_oracle(rows):
+    got = pure_fast_path(rows)
+    exp, _ = oracle.extract_reference(rows)
+    assert got == exp, (sorted(got - exp)[:4], sorted(exp - got)[:4])
