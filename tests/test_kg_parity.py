@@ -98,3 +98,10 @@ def test_per_turn_text_equality(corpus):
         assert lex == (r["text"] or "") + "^^xsd:string"
         checked += 1
     assert checked > 500
+
+
+def test_grouped_segmented_equals_mapgroups(corpus):
+    """The segmented (sort + per-block) grouped implementation must equal
+    the per-conversation map_groups reference implementation."""
+    tr, _, exp, _ = corpus
+    assert tset(extract.extract_grouped_mapgroups(tr)) == exp
