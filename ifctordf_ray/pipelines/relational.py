@@ -476,3 +476,43 @@ def active_entity_keys_sql() -> str:
         SELECT 'supp', s_suppkey FROM supplier
     )
     """
+
+
+# ---------------------------------------------------------------------------
+# Ordered running aggregate (cumulative window frame)
+# ---------------------------------------------------------------------------
+def _running_total_group(g: pa.Table) -> pa.Table:
+    import numpy as np
+
+    g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    cents = _cents(g["value"]).to_numpy()
+    return pa.table(
+        {
+            "user_id": g["user_id"],
+            "event_id": g["event_id"],
+            "running_cents": pa.array(np.cumsum(cents), pa.int64()),
+        }
+    )
+
+
+def user_running_totals(sf_dir: str) -> ray.data.Dataset:
+    """Per-user cumulative spend in event order — the ordered-state /
+    running-window pattern (sum() OVER ... ROWS UNBOUNDED PRECEDING):
+    groupby(key) + in-group sort + vectorized cumsum.  Exact integer
+    arithmetic -> hash-level parity with the SQL window frame."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return ds.groupby("user_id").map_groups(
+        _running_total_group, batch_format="pyarrow"
+    )
+
+
+def user_running_totals_sql() -> str:
+    return """
+    SELECT user_id, event_id,
+           sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS running_cents
+    FROM events
+    """
