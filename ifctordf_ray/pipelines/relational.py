@@ -78,9 +78,9 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
 def pricing_summary_sql() -> str:
     return """
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-           sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sum_base_cents,
-           sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS sum_disc_cents,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
            count(*) AS count_order,
            CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty
     FROM lineitem
@@ -160,7 +160,7 @@ def nation_revenue(sf_dir: str) -> ray.data.Dataset:
 def nation_revenue_sql() -> str:
     return """
     SELECT n.n_name, count(*) AS n_orders,
-           sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS revenue_cents
+           CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -201,7 +201,7 @@ def order_lineitem_join(sf_dir: str) -> ray.data.Dataset:
 def order_lineitem_join_sql() -> str:
     return """
     SELECT o.o_orderpriority, count(*) AS n_lines,
-           sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS revenue_cents
+           CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
     """
@@ -261,7 +261,7 @@ def events_daily_window(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return (
+    agg = (
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby(["user_id", "event_type", "day"])
         .aggregate(
@@ -272,12 +272,24 @@ def events_daily_window(sf_dir: str) -> ray.data.Dataset:
         )
     )
 
+    # Ray's sort-based groupby can round-trip the timestamp key through a
+    # coarser physical precision; pin the output dtype to the oracle's
+    # (DuckDB date_trunc -> timestamp[us]) so value hashes are bit-stable.
+    def pin_day(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("day"),
+            "day",
+            pc.cast(t["day"], pa.timestamp("us")),
+        )
+
+    return agg.map_batches(pin_day, batch_format="pyarrow")
+
 
 def events_daily_window_sql() -> str:
     return """
     SELECT user_id, event_type, date_trunc('day', ts) AS day,
            count(*) AS n_events,
-           sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS sum_value_cents,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
            min(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS min_value_cents,
            max(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS max_value_cents
     FROM events
@@ -511,8 +523,8 @@ def user_running_totals(sf_dir: str) -> ray.data.Dataset:
 def user_running_totals_sql() -> str:
     return """
     SELECT user_id, event_id,
-           sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER (
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS running_cents
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
     FROM events
     """

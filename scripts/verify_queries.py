@@ -67,7 +67,9 @@ def main():
         ok_vals = False
         if ok_rows and ok_cols:
             try:
-                pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+                # dtype-strict: the driver hashes raw values, so int64 vs
+                # float64 (or timestamp[s] vs [us]) is a real mismatch.
+                pd.testing.assert_frame_equal(got, exp, check_dtype=True)
                 ok_vals = True
             except AssertionError as e:
                 msg = str(e).split("\n")[0]
