@@ -143,8 +143,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_brute_force": _stage("similarity", "knn_brute_force"),
         "emb_knn_lsh": _stage("similarity", "knn_lsh"),
         "emb_near_dup_pairs": _stage("similarity", "near_dup_pairs_cosine"),
-        # --- multimodal plumbing (stubbed decode; rows-only) ---
+        # --- multimodal plumbing ---
         "mm_media_features": _stage("multimodal", "media_features"),
+        "mm_media_stats": _stage("multimodal", "media_stats"),
     }
 
 
@@ -153,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
     from ifctordf_ray.pipelines import relational as R
     from ifctordf_ray.stages import dedup as D
     from ifctordf_ray.stages import link as L
+    from ifctordf_ray.stages import multimodal as MM
     from ifctordf_ray.stages import similarity as SIM
     from ifctordf_ray.stages import textstats as T
     from ifctordf_ray.stages import turndedup as TD
@@ -182,10 +184,16 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": T.lang_id_sql(),
         "doc_fingerprints": T.fingerprints_sql(),
         "doc_exact_duplicates": D.exact_duplicates_sql(),
+        # md5-derived hash spec == DuckDB md5_number_upper, so the full
+        # minhash/LSH/simhash pipelines have exact SQL replicas:
+        "doc_minhash_near_dups": D.near_dup_pairs_minhash_sql(),
+        "doc_simhash": D.simhash_fingerprints_sql(),
+        "doc_verified_near_dups": D.verified_near_dups_sql(),
         "emb_knn_brute_force": SIM.knn_brute_force_sql(),
+        "emb_knn_lsh": SIM.knn_lsh_sql(),
         "emb_near_dup_pairs": SIM.near_dup_pairs_cosine_sql(),
-        # doc_minhash_near_dups / doc_simhash / doc_verified_near_dups /
-        # emb_knn_lsh: not SQL-expressible (md5-derived minhash & simhash
-        # bit math, LSH probing) -> rows-only checks; unit-tested against
-        # pure-Python oracles in tests/test_dedup.py & test_similarity.py.
+        "mm_media_stats": MM.media_stats_sql(),
+        # mm_media_features: the decode stub's feature math (seeded RNG
+        # image fake + FFT) is outside SQL's reach -> rows-only check;
+        # determinism is pinned by tests/test_multimodal.py.
     }

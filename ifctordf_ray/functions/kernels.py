@@ -53,8 +53,11 @@ def md5_hex(values: list[str]) -> list[str]:
 
 def stable_hash64(s: str) -> int:
     """md5-derived 64-bit hash — deterministic across processes and nodes
-    (the engine NEVER uses Python hash(), which is salted per process)."""
-    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+    (the engine NEVER uses Python hash(), which is salted per process).
+    Spec: little-endian uint64 of the FIRST 8 md5 bytes == DuckDB's
+    md5_number_upper(s), so every hash-derived operator (minhash, simhash,
+    LSH band hashes) has an exact SQL oracle."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
 
 
 def cents(arr) -> pa.Array:

@@ -12,7 +12,18 @@ training-data pipeline this becomes:
   similarity.  All hashes are md5-derived (deterministic across
   processes/nodes — never Python hash()).
 - SimHash: 64-bit fingerprint, near-dup = small Hamming distance.
-- n-gram Jaccard verify: exact similarity for candidate pairs.
+- n-gram Jaccard verify: exact similarity for candidate pairs, via a
+  distributed hash join of the pair stream against the per-doc shingle
+  dataset (nothing corpus-sized ever lands on the driver).
+
+Hash spec (shared with the DuckDB oracles, so every operator here is
+driver-checkable):
+- stable_hash64(s) = little-endian uint64 of the FIRST 8 md5 bytes —
+  exactly DuckDB's `md5_number_upper(s)`.
+- minhash permutation h -> (a*h + b) mod p with p = 2^31 - 1 and
+  a, b, h < p: the product stays below 2^62, so the arithmetic is exact
+  in uint64 numpy AND in DuckDB BIGINT (no silent mod-2^64 wraparound —
+  a larger prime would overflow numpy's uint64 multiply).
 
 Scale notes: the LSH explode emits B rows/doc; the bucket groupby is the
 only shuffle; bucket sizes are capped (MAX_BUCKET) to bound pair blowup
@@ -36,7 +47,7 @@ NUM_PERM = 64           # minhash permutations
 NUM_BANDS = 16          # LSH bands (4 rows/band)
 ROWS_PER_BAND = NUM_PERM // NUM_BANDS
 MAX_BUCKET = 50         # skew guard: max docs per LSH bucket expanded to pairs
-_MERSENNE = (1 << 61) - 1
+_P31 = (1 << 31) - 1    # Mersenne-31: a*h < 2^62 fits uint64 exactly
 
 
 from ifctordf_ray.functions.kernels import stable_hash64 as _stable_hash64  # noqa: E402
@@ -44,8 +55,8 @@ from ifctordf_ray.functions.kernels import stable_hash64 as _stable_hash64  # no
 
 def _perm_params(num_perm: int = NUM_PERM) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(42)  # fixed seed: signatures are part of the spec
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    a = rng.randint(1, _P31, size=num_perm).astype(np.uint64)
+    b = rng.randint(0, _P31, size=num_perm).astype(np.uint64)
     return a, b
 
 
@@ -67,10 +78,13 @@ class MinHasher:
     def signature(self, text: str) -> np.ndarray:
         sh = shingles(text)
         if not sh:
-            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
-        h = np.array([_stable_hash64(s) for s in sh], dtype=np.uint64)
-        # (a*h + b) mod p, all permutations x all shingles, min over shingles
-        vals = (h[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+            # sentinel above every real value (< p): empty docs collide
+            # only with other empty docs
+            return np.full(self.num_perm, _P31, dtype=np.uint64)
+        h = np.array([_stable_hash64(s) % _P31 for s in sh], dtype=np.uint64)
+        # (a*h + b) mod p, all permutations x all shingles, min over
+        # shingles; exact: a, h < 2^31 so a*h + b < 2^62 < 2^64
+        vals = (h[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_P31)
         return vals.min(axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -83,9 +97,24 @@ class MinHasher:
         )
 
 
+_WORKER_STATE: dict = {}
+
+
+def _minhash_fn(batch: pa.Table) -> pa.Table:
+    """Stateless-task form of MinHasher: perm params cached per worker
+    process (cheap state -> task pool, not actor pool: tasks release
+    their CPU between batches, so they coexist with join aggregator
+    pools on small sessions; see stages/extract._compiled)."""
+    mh = _WORKER_STATE.get("mh")
+    if mh is None:
+        mh = MinHasher()
+        _WORKER_STATE["mh"] = mh
+    return mh(batch)
+
+
 def minhash_signatures(sf_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(_minhash_fn, batch_format="pyarrow")
 
 
 def _explode_bands(batch: pa.Table) -> pa.Table:
@@ -169,24 +198,116 @@ def near_dup_pairs_minhash(
     )
 
 
+# ---------------------------------------------------------------------------
+# SQL oracle building blocks (exact DuckDB replicas of the hash spec)
+# ---------------------------------------------------------------------------
+def _shingle_cte() -> str:
+    """CTEs: documents -> distinct word-3-gram shingles per doc (sh) and
+    their mod-p hashes (hv).  Mirrors shingles()/stable_hash64 exactly."""
+    return f"""wl AS (
+    SELECT doc_id,
+           regexp_extract_all(lower(coalesce(text, '')), '{WORD_RE}') AS ws
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               CASE WHEN len(ws) >= {SHINGLE_K}
+                    THEN list_transform(range(len(ws) - {SHINGLE_K - 1}),
+                         i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+                    WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+                    ELSE [] END AS shl
+        FROM wl
+    ), UNNEST(shl) AS u(shingle)
+),
+hv AS (
+    SELECT doc_id, CAST(md5_number_upper(shingle) % {_P31} AS BIGINT) AS h
+    FROM sh
+)"""
+
+
+def _sig_cte() -> str:
+    """CTE `sig`: per (doc_id, pid) minhash value, sentinel p for docs
+    with no shingles (same as MinHasher.signature)."""
+    a, b = _perm_params()
+    perm_rows = ",".join(
+        f"({i},{int(a[i])},{int(b[i])})" for i in range(NUM_PERM)
+    )
+    return f"""perm(pid, a, b) AS (VALUES {perm_rows}),
+sigp AS (
+    SELECT doc_id, pid, min((a * h + b) % {_P31}) AS v
+    FROM hv CROSS JOIN perm GROUP BY doc_id, pid
+),
+sig AS (
+    SELECT d.doc_id, p.pid, coalesce(s.v, {_P31}) AS v
+    FROM (SELECT doc_id FROM documents) d
+    CROSS JOIN perm p
+    LEFT JOIN sigp s ON s.doc_id = d.doc_id AND s.pid = p.pid
+)"""
+
+
+def _candidates_cte() -> str:
+    """CTEs band/cand/est: banded LSH candidate pairs + signature-estimated
+    Jaccard (replicates _explode_bands/_bucket_pairs, ignoring the
+    MAX_BUCKET skew cap — valid while no bucket exceeds it)."""
+    return f"""band AS (
+    SELECT doc_id, pid // {ROWS_PER_BAND} AS band_id,
+           md5_number_upper(
+               CAST(pid // {ROWS_PER_BAND} AS VARCHAR) || ':' ||
+               string_agg(CAST(v AS VARCHAR), ',' ORDER BY pid)) AS band_hash
+    FROM sig GROUP BY doc_id, pid // {ROWS_PER_BAND}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band a JOIN band b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+),
+est AS (
+    SELECT c.doc_a, c.doc_b,
+           sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / {float(NUM_PERM)} AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b AND sb.pid = sa.pid
+    GROUP BY c.doc_a, c.doc_b
+)"""
+
+
+def near_dup_pairs_minhash_sql(threshold: float = 0.5) -> str:
+    return f"""WITH {_shingle_cte()},
+{_sig_cte()},
+{_candidates_cte()}
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}"""
+
+
 class SimHasher:
     """64-bit SimHash over word hashes; near-dups have small Hamming
-    distance.  Deterministic md5-derived word hashes."""
+    distance.  Deterministic md5-derived word hashes; the per-word md5 is
+    cached across the actor's lifetime and the bit tally is one
+    vectorized matmul-free reduction per doc."""
 
     def __init__(self):
         self.word_re = re.compile(WORD_RE)
+        self._cache: dict[str, int] = {}
+        self._bit_idx = np.arange(64, dtype=np.uint64)
 
     def simhash(self, text: str) -> int:
-        counts = np.zeros(64, dtype=np.int64)
-        for w in self.word_re.findall((text or "").lower()):
-            h = _stable_hash64(w)
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            counts += np.where(bits.astype(bool), 1, -1)
-        out = 0
-        for i in range(64):
-            if counts[i] > 0:
-                out |= 1 << i
-        return out
+        words = self.word_re.findall((text or "").lower())
+        if not words:
+            return 0
+        cache = self._cache
+        hs = np.empty(len(words), dtype=np.uint64)
+        for i, w in enumerate(words):
+            h = cache.get(w)
+            if h is None:
+                h = _stable_hash64(w)
+                cache[w] = h
+            hs[i] = h
+        # (n_words, 64) sign matrix in one shot, then column tally
+        bits = (hs[:, None] >> self._bit_idx[None, :]) & np.uint64(1)
+        counts = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        sel = np.nonzero(counts > 0)[0]
+        return int(np.sum(np.uint64(1) << sel.astype(np.uint64)))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         hs = [self.simhash(t) for t in batch["text"].to_pylist()]
@@ -198,55 +319,147 @@ class SimHasher:
         )
 
 
+def _simhash_fn(batch: pa.Table) -> pa.Table:
+    sh = _WORKER_STATE.get("sh")
+    if sh is None:
+        sh = SimHasher()
+        _WORKER_STATE["sh"] = sh
+    return sh(batch)
+
+
 def simhash_fingerprints(sf_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(_simhash_fn, batch_format="pyarrow")
 
 
-class JaccardVerifier:
-    """Exact n-gram Jaccard for candidate pairs.  The docs' shingle sets
-    are broadcast via ray.put (small side); at larger scale this becomes
-    a hash join of pairs against the shingle dataset (documented)."""
+def simhash_fingerprints_sql() -> str:
+    return f"""WITH w AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(coalesce(text, '')), '{WORD_RE}')) AS word
+    FROM documents
+),
+h AS (SELECT doc_id, md5_number_upper(word) AS hw FROM w),
+bits AS (SELECT unnest(range(64)) AS bit),
+cnt AS (
+    SELECT doc_id, bit,
+           sum(CASE WHEN (hw >> CAST(bit AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS c
+    FROM h CROSS JOIN bits GROUP BY doc_id, bit
+),
+simh AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN c > 0
+                         THEN CAST(1 AS UBIGINT) << CAST(bit AS INTEGER)
+                         ELSE 0 END) AS UBIGINT) AS simhash
+    FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS UBIGINT) AS simhash
+FROM documents d LEFT JOIN simh s USING (doc_id)"""
 
-    def __init__(self, docs_ref):
-        import ray
 
-        texts = ray.get(docs_ref)
-        self.sh = {d: shingles(t) for d, t in texts.items()}
+# ---------------------------------------------------------------------------
+# exact Jaccard verify: distributed hash join against the shingle dataset
+# ---------------------------------------------------------------------------
+SHINGLE_SEP = "\x1f"  # unit separator: can't appear in [a-z0-9 ] shingles
+
+
+class ShingleSets:
+    """map_batches stage: one (doc_id, sh: string) row per doc — the
+    doc's distinct word-shingle set, sorted and SHINGLE_SEP-joined into a
+    single string (Arrow's hash join doesn't carry list<> payload
+    columns, and a flat binary column shuffles cheaper anyway)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        a = batch["doc_a"].to_pylist()
-        b = batch["doc_b"].to_pylist()
-        jac = []
-        for x, y in zip(a, b):
-            sa, sb = self.sh.get(x, set()), self.sh.get(y, set())
-            u = len(sa | sb)
-            jac.append(len(sa & sb) / u if u else 0.0)
-        return batch.append_column("jaccard", pa.array(jac, pa.float64()))
+        sets = [SHINGLE_SEP.join(sorted(shingles(t))) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "sh": pa.array(sets, pa.string()),
+            }
+        )
 
 
-def verified_near_dups(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
-    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify."""
-    import pyarrow.parquet as pq
-    import ray
+def verified_near_dups(
+    sf_dir: str, threshold: float = 0.5, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Full near-dup pipeline: LSH candidates -> exact n-gram Jaccard.
 
+    The candidate pair stream is hash-joined (Dataset.join) against the
+    per-doc shingle dataset twice (doc_a side, doc_b side); the corpus is
+    never collected to the driver or broadcast whole — at 100x data both
+    joins stay partitioned exchanges proportional to the candidate count.
+    """
+    from ifctordf_ray.tuning import join_kwargs
+
+    jk = join_kwargs(num_partitions)
     cand = near_dup_pairs_minhash(sf_dir, threshold=0.0)
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    docs_ref = ray.put(dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())))
-    verified = cand.map_batches(
-        JaccardVerifier,
-        fn_constructor_kwargs={"docs_ref": docs_ref},
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    sh = docs.map_batches(ShingleSets(), batch_format="pyarrow")
+
+    sh_a = sh.map_batches(
+        lambda t: pa.table({"da": t["doc_id"], "sh_a": t["sh"]}),
         batch_format="pyarrow",
-        concurrency=(1, 4),
+    )
+    sh_b = sh.map_batches(
+        lambda t: pa.table({"db": t["doc_id"], "sh_b": t["sh"]}),
+        batch_format="pyarrow",
+    )
+    j1 = cand.join(
+        sh_a, join_type="inner", on=("doc_a",), right_on=("da",), **jk,
+    )
+    j2 = j1.join(
+        sh_b, join_type="inner", on=("doc_b",), right_on=("db",), **jk,
     )
     thresh = threshold
 
-    def flt(t: pa.Table) -> pa.Table:
+    def verify(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return t.filter(pc.greater_equal(t["jaccard"], thresh))
+        jac = []
+        for la, lb in zip(t["sh_a"].to_pylist(), t["sh_b"].to_pylist()):
+            sa = set(la.split(SHINGLE_SEP)) if la else set()
+            sb = set(lb.split(SHINGLE_SEP)) if lb else set()
+            u = len(sa | sb)
+            jac.append(len(sa & sb) / u if u else 0.0)
+        out = pa.table(
+            {
+                "doc_a": t["doc_a"],
+                "doc_b": t["doc_b"],
+                "est_jaccard": t["est_jaccard"],
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["jaccard"], thresh))
 
-    return verified.map_batches(flt, batch_format="pyarrow")
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
+def verified_near_dups_sql(threshold: float = 0.5) -> str:
+    return f"""WITH {_shingle_cte()},
+{_sig_cte()},
+{_candidates_cte()},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS ninter
+    FROM cand c
+    JOIN sh s1 ON s1.doc_id = c.doc_a
+    JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+    GROUP BY c.doc_a, c.doc_b
+),
+jac AS (
+    SELECT e.doc_a, e.doc_b, e.est_jaccard,
+           CASE WHEN coalesce(na.n, 0) + coalesce(nb.n, 0) - coalesce(i.ninter, 0) = 0
+                THEN 0.0
+                ELSE coalesce(i.ninter, 0) * 1.0 /
+                     (coalesce(na.n, 0) + coalesce(nb.n, 0) - coalesce(i.ninter, 0))
+           END AS jaccard
+    FROM est e
+    LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+    LEFT JOIN sizes na ON na.doc_id = e.doc_a
+    LEFT JOIN sizes nb ON nb.doc_id = e.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard, jaccard FROM jac WHERE jaccard >= {threshold}"""
 
 
 # ---------------------------------------------------------------------------

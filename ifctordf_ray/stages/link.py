@@ -6,12 +6,13 @@ links every mention occurrence to its canonical id + first-seen
 provenance — the reference's analog is every literal site reusing the
 memoized wrapper Resource (RDFWriter.java:807-819).
 
-Physical shape: the canonical table is the SMALL side (one row per
-distinct surface form), so the link is a broadcast join — the canonical
-dict is ray.put once and loaded per actor in __init__ (L1 pattern); the
-big mention stream is mapped without any shuffle.  For a canonical table
-too big to broadcast, swap in Dataset.join on surface_key (documented
-fallback; same output contract).
+Physical shape: a distributed hash join on surface_key.  The canonical
+table is one row per DISTINCT surface form — with an unbounded surface
+domain (NUM_RE matches any digit string) it grows with the corpus, so a
+driver-side take_all + broadcast dict would OOM the driver at scale.
+Dataset.join hash-partitions both sides on surface_key; the mention
+stream is flattened by a narrow map first so the join moves (occurrence,
+key) rows, never raw text.
 """
 
 from __future__ import annotations
@@ -19,23 +20,21 @@ from __future__ import annotations
 import re
 
 import pyarrow as pa
-import ray
 import ray.data
 
 from ifctordf_ray import schema as S
 from ifctordf_ray.stages.canonicalize import canonicalize_mentions
 
 
-class MentionLinker:
-    """Actor-pool stage: canonical dict loaded once per actor; per batch,
-    flatten mention occurrences and attach canonical_id/first_seen."""
+class MentionOccurrences:
+    """map_batches stage: flatten each turn's numeric mentions to one
+    (conv_id, turn_idx, surface_key) row per occurrence."""
 
-    def __init__(self, canon_ref):
+    def __init__(self):
         self.num_re = re.compile(S.NUM_RE)
-        self.canon = ray.get(canon_ref)  # surface_key -> (canonical_id, first_seen)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        conv, idx, key, cid, fs = [], [], [], [], []
+        conv, idx, key = [], [], []
         for c, i, t in zip(
             batch["conv_id"].to_pylist(),
             batch["turn_idx"].to_pylist(),
@@ -44,37 +43,58 @@ class MentionLinker:
             if not t:
                 continue
             for m in self.num_re.findall(t):
-                canonical_id, first_seen = self.canon[m]
                 conv.append(c)
                 idx.append(i)
                 key.append(m)
-                cid.append(canonical_id)
-                fs.append(first_seen)
         return pa.table(
             {
                 "conv_id": pa.array(conv, pa.string()),
                 "turn_idx": pa.array(idx, pa.int32()),
                 "surface_key": pa.array(key, pa.string()),
-                "canonical_id": pa.array(cid, pa.string()),
-                "first_seen": pa.array(fs, pa.string()),
             }
         )
 
 
-def link_mentions(transcripts: ray.data.Dataset) -> ray.data.Dataset:
-    """mention occurrences + canonical ids.  Two consumers of
-    `transcripts`; callers pass a materialized/cheaply-recomputable set."""
-    canon_rows = canonicalize_mentions(transcripts).take_all()  # small side
-    canon = {
-        r["surface_key"]: (r["canonical_id"], r["first_seen"]) for r in canon_rows
-    }
-    canon_ref = ray.put(canon)
-    return transcripts.map_batches(
-        MentionLinker,
-        fn_constructor_kwargs={"canon_ref": canon_ref},
+def link_mentions(
+    transcripts: ray.data.Dataset, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """mention occurrences + canonical ids, via a hash join on
+    surface_key (both sides distributed; nothing on the driver).
+
+    `num_partitions` sizes the join exchange (default: cluster CPUs via
+    tuning.default_join_partitions; at multi-node scale pass ~2-4x
+    aggregate cores so each aggregator's hash table stays in heap).
+    """
+    from ifctordf_ray.tuning import join_kwargs
+
+    jk = join_kwargs(num_partitions)
+    canon = canonicalize_mentions(transcripts).map_batches(
+        lambda t: t.select(["surface_key", "canonical_id", "first_seen"]),
         batch_format="pyarrow",
-        concurrency=(1, 4),
     )
+    occ = transcripts.map_batches(
+        MentionOccurrences, batch_format="pyarrow", concurrency=(1, 8)
+    )
+    joined = occ.join(
+        canon,
+        join_type="inner",
+        on=("surface_key",),
+        **jk,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # pin column order + dtypes (join output order is not guaranteed)
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"].cast(pa.int32()),
+                "surface_key": t["surface_key"],
+                "canonical_id": t["canonical_id"],
+                "first_seen": t["first_seen"],
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 def link_mentions_sql() -> str:

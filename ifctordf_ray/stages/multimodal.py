@@ -178,3 +178,44 @@ def media_features(sf_dir: str) -> ray.data.Dataset:
     table (rows-only check: the fake decode is outside SQL's reach, but
     determinism is asserted by tests)."""
     return featurize_media(media_from_documents(sf_dir), deterministic_fake=True)
+
+
+class MediaStats:
+    """Actor-pool stage over the binary media table: per-item byte count
+    + content digest — the decode-free half of the multimodal plumbing,
+    exactly SQL-replicable (hash-green driver oracle, unlike the stubbed
+    decode path)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ifctordf_ray.functions.kernels import md5_hex
+
+        payloads = batch["payload"].to_pylist()
+        return pa.table(
+            {
+                "item_id": batch["item_id"],
+                "media_type": batch["media_type"],
+                "payload_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+                "payload_md5": pa.array(
+                    [hashlib.md5(p).hexdigest() for p in payloads], pa.string()
+                ),
+            }
+        )
+
+
+def media_stats(sf_dir: str, batch_size: int = 64) -> ray.data.Dataset:
+    """queries() entry: binary-column stats over the derived media table
+    (small batches — binary rows are large)."""
+    return media_from_documents(sf_dir).map_batches(
+        MediaStats, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, 4),
+    )
+
+
+def media_stats_sql() -> str:
+    return """
+    SELECT doc_id AS item_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+           octet_length(encode(coalesce(text, ''))) AS payload_bytes,
+           md5(coalesce(text, '')) AS payload_md5
+    FROM documents
+    """

@@ -24,17 +24,34 @@ import ray.data
 DEFAULT_K = 10
 DEFAULT_NQ = 5  # queries = the NQ lowest vec_ids
 ROUND_DP = 6
+EMB_DIM = 64    # embedding width (TESTDATA.md); SQL oracles embed plane
+                # literals of this width — runtime asserts agreement
 
 
 def _load_queries(sf_dir: str, nq: int) -> tuple[np.ndarray, np.ndarray]:
-    import pyarrow.parquet as pq
+    """Pick the NQ lowest vec_ids + their embeddings WITHOUT collecting
+    the corpus: per-block bottom-k on the narrow id column (tree-reduce),
+    then a filtered fetch of just those nq rows."""
+    import pyarrow.compute as pc
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    order = np.argsort(t["vec_id"].to_numpy())[:nq]
-    ids = t["vec_id"].to_numpy()[order]
-    mat = np.stack(
-        [np.asarray(t["embedding"][int(i)].as_py(), dtype=np.float64) for i in order]
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    partial = ds.map_batches(
+        lambda t: t.sort_by("vec_id").slice(0, nq), batch_format="pyarrow"
     )
+    # nq rows per block -> tiny global sort+limit
+    id_rows = partial.sort("vec_id").limit(nq).take(nq)
+    ids = np.array(sorted(r["vec_id"] for r in id_rows), dtype=np.int64)
+    id_arr = pa.array(ids)
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(t["vec_id"], id_arr)), batch_format="pyarrow"
+    )
+    rows = emb.take_all()  # exactly nq rows
+    rows.sort(key=lambda r: r["vec_id"])
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    assert mat.shape[1] == EMB_DIM, f"embedding dim {mat.shape[1]} != {EMB_DIM}"
     return ids, mat
 
 
@@ -191,71 +208,148 @@ def knn_lsh(
     )
 
 
+def knn_lsh_sql(
+    k: int = DEFAULT_K, nq: int = DEFAULT_NQ, nprobe_bits: int = 2
+) -> str:
+    """Exact DuckDB replica of knn_lsh: the hyperplane matrix is embedded
+    as double literals (repr() round-trips bit-exactly), codes/probe
+    expansion are computed IN SQL from the data, so the oracle string is
+    data-independent.  Sign margins are ~1e-4 vs ~1e-15 cross-engine dot
+    drift (measured), so code agreement is robust."""
+    from itertools import combinations as _comb
+
+    planes = _hyperplanes(EMB_DIM)
+    dot_cols = ",\n           ".join(
+        "list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ",".join(repr(x) for x in planes[i])
+        + f"]) AS d{i}"
+        for i in range(NBITS)
+    )
+    code_expr = " + ".join(
+        f"(CASE WHEN d{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(NBITS)
+    )
+    masks = [0]
+    for d in range(1, nprobe_bits + 1):
+        for bits in _comb(range(NBITS), d):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    mask_rows = ",".join(f"({m})" for m in sorted(masks))
+    return f"""
+    WITH dots AS (
+        SELECT vec_id, embedding,
+           {dot_cols}
+        FROM embeddings
+    ), codes AS (
+        SELECT vec_id, embedding, {code_expr} AS code FROM dots
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qe, code AS qcode
+        FROM codes ORDER BY vec_id LIMIT {nq}
+    ), masks(m) AS (VALUES {mask_rows}),
+    probe AS (SELECT DISTINCT xor(qcode, m) AS pcode FROM q, masks),
+    cands AS (
+        SELECT vec_id, embedding FROM codes
+        WHERE code IN (SELECT pcode FROM probe)
+    ), scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(
+                   CAST(c.embedding AS DOUBLE[]),
+                   CAST(q.qe AS DOUBLE[])), {ROUND_DP}) AS sim
+        FROM cands c, q
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-duplicate pairs
 # ---------------------------------------------------------------------------
 NEAR_DUP_THRESHOLD = 0.45
-
-
-class PairScorer:
-    """Actor-pool stage: the full (normalized, float64) corpus matrix is
-    broadcast once; each batch computes its block of the similarity matrix
-    and emits pairs (a < b) above threshold.  O(n^2/batches) brute force —
-    the exact baseline; the LSH-bucketed variant (knn_lsh's bucketer)
-    bounds candidates at scale."""
-
-    def __init__(self, corpus_ref, threshold):
-        ids, mat = ray.get(corpus_ref)
-        self.ids = ids
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        self.mat = mat / norms
-        self.threshold = threshold
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        vec_ids = batch["vec_id"].to_numpy()
-        embs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
-        norms = np.linalg.norm(embs, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        sims = np.round((embs / norms) @ self.mat.T, ROUND_DP)
-        rows_a, rows_b, out_sim = [], [], []
-        for i, a in enumerate(vec_ids):
-            hits = np.where(sims[i] >= self.threshold)[0]
-            for j in hits:
-                b = self.ids[j]
-                if a < b:  # each unordered pair once, no self-pairs
-                    rows_a.append(int(a))
-                    rows_b.append(int(b))
-                    out_sim.append(float(sims[i, j]))
-        return pa.table(
-            {
-                "vec_a": pa.array(rows_a, pa.int64()),
-                "vec_b": pa.array(rows_b, pa.int64()),
-                "sim": pa.array(out_sim, pa.float64()),
-            }
-        )
+PAIR_CHUNK = 1024  # corpus rows per tile side
 
 
 def near_dup_pairs_cosine(
-    sf_dir: str, threshold: float = NEAR_DUP_THRESHOLD
+    sf_dir: str, threshold: float = NEAR_DUP_THRESHOLD, chunk_size: int = PAIR_CHUNK
 ) -> ray.data.Dataset:
-    """All embedding pairs with cosine similarity >= threshold."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = t["vec_id"].to_numpy()
-    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-    corpus_ref = ray.put((ids, mat))
+    """All embedding pairs with cosine similarity >= threshold — EXACT,
+    via a tiled distributed self-join: the corpus is hashed into C
+    chunks (vec_id % C); each row is replicated to the C tiles it
+    participates in; groupby(tile) computes that tile's block of the
+    similarity matrix.  Each unordered pair lives in exactly one tile, so
+    no dedup pass is needed; no task ever holds more than 2*chunk_size
+    vectors and nothing corpus-sized touches the driver.  Exact all-pairs
+    is inherently O(n^2) compute — the sub-quadratic scale path is LSH
+    candidate generation + verify (see stages.dedup's banded pattern and
+    knn_lsh's bucketer)."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    return ds.map_batches(
-        PairScorer,
-        fn_constructor_kwargs={"corpus_ref": corpus_ref, "threshold": threshold},
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=(1, 8),
-    )
+    n = ds.count()  # parquet metadata only
+    C = max(1, -(-n // chunk_size))
+
+    def to_tiles(t: pa.Table) -> pa.Table:
+        nrows = t.num_rows
+        chunk = (t["vec_id"].to_numpy() % C).astype(np.int64)
+        rep = np.repeat(np.arange(nrows), C)
+        j = np.tile(np.arange(C, dtype=np.int64), nrows)
+        c = chunk[rep]
+        ti = np.minimum(c, j)
+        tj = np.maximum(c, j)
+        out = t.take(pa.array(rep))
+        out = out.append_column("chunk", pa.array(c, pa.int64()))
+        return out.append_column("tile_id", pa.array(ti * C + tj, pa.int64()))
+
+    def tile_pairs(g: pa.Table) -> pa.Table:
+        tile_id = g["tile_id"][0].as_py()
+        ti, tj = tile_id // C, tile_id % C
+        vec_ids = g["vec_id"].to_numpy()
+        chunk = g["chunk"].to_numpy()
+        embs = np.asarray(g["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(embs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        embs = embs / norms
+
+        def emit(ids_a, mat_a, ids_b, mat_b, same):
+            sims = np.round(mat_a @ mat_b.T, ROUND_DP)
+            if same:
+                # upper triangle only: each unordered pair once
+                ii, jj = np.triu_indices(len(ids_a), k=1)
+            else:
+                ii, jj = np.where(sims >= -2.0)  # all cross cells
+                ii, jj = ii.ravel(), jj.ravel()
+            keep = sims[ii, jj] >= threshold
+            ii, jj = ii[keep], jj[keep]
+            a, b = ids_a[ii], ids_b[jj]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            return lo, hi, sims[ii, jj]
+
+        if ti == tj:
+            lo, hi, s = emit(vec_ids, embs, vec_ids, embs, same=True)
+        else:
+            ma = chunk == ti
+            mb = chunk == tj
+            if not ma.any() or not mb.any():
+                lo = hi = np.array([], dtype=np.int64)
+                s = np.array([], dtype=np.float64)
+            else:
+                lo, hi, s = emit(
+                    vec_ids[ma], embs[ma], vec_ids[mb], embs[mb], same=False
+                )
+        return pa.table(
+            {
+                "vec_a": pa.array(lo, pa.int64()),
+                "vec_b": pa.array(hi, pa.int64()),
+                "sim": pa.array(s, pa.float64()),
+            }
+        )
+
+    tiles = ds.map_batches(to_tiles, batch_format="pyarrow")
+    return tiles.groupby("tile_id").map_groups(tile_pairs, batch_format="pyarrow")
 
 
 def near_dup_pairs_cosine_sql(threshold: float = NEAR_DUP_THRESHOLD) -> str:

@@ -20,6 +20,38 @@ from __future__ import annotations
 from ray.data import DataContext
 
 
+def default_join_partitions(cap: int = 64) -> int:
+    """Hash-join/shuffle partition count sized to the cluster: ~1x total
+    CPUs (each partition gets an aggregator actor — more partitions than
+    cores deadlocks tiny sessions and oversubscribes big ones; far fewer
+    under-parallelizes the exchange).  `cap` bounds actor count on very
+    large clusters; at true multi-node scale pass an explicit value
+    (~2-4x aggregate cores) instead."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(2, min(cap, cpus // 2))
+
+
+def join_kwargs(num_partitions: int | None = None) -> dict:
+    """kwargs for Dataset.join sized to the session: partition count from
+    default_join_partitions, and aggregator actors budgeted at ~25% of
+    cluster CPUs PER JOIN.  Without the cap Ray's fallback reserves 1 CPU
+    per partition for the aggregator pool, which starves the upstream map
+    tasks on small sessions (observed deadlock at num_cpus=4, worse with
+    two chained joins whose aggregator pools coexist)."""
+    import ray
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    per_agg = max(0.125, min(1.0, (cpus * 0.25) / num_partitions))
+    return {
+        "num_partitions": num_partitions,
+        "aggregator_ray_remote_args": {"num_cpus": per_agg},
+    }
+
+
 def apply_exec_cpu_cap(max_exec_cpus: int | None) -> None:
     if not max_exec_cpus:
         return
