@@ -44,6 +44,13 @@ def _q_kg_triples_grouped(sf_dir: str):
     return kg.kg_from_events(sf_dir, mode="grouped")
 
 
+def _q_kg_triples_deduped(sf_dir: str):
+    from ifctordf_ray.sources.transcripts import transcripts_from_events
+    from ifctordf_ray.stages.extract import extract_deduped
+
+    return extract_deduped(transcripts_from_events(sf_dir))
+
+
 def _q_kg_errors(sf_dir: str):
     from ifctordf_ray.sources.transcripts import transcripts_from_events
     from ifctordf_ray.stages.extract import extract_errors
@@ -112,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_transcripts": _q_kg_transcripts,
         "kg_triples": _q_kg_triples,
         "kg_triples_grouped": _q_kg_triples_grouped,
+        "kg_triples_deduped": _q_kg_triples_deduped,
         "kg_errors": _q_kg_errors,
         "kg_canonical_mentions": _q_kg_canonical_mentions,
         "kg_predicate_stats": _q_kg_predicate_stats,
@@ -163,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_transcripts": O.kg_transcripts_sql(),
         "kg_triples": O.kg_triples_sql(),
         "kg_triples_grouped": O.kg_triples_sql(),
+        "kg_triples_deduped": O.kg_triples_deduped_sql(),
         "kg_errors": O.kg_errors_sql(),
         "kg_canonical_mentions": O.kg_canonical_mentions_sql(),
         "kg_predicate_stats": O.kg_predicate_stats_sql(),

@@ -161,17 +161,19 @@ def _scaling() -> None:
 
     # PAIRED repeats (lo then hi, back to back) so each efficiency sample
     # sees a comparable interference window — this sandbox shows 1.5-2x
-    # run-to-run noise from host-level contention; report the best pair
-    results = None
-    best_eff = -1.0
+    # run-to-run noise from host-level contention.  Headline = the MEDIAN
+    # pair (unbiased; a best-of-N max would systematically inflate), all
+    # samples reported alongside.
+    samples = []
     for _ in range(repeats):
         r_lo, r_hi = run_once(lo), run_once(hi)
-        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
-        if eff > best_eff:
-            best_eff = eff
-            results = {lo: r_lo, hi: r_hi}
-    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
-    eff = (t_lo / t_hi) / (hi / lo)
+        e = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        samples.append((e, r_lo, r_hi))
+    samples.sort(key=lambda s: s[0])
+    # even count: lower-middle (conservative)
+    eff, med_lo, med_hi = samples[(len(samples) - 1) // 2]
+    results = {lo: med_lo, hi: med_hi}
+    t_lo, t_hi = med_lo["value"], med_hi["value"]
     x_lo = results[lo]["queries"].get("kg_extract_only")
     x_hi = results[hi]["queries"].get("kg_extract_only")
     compute_eff = (
@@ -187,6 +189,7 @@ def _scaling() -> None:
                 f"triples_per_sec_{lo}": results[lo]["triples_per_sec"],
                 f"triples_per_sec_{hi}": results[hi]["triples_per_sec"],
                 "scaling_efficiency": round(eff, 3),
+                "scaling_efficiency_samples": [round(s[0], 3) for s in samples],
                 "compute_scaling_efficiency": compute_eff,
                 "n_triples": results[hi]["n_triples"],
                 "n_turns": results[hi]["n_turns"],

@@ -19,13 +19,20 @@ from ifctordf_ray import schema as S
 Triple = tuple[str, str, str, str]  # subj, pred, obj, obj_kind
 
 
-def extract_reference(rows: list[dict]) -> tuple[set[Triple], list[dict]]:
+def extract_reference(
+    rows: list[dict], dedup: bool = False
+) -> tuple[set[Triple], list[dict]]:
     """rows: dicts with conv_id, turn_idx, role, text, tool, ts (datetime).
     Returns (triple set, error rows).  Conversations with any dangling
     '#N' reference contribute no triples at all (per-conversation abort,
-    the reference's ERROR 6/7 file-abort at conversation granularity)."""
+    the reference's ERROR 6/7 file-abort at conversation granularity).
+
+    dedup=True collapses in-conversation duplicate turns (first-seen by
+    (role, text, tool)) and redirects '#N' refs to dropped turns to their
+    keeper; ref validity is judged against the PRE-dedup turn set."""
     num_re = re.compile(S.NUM_RE)
     ref_re = re.compile(S.REF_RE)
+    dec_re = re.compile(S.DEC_RE)
     convs: dict[str, list[dict]] = defaultdict(list)
     for r in rows:
         convs[r["conv_id"]].append(r)
@@ -61,6 +68,18 @@ def extract_reference(rows: list[dict]) -> tuple[set[Triple], list[dict]]:
                     )
         if dangling:
             continue
+        redirect: dict[int, int] = {}
+        if dedup:
+            seen: dict[tuple, int] = {}
+            kept = []
+            for r in turns:
+                key = (r["role"], r.get("text"), r.get("tool"))
+                if key in seen:
+                    redirect[r["turn_idx"]] = seen[key]
+                else:
+                    seen[key] = r["turn_idx"]
+                    kept.append(r)
+            turns = kept
         conv_triples.add((S.conv_iri(cid), S.RDF_TYPE, S.CLS_CONVERSATION, "uri"))
         for k, r in enumerate(turns):
             i = r["turn_idx"]
@@ -80,6 +99,13 @@ def extract_reference(rows: list[dict]) -> tuple[set[Triple], list[dict]]:
                 conv_triples.add((t_iri, S.P_HAS_ROLE, S.role_iri(r["role"]), "uri"))
             if r.get("tool") is not None and r["tool"] in S.TOOLS:
                 conv_triples.add((t_iri, S.P_USED_TOOL, S.tool_iri(r["tool"]), "uri"))
+            flag = "true" if r.get("tool") is not None else "false"
+            conv_triples.add(
+                (t_iri, S.P_TOOL_FLAG, S.typed_literal(flag, S.XSD_BOOLEAN), "literal")
+            )
+            raw_text = r.get("text")
+            pres = "UNKNOWN" if raw_text is None else ("FALSE" if raw_text == "" else "TRUE")
+            conv_triples.add((t_iri, S.P_TEXT_PRESENCE, S.logical_iri(pres), "uri"))
             w = S.text_wrapper_iri(text)
             conv_triples.add((t_iri, S.P_HAS_TEXT, w, "uri"))
             conv_triples.add(
@@ -95,9 +121,16 @@ def extract_reference(rows: list[dict]) -> tuple[set[Triple], list[dict]]:
                 conv_triples.add(
                     (nw, S.P_HAS_INTEGER, S.typed_literal(m, S.XSD_INTEGER), "literal")
                 )
-            for m in ref_re.findall(text):
+            for m in dec_re.findall(text):
+                dw = S.dec_wrapper_iri(m)
+                conv_triples.add((t_iri, S.P_MENTIONS_DECIMAL, dw, "uri"))
                 conv_triples.add(
-                    (t_iri, S.P_MENTIONS_TURN, S.turn_iri(cid, int(m)), "uri")
+                    (dw, S.P_HAS_DOUBLE, S.typed_literal(m, S.XSD_DOUBLE), "literal")
+                )
+            for m in ref_re.findall(text):
+                tgt = redirect.get(int(m), int(m))
+                conv_triples.add(
+                    (t_iri, S.P_MENTIONS_TURN, S.turn_iri(cid, tgt), "uri")
                 )
         triples |= conv_triples
     return triples, errors

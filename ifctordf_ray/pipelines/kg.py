@@ -130,19 +130,27 @@ def run_resumable(
     span input files in this layout (the writer partitions transcripts by
     conv hash — see tests/test_resume.py) — stated partitioning assumption.
     """
+    import os
+    import shutil
+
     groups = ckpt.plan_partitions(input_files, num_partitions)
     entries = ckpt.load_manifest(out_dir)
     for pid, files in enumerate(groups):
         if pid in entries and entries[pid].status == "done" and ckpt.partition_done(out_dir, pid):
             continue
         t0 = time.time()
+        part_dir = f"{out_dir}/part={pid}"
+        # An unfinished partition may hold part files from an interrupted
+        # attempt; sort block splits are not reproducible across runs, so
+        # stale content-addressed files would survive alongside the new
+        # ones and double-count.  Clear the directory before reprocessing.
+        if os.path.exists(part_dir):
+            shutil.rmtree(part_dir)
         tr = read_transcripts(files)
         n_rows = tr.count()
         triples = kg_triples(tr, mode=mode)
-        part_dir = f"{out_dir}/part={pid}"
         manifest = sinks.write_ntriples(triples, f"{part_dir}/nt", sort=True)
         errors = extract.extract_errors(tr).count()
-        ckpt.mark_done(out_dir, pid)
         entries[pid] = ckpt.PartitionEntry(
             partition_id=pid,
             input_files=files,
@@ -153,8 +161,14 @@ def run_resumable(
             wall_sec=time.time() - t0,
             output_dir=part_dir,
             finished_at=time.time(),
+            # exact output-file lineage: consumers should read only these
+            extra={"files": sorted(m["path"] for m in manifest)},
         )
+        # persist the manifest entry BEFORE the _SUCCESS marker: a crash
+        # between the two leaves the partition "not done" (re-run), never
+        # "done with no lineage"
         ckpt.save_manifest(out_dir, entries)
+        ckpt.mark_done(out_dir, pid)
     return entries
 
 

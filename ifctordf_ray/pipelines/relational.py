@@ -19,6 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
+from ifctordf_ray.sources.transcripts import clean_read_parquet as _clean_read_parquet
 from ray.data.aggregate import Count, Max, Min, Sum
 
 
@@ -31,7 +32,7 @@ from ifctordf_ray.functions.kernels import cents as _cents  # noqa: E402
 def pricing_summary(sf_dir: str) -> ray.data.Dataset:
     """Grouped aggregate with column-pruned read + algebraic aggregates
     (pre-combined per block before the shuffle)."""
-    ds = ray.data.read_parquet(
+    ds = _clean_read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag", "l_linestatus", "l_quantity",
@@ -142,7 +143,7 @@ def nation_revenue(sf_dir: str) -> ray.data.Dataset:
     )
     ref = ray.put((cust_key, (n_names, cust_nat_pos)))
 
-    orders = ray.data.read_parquet(
+    orders = _clean_read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
     joined = orders.map_batches(
@@ -174,10 +175,10 @@ def nation_revenue_sql() -> str:
 def order_lineitem_join(sf_dir: str) -> ray.data.Dataset:
     """Large-large hash join via Dataset.join (hash-partitioned on the
     key), then grouped aggregate: line count + revenue per order priority."""
-    orders = ray.data.read_parquet(
+    orders = _clean_read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
-    lineitem = ray.data.read_parquet(
+    lineitem = _clean_read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
     ).map_batches(
         lambda t: pa.table(
@@ -215,7 +216,7 @@ def order_lineitem_join_sql() -> str:
 def top_orders(sf_dir: str) -> ray.data.Dataset:
     """Global sort (range shuffle) + limit; deterministic tie-break on the
     unique key."""
-    ds = ray.data.read_parquet(
+    ds = _clean_read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
     )
@@ -249,7 +250,7 @@ def events_daily_window(sf_dir: str) -> ray.data.Dataset:
     map_batches (no per-row Python), then grouped aggregate — the
     streaming-window analog for a batch log (ray_guide 'Streaming-shaped
     workloads')."""
-    ds = ray.data.read_parquet(
+    ds = _clean_read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "value"]
     )
 
@@ -335,7 +336,7 @@ def sessionize(sf_dir: str) -> ray.data.Dataset:
     """Gap-based sessionization: groupby(user) + in-group ordered scan —
     the per-key ordered-state pattern (same shuffle shape as conversation
     assembly)."""
-    ds = ray.data.read_parquet(
+    ds = _clean_read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
     return ds.groupby("user_id").map_groups(
@@ -373,10 +374,10 @@ def orders_without_lineitem(sf_dir: str) -> ray.data.Dataset:
     side is pre-deduplicated per block (a narrow map) so the exchange
     moves at most one key per (block, key), not the raw fact table.
     At 100x data neither side ever lands on the driver."""
-    orders = ray.data.read_parquet(
+    orders = _clean_read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
     )
-    line_keys = ray.data.read_parquet(
+    line_keys = _clean_read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
     ).map_batches(
         # per-block dedup: shrink the shuffle before the join exchange
@@ -424,7 +425,7 @@ def _top_orders_group(g: pa.Table) -> pa.Table:
 def top_orders_per_customer(sf_dir: str) -> ray.data.Dataset:
     """Top-3 orders per customer: groupby(key).map_groups with in-group
     sort — the windowed-rank pattern (row_number() OVER PARTITION BY)."""
-    ds = ray.data.read_parquet(
+    ds = _clean_read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"]
     ).map_batches(
         lambda t: pa.table(
@@ -464,7 +465,7 @@ def active_entity_keys(sf_dir: str) -> ray.data.Dataset:
     primitive on relational data)."""
     from ifctordf_ray.stages.extract import distinct
 
-    a = ray.data.read_parquet(
+    a = _clean_read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey"]
     ).map_batches(
         lambda t: pa.table(
@@ -473,7 +474,7 @@ def active_entity_keys(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     )
-    b = ray.data.read_parquet(
+    b = _clean_read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]
     ).map_batches(
         lambda t: pa.table(
@@ -517,7 +518,7 @@ def user_running_totals(sf_dir: str) -> ray.data.Dataset:
     running-window pattern (sum() OVER ... ROWS UNBOUNDED PRECEDING):
     groupby(key) + in-group sort + vectorized cumsum.  Exact integer
     arithmetic -> hash-level parity with the SQL window frame."""
-    ds = ray.data.read_parquet(
+    ds = _clean_read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
     )
     return ds.groupby("user_id").map_groups(

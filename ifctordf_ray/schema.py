@@ -52,6 +52,10 @@ P_HAS_STRING = "ont:hasString"        # wrapper -> xsd:string literal (express:h
 P_MENTIONS_NUMBER = "ont:mentionsNumber"  # turn -> canonical number wrapper
 P_HAS_INTEGER = "ont:hasInteger"      # wrapper -> xsd:integer literal (verbatim lexical form, P5/test11)
 P_MENTIONS_TURN = "ont:mentionsTurn"  # turn -> turn (cross-turn reference, J1 pointer-swizzle analog)
+P_MENTIONS_DECIMAL = "ont:mentionsDecimal"  # turn -> canonical decimal wrapper
+P_HAS_DOUBLE = "ont:hasDouble"        # wrapper -> xsd:double literal (VERBATIM lexical incl. "12." — P5/test11 analog, RDFWriter.java:674-686)
+P_TOOL_FLAG = "ont:usedToolFlag"      # turn -> xsd:boolean literal (P5 boolean dispatch analog, RDFWriter.java:687-695)
+P_TEXT_PRESENCE = "ont:textPresence"  # turn -> ont:logical/{TRUE,FALSE,UNKNOWN} (logical-individual analog, RDFWriter.java:696-704)
 
 # Closed vocabularies (the enum NamedIndividual analog — RDFWriter.java:659-672;
 # an unmatched value emits NO triple for the slot and an error row instead,
@@ -63,6 +67,7 @@ TOOLS: tuple[str, ...] = ("logger", "search", "code", "browser", "shell")
 # RE2-compatible so Python `re` and DuckDB `regexp_extract_all` agree exactly.
 NUM_RE = r"\d+"          # numeric mention; lexical form kept VERBATIM (P5 contract)
 REF_RE = r"#(\d+)"       # reference to another turn of the same conversation
+DEC_RE = r"\d+\.\d*"     # decimal mention; VERBATIM lexical ("12." stays "12.")
 
 # Timestamp lexical form — 6-digit microseconds; identical output from
 # pandas .dt.strftime and DuckDB strftime (verified parity).
@@ -109,6 +114,18 @@ def num_wrapper_iri(lexical: str) -> str:
     return f"inst:num/{lexical}"
 
 
+def dec_wrapper_iri(lexical: str) -> str:
+    """Canonical wrapper for a decimal literal (verbatim lexical key —
+    '12.' and '12.0' are distinct wrappers, golden test11 analog)."""
+    return f"inst:dec/{lexical}"
+
+
+def logical_iri(value: str) -> str:
+    """Three-valued logical named individual (TRUE/FALSE/UNKNOWN — the
+    EXPRESS LOGICAL enumeration analog, RDFWriter.java:696-704)."""
+    return f"ont:logical/{value}"
+
+
 # Literal object encoding inside the engine's triple datasets: the `obj`
 # column holds `<lexical>^^<datatype-curie>`; obj_kind distinguishes uri vs
 # literal.  The N-Triples sink renders proper RDF terms from these.
@@ -116,6 +133,7 @@ XSD_INTEGER = "xsd:integer"
 XSD_STRING = "xsd:string"
 XSD_DATETIME = "xsd:dateTime"
 XSD_DOUBLE = "xsd:double"
+XSD_BOOLEAN = "xsd:boolean"
 
 
 def typed_literal(lexical: str, dtype: str) -> str:
@@ -144,6 +162,12 @@ PRED_TABLE: tuple[tuple[str, str], ...] = (
     (P_MENTIONS_NUMBER, "uri"),
     (P_HAS_INTEGER, "literal"),
     (P_MENTIONS_TURN, "uri"),
+    # appended in round 2 (ids are append-only: the int8 wire format is
+    # stable across versions)
+    (P_MENTIONS_DECIMAL, "uri"),
+    (P_HAS_DOUBLE, "literal"),
+    (P_TOOL_FLAG, "literal"),
+    (P_TEXT_PRESENCE, "uri"),
 )
 PRED_ID: dict[str, int] = {p: i for i, (p, _) in enumerate(PRED_TABLE)}
 PRED_NAMES: tuple[str, ...] = tuple(p for p, _ in PRED_TABLE)

@@ -32,7 +32,9 @@ _ESCAPES = str.maketrans(
 )
 
 # datatype CURIEs the engine's `obj` encoding can carry (lexical^^dtype)
-_KNOWN_DTYPES = (S.XSD_INTEGER, S.XSD_STRING, S.XSD_DATETIME, S.XSD_DOUBLE)
+_KNOWN_DTYPES = (
+    S.XSD_INTEGER, S.XSD_STRING, S.XSD_DATETIME, S.XSD_DOUBLE, S.XSD_BOOLEAN
+)
 
 
 def _term_uri(curie: str) -> str:
@@ -119,6 +121,159 @@ def write_ntriples(
         batch_size=None,
     ).take_all()
     return manifest
+
+
+# --------------------------------------------------------------------------
+# Turtle sink (the reference's PRIMARY output: a .ttl file opened with a
+# # baseURI comment + @prefix block, RDFWriter.java:111-122,
+# IfcSpfReader.java:312-315)
+# --------------------------------------------------------------------------
+import re as _re
+
+# chars safe in a Turtle PN_LOCAL without escaping (conservative subset:
+# rdflib-style writers fall back to <full IRI> outside it)
+_PN_LOCAL_SAFE = _re.compile(r"[A-Za-z0-9_][A-Za-z0-9_.-]*$")
+
+
+def _term_turtle(curie: str) -> str:
+    """CURIE -> Turtle term: prefixed name when the local part is PN_LOCAL-
+    safe, else the expanded <IRI> (standard writer fallback; our instance
+    IRIs contain '/' in the local part, which Turtle prefixed names do not
+    allow unescaped)."""
+    pfx, sep, local = curie.partition(":")
+    if sep and pfx in S.PREFIXES and _PN_LOCAL_SAFE.match(local) and not local.endswith("."):
+        return curie
+    return _term_uri(curie)
+
+
+def turtle_header(base: str | None = None) -> str:
+    """# baseURI comment + @prefix block (one per schema namespace)."""
+    lines = [f"# baseURI: {base or S.PREFIXES['inst']}"]
+    for pfx, iri in sorted(S.PREFIXES.items()):
+        lines.append(f"@prefix {pfx}: <{iri}> .")
+    return "\n".join(lines) + "\n\n"
+
+
+def format_turtle(batch: pa.Table) -> str:
+    """Triples -> Turtle statements (no header).  Literal escaping and
+    datatype handling shared with the N-Triples writer; object lists are
+    not compacted (one statement per triple keeps the writer streaming)."""
+    subj = batch["subj"].to_pylist()
+    pred = batch["pred"].to_pylist()
+    obj = batch["obj"].to_pylist()
+    kind = batch["obj_kind"].to_pylist()
+    lines = []
+    for s, p, o, k in zip(subj, pred, obj, kind):
+        pt = "a" if p == S.RDF_TYPE else _term_turtle(p)
+        if k == "uri":
+            ot = _term_turtle(o)
+        else:
+            lex, sep, dtype = o.rpartition("^^")
+            if sep and dtype in _KNOWN_DTYPES:
+                ot = f'"{lex.translate(_ESCAPES)}"^^{_term_turtle(dtype)}'
+            else:
+                ot = f'"{o.translate(_ESCAPES)}"'
+        lines.append(f"{_term_turtle(s)} {pt} {ot} .")
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def write_turtle_batch(batch: pa.Table, out_dir: str) -> pa.Table:
+    """Sink task: one batch -> one content-addressed .ttl file, each with
+    its own # baseURI + @prefix header (every part parses standalone)."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {"path": pa.array([], pa.string()),
+             "n_triples": pa.array([], pa.int64()),
+             "skipped": pa.array([], pa.bool_())}
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    batch = batch.sort_by(
+        [(c, "ascending") for c in ("subj", "pred", "obj", "obj_kind")]
+    )
+    content = turtle_header() + format_turtle(batch)
+    h = hashlib.md5(content.encode("utf-8")).hexdigest()[:20]
+    path = os.path.join(out_dir, f"part-{h}.ttl")
+    skipped = os.path.exists(path)
+    if not skipped:
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(content)
+        os.replace(tmp, path)
+    return pa.table(
+        {
+            "path": pa.array([path], pa.string()),
+            "n_triples": pa.array([batch.num_rows], pa.int64()),
+            "skipped": pa.array([skipped], pa.bool_()),
+        }
+    )
+
+
+def write_turtle(
+    triples: ray.data.Dataset, out_dir: str, sort: bool = True
+) -> list[dict]:
+    """Turtle materialization (S7: the reference user's day-one output)."""
+    ds = triples.sort("subj") if sort else triples
+    return ds.map_batches(
+        write_turtle_batch,
+        fn_kwargs={"out_dir": out_dir},
+        batch_format="pyarrow",
+        batch_size=None,
+    ).take_all()
+
+
+def parse_turtle(text: str) -> set[tuple[str, str, str, str]]:
+    """Minimal Turtle-subset reader for ROUND-TRIP TESTS of this writer's
+    output only (one statement per line, no multiline literals): returns
+    (subj, pred, obj, obj_kind) tuples in the engine's compact encoding.
+    Not a general Turtle parser."""
+    prefixes: dict[str, str] = {}
+    rev = {}
+    out = set()
+
+    def compact(iri: str) -> str:
+        for pfx, base in prefixes.items():
+            if iri.startswith(base):
+                return f"{pfx}:{iri[len(base):]}"
+        return iri
+
+    term_re = _re.compile(
+        r'(<[^>]*>|"(?:[^"\\]|\\.)*"(?:\^\^\S+)?|[A-Za-z][\w.-]*:[^\s]*|a)'
+    )
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        if line.startswith("@prefix"):
+            m = _re.match(r"@prefix\s+([\w-]*):\s*<([^>]*)>\s*\.", line)
+            if m:
+                prefixes[m.group(1)] = m.group(2)
+                rev[m.group(2)] = m.group(1)
+            continue
+        terms = term_re.findall(line)
+        if len(terms) < 3:
+            raise ValueError(f"unparseable statement: {line!r}")
+        s, p, o = terms[0], terms[1], terms[2]
+
+        def resolve(t: str) -> str:
+            if t == "a":
+                return S.RDF_TYPE
+            if t.startswith("<"):
+                return compact(t[1:-1])
+            pfx, _, local = t.partition(":")
+            return compact(prefixes.get(pfx, pfx + ":") + local)
+
+        if o.startswith('"'):
+            m = _re.match(r'"((?:[^"\\]|\\.)*)"(?:\^\^(\S+))?$', o)
+            lex = m.group(1)
+            for esc, ch in (("\\\\", "\\"), ('\\"', '"'), ("\\n", "\n"),
+                            ("\\r", "\r"), ("\\t", "\t")):
+                lex = lex.replace(esc, ch)
+            dtype = m.group(2)
+            dt = resolve(dtype) if dtype else S.XSD_STRING
+            out.add((resolve(s), resolve(p), f"{lex}^^{dt}", "literal"))
+        else:
+            out.add((resolve(s), resolve(p), resolve(o), "uri"))
+    return out
 
 
 def add_subject_bucket(batch: pa.Table) -> pa.Table:

@@ -41,6 +41,20 @@ TRANSCRIPT_SCHEMA = pa.schema(
     ]
 )
 
+def clean_read_parquet(path, **kwargs) -> "ray.data.Dataset":
+    """ray.data.read_parquet + schema-metadata strip.  The driver's
+    pandas-written parquet carries b'pandas' schema metadata whose nested
+    dict makes pa.Schema unhashable — every downstream sort/union then
+    logs 'Failed to hash the schemas (for deduplication)' per reduce task
+    (Ray's schema dedup calls set(schemas)).  Stripping at the read edge
+    (fused into the first map stage) keeps real warnings visible."""
+    import ray.data as _rd
+
+    return _rd.read_parquet(path, **kwargs).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+
+
 # event_type -> role; unmapped event types pass through verbatim and are
 # flagged E_BAD_ROLE downstream (closed-vocab contract, SURVEY.md §2.3 L6).
 # 'view' is deliberately unmapped so the derived corpus exercises the
@@ -65,7 +79,7 @@ REF_TARGET_FOR_FIRST_TURN = TURNS_PER_CONV - 1
 def read_transcripts(path: str | list[str], **kwargs) -> ray.data.Dataset:
     """Read a transcript Parquet table/directory with column pruning."""
     cols = [f.name for f in TRANSCRIPT_SCHEMA]
-    return ray.data.read_parquet(path, columns=cols, **kwargs)
+    return clean_read_parquet(path, columns=cols, **kwargs)
 
 
 def _events_group_to_turns(
@@ -156,7 +170,7 @@ def transcripts_from_events(
     """
     import functools
 
-    ev = ray.data.read_parquet(
+    ev = clean_read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "props"],
     )

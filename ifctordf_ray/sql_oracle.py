@@ -55,11 +55,11 @@ turn AS (
 )"""
 
 
-def kg_triples_sql() -> str:
-    """The full deduplicated triple set (spec in stages/extract.py)."""
-    return f"""WITH {_live_turn_cte()}
-SELECT DISTINCT subj, pred, obj, obj_kind FROM (
-    SELECT c_iri AS subj, '{S.RDF_TYPE}' AS pred,
+def _turn_triples_unions(mentions_turn_select: str) -> str:
+    """The UNION ALL body shared by kg_triples_sql and the deduped
+    variant; `mentions_turn_select` supplies the mentionsTurn arm (the
+    deduped variant redirects targets through the redirect CTE)."""
+    return f"""    SELECT c_iri AS subj, '{S.RDF_TYPE}' AS pred,
            '{S.CLS_CONVERSATION}' AS obj, 'uri' AS obj_kind FROM turn
     UNION ALL
     SELECT t_iri, '{S.RDF_TYPE}', '{S.CLS_TURN}', 'uri' FROM turn
@@ -78,6 +78,15 @@ SELECT DISTINCT subj, pred, obj, obj_kind FROM (
     SELECT t_iri, '{S.P_USED_TOOL}', 'ont:tool/' || tool, 'uri' FROM turn
     WHERE tool IN ({_tools_in()})
     UNION ALL
+    SELECT t_iri, '{S.P_TOOL_FLAG}',
+           CASE WHEN tool IS NOT NULL THEN 'true' ELSE 'false' END
+           || '^^{S.XSD_BOOLEAN}', 'literal' FROM turn
+    UNION ALL
+    SELECT t_iri, '{S.P_TEXT_PRESENCE}',
+           'ont:logical/' || CASE WHEN text IS NULL THEN 'UNKNOWN'
+                                  WHEN text = '' THEN 'FALSE'
+                                  ELSE 'TRUE' END, 'uri' FROM turn
+    UNION ALL
     SELECT t_iri, '{S.P_HAS_TEXT}', 'inst:text/' || md5(txt), 'uri' FROM turn
     UNION ALL
     SELECT 'inst:text/' || md5(txt), '{S.P_HAS_STRING}',
@@ -95,10 +104,77 @@ SELECT DISTINCT subj, pred, obj, obj_kind FROM (
            u.m || '^^{S.XSD_INTEGER}', 'literal'
     FROM turn, UNNEST(regexp_extract_all(txt, '{S.NUM_RE}')) AS u(m)
     UNION ALL
-    SELECT t_iri, '{S.P_MENTIONS_TURN}',
+    SELECT t_iri, '{S.P_MENTIONS_DECIMAL}', 'inst:dec/' || u.m, 'uri'
+    FROM turn, UNNEST(regexp_extract_all(txt, '{S.DEC_RE}')) AS u(m)
+    UNION ALL
+    SELECT 'inst:dec/' || u.m, '{S.P_HAS_DOUBLE}',
+           u.m || '^^{S.XSD_DOUBLE}', 'literal'
+    FROM turn, UNNEST(regexp_extract_all(txt, '{S.DEC_RE}')) AS u(m)
+    UNION ALL
+{mentions_turn_select}"""
+
+
+def kg_triples_sql() -> str:
+    """The full deduplicated triple set (spec in stages/extract.py)."""
+    mentions = f"""    SELECT t_iri, '{S.P_MENTIONS_TURN}',
            'inst:turn/' || conv_id || '/' || CAST(CAST(u.m AS BIGINT) AS VARCHAR),
            'uri'
-    FROM turn, UNNEST(regexp_extract_all(txt, '{S.REF_RE}', 1)) AS u(m)
+    FROM turn, UNNEST(regexp_extract_all(txt, '{S.REF_RE}', 1)) AS u(m)"""
+    return f"""WITH {_live_turn_cte()}
+SELECT DISTINCT subj, pred, obj, obj_kind FROM (
+{_turn_triples_unions(mentions)}
+)"""
+
+
+def kg_triples_deduped_sql() -> str:
+    """Triples after in-conversation turn dedup + reference redirect (J2):
+    duplicate turns (same role/text/tool, first-seen wins) are dropped;
+    '#N' refs to a dropped turn resolve to its keeper — validity is judged
+    against the PRE-dedup turn set (IfcSpfParser.java:147-165, 184-187)."""
+    mentions = f"""    SELECT tr.t_iri, '{S.P_MENTIONS_TURN}',
+           'inst:turn/' || tr.conv_id || '/' ||
+           CAST(coalesce(r.keep_idx, tr.target) AS VARCHAR), 'uri'
+    FROM turn_refs tr
+    LEFT JOIN redirect r
+      ON r.conv_id = tr.conv_id AND r.dup_idx = tr.target"""
+    return f"""WITH {transcripts_cte()},
+refs AS (
+    SELECT t.conv_id, t.turn_idx, u.m AS raw, CAST(u.m AS BIGINT) AS target
+    FROM transcripts t, UNNEST(regexp_extract_all(t.text, '{S.REF_RE}', 1)) AS u(m)
+),
+dangling AS (
+    SELECT DISTINCT r.conv_id FROM refs r
+    WHERE NOT EXISTS (SELECT 1 FROM transcripts t2
+                      WHERE t2.conv_id = r.conv_id AND t2.turn_idx = r.target)
+),
+live AS (
+    SELECT * FROM transcripts
+    WHERE conv_id NOT IN (SELECT conv_id FROM dangling)
+),
+keyed AS (
+    SELECT *, min(turn_idx) OVER (
+        PARTITION BY conv_id, role, coalesce(text, chr(1)),
+                     coalesce(tool, chr(1))) AS keep_idx
+    FROM live
+),
+redirect AS (
+    SELECT conv_id, CAST(turn_idx AS BIGINT) AS dup_idx,
+           CAST(keep_idx AS BIGINT) AS keep_idx
+    FROM keyed WHERE turn_idx != keep_idx
+),
+turn AS (
+    SELECT *,
+           'inst:conv/' || conv_id AS c_iri,
+           'inst:turn/' || conv_id || '/' || CAST(turn_idx AS VARCHAR) AS t_iri,
+           coalesce(text, '') AS txt
+    FROM keyed WHERE turn_idx = keep_idx
+),
+turn_refs AS (
+    SELECT tn.conv_id, tn.t_iri, CAST(u.m AS BIGINT) AS target
+    FROM turn tn, UNNEST(regexp_extract_all(tn.txt, '{S.REF_RE}', 1)) AS u(m)
+)
+SELECT DISTINCT subj, pred, obj, obj_kind FROM (
+{_turn_triples_unions(mentions)}
 )"""
 
 

@@ -39,6 +39,7 @@ from itertools import combinations
 import numpy as np
 import pyarrow as pa
 import ray.data
+from ifctordf_ray.sources.transcripts import clean_read_parquet as _clean_read_parquet
 from ray.data.aggregate import Count, Min
 
 WORD_RE = r"[a-z0-9]+"
@@ -113,7 +114,7 @@ def _minhash_fn(batch: pa.Table) -> pa.Table:
 
 
 def minhash_signatures(sf_dir: str) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(_minhash_fn, batch_format="pyarrow")
 
 
@@ -328,7 +329,7 @@ def _simhash_fn(batch: pa.Table) -> pa.Table:
 
 
 def simhash_fingerprints(sf_dir: str) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(_simhash_fn, batch_format="pyarrow")
 
 
@@ -392,7 +393,7 @@ def verified_near_dups(
 
     jk = join_kwargs(num_partitions)
     cand = near_dup_pairs_minhash(sf_dir, threshold=0.0)
-    docs = ray.data.read_parquet(
+    docs = _clean_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     sh = docs.map_batches(ShingleSets(), batch_format="pyarrow")
@@ -470,7 +471,7 @@ def exact_duplicates(sf_dir: str) -> ray.data.Dataset:
     (first-seen-wins analog of resolveDuplicates)."""
     from ifctordf_ray.stages.textstats import Fingerprinter
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     fps = ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 4))
     return fps.groupby("fingerprint").aggregate(
         Min("doc_id", alias_name="keep_doc_id"),

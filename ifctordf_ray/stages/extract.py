@@ -104,6 +104,7 @@ def _compiled() -> dict:
         st = {
             "num_re": re.compile(S.NUM_RE),
             "ref_re": re.compile(S.REF_RE),
+            "dec_re": re.compile(S.DEC_RE),
             "roles": frozenset(S.ROLES),
             "tools": frozenset(S.TOOLS),
         }
@@ -206,6 +207,7 @@ def extract_batch_triples(
     ref_targets: dict | None = None,
     conv_type_idx: int = 0,
     conv_type_mask=None,
+    ref_redirect: dict | None = None,
 ) -> pa.Table:
     """One Arrow batch of transcript rows -> Arrow batch of triples in the
     COMPACT wire format, locally deduplicated.  Columns: conv_id, subj,
@@ -214,7 +216,12 @@ def extract_batch_triples(
 
     The conversation rdf:type triple is emitted only from the turn with
     turn_idx == conv_type_idx (unique-by-construction instead of
-    once-per-turn + global dedup; grouped path passes the group's min)."""
+    once-per-turn + global dedup; grouped path passes the group's min).
+
+    `ref_redirect` maps (conv_id, dup_turn_idx) -> keeper_turn_idx: a
+    mentionsTurn edge to a dedup-dropped turn is rewritten to its keeper
+    (the reference consults listOfDuplicateLineEntries on every #N lookup,
+    IfcSpfParser.java:184-187, 213-216, 239-242)."""
     conv = batch["conv_id"].combine_chunks() if isinstance(batch["conv_id"], pa.ChunkedArray) else batch["conv_id"]
     idx = batch["turn_idx"]
     idx_str = pc.cast(idx, pa.string())
@@ -279,10 +286,32 @@ def extract_batch_triples(
         "inst:turn/", conv, "/", pc.cast(pc.subtract(idx, 1), pa.string())
     )
     emit(conv, prev_iri, S.P_NEXT_TURN, turn_iri, mask=prev_mask)
+    # usedToolFlag xsd:boolean literal — tool PRESENCE, vocab-independent
+    # (the P5 boolean-dispatch analog, RDFWriter.java:687-695)
+    flag = pc.if_else(
+        pc.is_valid(tool),
+        pa.scalar("true^^" + S.XSD_BOOLEAN),
+        pa.scalar("false^^" + S.XSD_BOOLEAN),
+    )
+    emit(conv, turn_iri, S.P_TOOL_FLAG, flag)
+    # textPresence three-valued logical individual (LOGICAL enum analog,
+    # RDFWriter.java:696-704): null -> UNKNOWN, '' -> FALSE, else TRUE
+    pres = pc.if_else(
+        pc.is_valid(text),
+        pc.if_else(
+            pc.equal(pc.fill_null(text, ""), ""),
+            pa.scalar("ont:logical/FALSE"),
+            pa.scalar("ont:logical/TRUE"),
+        ),
+        pa.scalar("ont:logical/UNKNOWN"),
+    )
+    emit(conv, turn_iri, S.P_TEXT_PRESENCE, pres)
 
     # mentions — regex over text, flattened with row offsets
+    dec_re = _compiled()["dec_re"]
     conv_py = conv.to_pylist()
     m_conv, m_turn, m_lex = [], [], []
+    d_conv, d_turn, d_lex = [], [], []
     r_conv, r_turn, r_tgt = [], [], []
     for i, t in enumerate(text_py):
         if not t:
@@ -291,6 +320,11 @@ def extract_batch_triples(
             m_conv.append(conv_py[i])
             m_turn.append(i)
             m_lex.append(m)
+        if "." in t:
+            for m in dec_re.findall(t):
+                d_conv.append(conv_py[i])
+                d_turn.append(i)
+                d_lex.append(m)
         for m in ref_re.findall(t):
             r_conv.append(conv_py[i])
             r_turn.append(i)
@@ -303,15 +337,28 @@ def extract_batch_triples(
         emit(cv, src, S.P_MENTIONS_NUMBER, num_iri)
         emit(cv, num_iri, S.P_HAS_INTEGER,
              pa.array([f"{m}^^{S.XSD_INTEGER}" for m in m_lex], pa.string()))
+    if d_lex:
+        # decimal mentions: VERBATIM lexical xsd:double ("12." kept as-is,
+        # golden test11 analog)
+        turn_iri_py = turn_iri.to_pylist()
+        dec_iri = pa.array([f"inst:dec/{m}" for m in d_lex], pa.string())
+        src = pa.array([turn_iri_py[i] for i in d_turn], pa.string())
+        cv = pa.array(d_conv, pa.string())
+        emit(cv, src, S.P_MENTIONS_DECIMAL, dec_iri)
+        emit(cv, dec_iri, S.P_HAS_DOUBLE,
+             pa.array([f"{m}^^{S.XSD_DOUBLE}" for m in d_lex], pa.string()))
     if r_tgt:
         turn_iri_py = turn_iri.to_pylist()
         keep_c, keep_s, keep_o = [], [], []
         for cv, i, tgt in zip(r_conv, r_turn, r_tgt):
-            if ref_targets is not None and int(tgt) not in ref_targets.get(cv, ()):
+            tgt_i = int(tgt)
+            if ref_targets is not None and tgt_i not in ref_targets.get(cv, ()):
                 continue  # grouped path: validate against the group's turn set
+            if ref_redirect is not None:
+                tgt_i = ref_redirect.get((cv, tgt_i), tgt_i)
             keep_c.append(cv)
             keep_s.append(turn_iri_py[i])
-            keep_o.append(f"inst:turn/{cv}/{int(tgt)}")
+            keep_o.append(f"inst:turn/{cv}/{tgt_i}")
         if keep_c:
             emit(
                 pa.array(keep_c, pa.string()),
@@ -384,34 +431,53 @@ def _find_refs(batch: pa.Table) -> pa.Table:
     )
 
 
+_BIG_IDX = 1 << 62  # min-identity sentinel for ref-only partial rows
+
+
 def _conv_bounds_partial(batch: pa.Table) -> pa.Table:
-    """Per-batch PARTIAL (max_idx, max_target) per conversation: each turn
-    row contributes (conv, turn_idx, -1); each '#N' mention (conv, -1, N);
-    then a vectorized Arrow group_by(max) collapses to one row per
-    conversation per batch.  The partials are combined globally by
+    """Per-batch PARTIAL dense-layout stats + max ref target per
+    conversation: turn rows contribute (idx stats); '#N' mentions
+    contribute max_tgt; a vectorized Arrow group_by collapses to one row
+    per conversation per batch.  The partials are combined globally by
     `resolve_references` — the combiner-before-shuffle pattern
-    (ray_guide 'Aggregation at scale')."""
+    (ray_guide 'Aggregation at scale').  All five stats are associative
+    (max/max/sum/min/sum), so partial-of-partials is exact."""
     ref_re = re.compile(S.REF_RE)
     conv_py = batch["conv_id"].to_pylist()
     text_py = batch["text"].to_pylist()
-    conv = list(conv_py)
     idxs = batch["turn_idx"].cast(pa.int64()).to_pylist()
-    tgts = [-1] * len(conv_py)
+    n = len(conv_py)
+    conv = list(conv_py)
+    tgts = [-1] * n
+    n_turns = [1] * n
+    min_idx = list(idxs)
+    sum_idx = list(idxs)
     for c, t in zip(conv_py, text_py):
         if t and "#" in t:
             for m in ref_re.findall(t):
                 conv.append(c)
                 idxs.append(-1)
                 tgts.append(int(m))
+                n_turns.append(0)
+                min_idx.append(_BIG_IDX)
+                sum_idx.append(0)
     rows = pa.table(
         {
             "conv_id": pa.array(conv, pa.string()),
-            "idx": pa.array(idxs, pa.int64()),
-            "tgt": pa.array(tgts, pa.int64()),
+            "max_idx": pa.array(idxs, pa.int64()),
+            "max_tgt": pa.array(tgts, pa.int64()),
+            "n_turns": pa.array(n_turns, pa.int64()),
+            "min_idx": pa.array(min_idx, pa.int64()),
+            "sum_idx": pa.array(sum_idx, pa.int64()),
         }
     )
-    part = rows.group_by("conv_id").aggregate([("idx", "max"), ("tgt", "max")])
-    return part.rename_columns(["conv_id", "max_idx", "max_tgt"])
+    part = rows.group_by("conv_id").aggregate(
+        [("max_idx", "max"), ("max_tgt", "max"), ("n_turns", "sum"),
+         ("min_idx", "min"), ("sum_idx", "sum")]
+    )
+    return part.rename_columns(
+        ["conv_id", "max_idx", "max_tgt", "n_turns", "min_idx", "sum_idx"]
+    )
 
 
 def resolve_references(transcripts: ray.data.Dataset):
@@ -420,10 +486,18 @@ def resolve_references(transcripts: ray.data.Dataset):
 
     DENSE-LAYOUT CONTRACT (fast path): turn_idx is 0-based and contiguous
     per conversation, so a target is valid iff 0 <= target <= max(turn_idx).
-    One algebraic groupby(conv_id) computes (max_idx, max_target) per
-    conversation — pre-combined per block, so the shuffle moves one partial
-    row per (block, conv).  Only the DANGLING conversations (assumed rare:
-    they are errors) are collected to the driver and broadcast.
+    The contract is VALIDATED here, not assumed: per conversation the
+    combined stats must satisfy n_turns == max_idx+1, min_idx == 0 and
+    sum_idx == max_idx(max_idx+1)/2, else ValueError directs the caller to
+    the grouped path (gapped/duplicated turn_idx would silently emit
+    nextTurn edges to nonexistent turns otherwise).
+
+    Physical plan: per-block algebraic partials (one row per (block,
+    conv)), then a range-sort on conv_id co-locates every conversation's
+    partials in one block (same argument as distinct()) where a
+    vectorized Arrow group_by finishes the combine — fully distributed,
+    no single-task funnel.  Only DANGLING conversations (error cases,
+    assumed rare) are collected to the driver and broadcast.
 
     Returns (dangling_convs: frozenset, dangling_error_rows: list[dict]).
     For sparse/gapped turn_idx use extract_grouped (in-group validation).
@@ -433,23 +507,40 @@ def resolve_references(transcripts: ray.data.Dataset):
     )
 
     def combine(t: pa.Table) -> pa.Table:
-        # final combine of the per-batch partials (one row per conv per
-        # batch; convs are near-contiguous so ~1 partial each).  A single
-        # vectorized Arrow group_by beats Ray's per-group aggregate by
-        # >10x here; the repartition(1) moves only the partial rows.
-        # At conv counts beyond one task's memory, replace the
-        # repartition(1) with groupby(conv_id) over the partials — the
-        # combiner shape is unchanged.
         g = t.group_by("conv_id").aggregate(
-            [("max_idx", "max"), ("max_tgt", "max")]
-        ).rename_columns(["conv_id", "max_idx", "max_tgt"])
-        return g.filter(pc.greater(g["max_tgt"], g["max_idx"]))
+            [("max_idx", "max"), ("max_tgt", "max"), ("n_turns", "sum"),
+             ("min_idx", "min"), ("sum_idx", "sum")]
+        ).rename_columns(
+            ["conv_id", "max_idx", "max_tgt", "n_turns", "min_idx", "sum_idx"]
+        )
+        dangling = pc.greater(g["max_tgt"], g["max_idx"])
+        dense = pc.and_(
+            pc.and_(
+                pc.equal(g["n_turns"], pc.add(g["max_idx"], 1)),
+                pc.equal(g["min_idx"], 0),
+            ),
+            pc.equal(
+                pc.multiply(g["sum_idx"], 2),
+                pc.multiply(g["max_idx"], pc.add(g["max_idx"], 1)),
+            ),
+        )
+        bad_layout = pc.and_(pc.invert(dense), pc.invert(dangling))
+        out = g.append_column("bad_layout", bad_layout)
+        return out.filter(pc.or_(dangling, bad_layout))
 
     bad = (
-        partials.repartition(1)
+        partials.sort("conv_id")
         .map_batches(combine, batch_format="pyarrow", batch_size=None)
         .take_all()
-    )  # small: dangling conversations are error cases
+    )  # small: dangling/invalid conversations are error cases
+    gapped = [r["conv_id"] for r in bad if r["bad_layout"]]
+    if gapped:
+        raise ValueError(
+            f"extract_fast requires dense 0-based turn_idx per conversation; "
+            f"{len(gapped)} conversation(s) violate it (e.g. {gapped[:3]}). "
+            "Use mode='grouped' (extract_grouped) for gapped/unsorted input."
+        )
+    bad = [r for r in bad if not r["bad_layout"]]
     if not bad:
         return frozenset(), []
     dangling = frozenset(r["conv_id"] for r in bad)
@@ -643,12 +734,19 @@ def extract_grouped_mapgroups(transcripts: ray.data.Dataset) -> ray.data.Dataset
     return decode_triples(distinct(triples, COMPACT_COLS))
 
 
-def _extract_sorted_block(t: pa.Table) -> pa.Table:
+def _extract_sorted_block(t: pa.Table, dedup: bool = False) -> pa.Table:
     """One conv-co-located block (sorted so each conversation is
     contiguous): segmented, mostly-vectorized conversation extraction —
     per-conv work is only the '#N' validation loop over rows that contain
     '#'; everything else is one extract_batch_triples call + vectorized
-    successor edges."""
+    successor edges.
+
+    dedup=True additionally collapses in-conversation duplicate turns
+    (first-seen by (role, text, tool) content key — resolveDuplicates,
+    IfcSpfParser.java:147-165) and redirects '#N' references to a dropped
+    turn to its keeper (J2, IfcSpfParser.java:184-187).  '#N' validity is
+    judged against the PRE-dedup turn set (a ref to a dropped duplicate
+    is valid — it resolves through the redirect map)."""
     if t.num_rows == 0:
         return _EMPTY_TRIPLES
     st = _compiled()
@@ -656,10 +754,13 @@ def _extract_sorted_block(t: pa.Table) -> pa.Table:
     conv = t["conv_id"].to_pylist()
     idx = t["turn_idx"].to_pylist()
     text = t["text"].to_pylist()
+    role = t["role"].to_pylist() if dedup else None
+    tool = t["tool"].to_pylist() if dedup else None
     n = len(conv)
     ref_re = st["ref_re"]
     keep = np.ones(n, dtype=bool)
     conv_type = np.zeros(n, dtype=bool)
+    redirect: dict = {} if dedup else None
     s = 0
     while s < n:
         e = s + 1
@@ -682,6 +783,17 @@ def _extract_sorted_block(t: pa.Table) -> pa.Table:
         if not ok:
             keep[s:e] = False
             conv_type[s] = False
+        elif dedup:
+            seen: dict = {}
+            cid = conv[s]
+            for i in range(s, e):
+                key = (role[i], text[i], tool[i])
+                k = seen.get(key)
+                if k is None:
+                    seen[key] = idx[i]
+                else:
+                    keep[i] = False
+                    redirect[(cid, idx[i])] = k
         s = e
     sub = t.filter(pa.array(keep)) if not keep.all() else t
     if sub.num_rows == 0:
@@ -695,6 +807,7 @@ def _extract_sorted_block(t: pa.Table) -> pa.Table:
         tools=st["tools"],
         ref_targets=None,  # all surviving refs valid by construction
         conv_type_mask=pa.array(ctm),
+        ref_redirect=redirect or None,
     )
     # replace arithmetic nextTurn edges with sorted-successor edges —
     # fully vectorized: adjacent rows of the same conversation
@@ -727,6 +840,22 @@ def extract_grouped(transcripts: ray.data.Dataset) -> ray.data.Dataset:
     map_groups at many small conversations, identical output)."""
     triples = transcripts.sort("conv_id").map_batches(
         _extract_sorted_block, batch_format="pyarrow", batch_size=None
+    )
+    return decode_triples(distinct(triples, COMPACT_COLS))
+
+
+def extract_deduped(transcripts: ray.data.Dataset) -> ray.data.Dataset:
+    """Grouped extraction WITH in-conversation turn dedup + reference
+    redirect (J2 wired into extraction): duplicate turns (same
+    role/text/tool, first-seen wins) emit no triples, and every
+    mentionsTurn edge that targeted a dropped turn points at its keeper —
+    the reference's resolveDuplicates + listOfDuplicateLineEntries
+    consultation (IfcSpfParser.java:147-165, 184-187) as ONE pipeline.
+    Same physical plan as extract_grouped (sort + segmented blocks)."""
+    triples = transcripts.sort("conv_id").map_batches(
+        lambda b: _extract_sorted_block(b, dedup=True),
+        batch_format="pyarrow",
+        batch_size=None,
     )
     return decode_triples(distinct(triples, COMPACT_COLS))
 
@@ -800,9 +929,11 @@ def extract_salted(
     -> one edge per adjacent chunk pair).
 
     Output is identical to extract_grouped for dense prevalidated input
-    (asserted by tests/test_skew.py).  The boundary table has one row per
-    chunk — ~rows/chunk_size — collected small to the driver; at extreme
-    scale, stitch via a groupby(conv_id) over the boundary table instead.
+    (asserted by tests/test_skew.py).  The boundary stitch is fully
+    distributed: per-block (conv, salt) min/max partials are range-sorted
+    on conv_id — co-locating each conversation's chunk boundaries in one
+    block (the distinct() partitioning argument) — and the cross-chunk
+    edges are emitted per block; nothing is collected to the driver.
     """
     salted = transcripts.map_batches(
         _salt_batch, fn_kwargs={"chunk_size": chunk_size}, batch_format="pyarrow"
@@ -819,40 +950,43 @@ def extract_salted(
         )
         return g.rename_columns(["conv_id", "salt", "lo", "hi"])
 
-    bt = (
-        salted.map_batches(bounds, batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(
-            lambda t: t.group_by(["conv_id", "salt"]).aggregate(
-                [("lo", "min"), ("hi", "max")]
-            ).rename_columns(["conv_id", "salt", "lo", "hi"]),
-            batch_format="pyarrow",
-            batch_size=None,
-        )
-        .take_all()
-    )
-    by_conv: dict[str, list] = {}
-    for r in bt:
-        by_conv.setdefault(r["conv_id"], []).append((r["salt"], r["lo"], r["hi"]))
     nt_id = S.PRED_ID[S.P_NEXT_TURN]
-    conv_l, subj_l, obj_l = [], [], []
-    for cid, chunks in by_conv.items():
-        chunks.sort()
-        for (s0, lo0, hi0), (s1, lo1, hi1) in zip(chunks, chunks[1:]):
-            conv_l.append(cid)
-            subj_l.append(f"inst:turn/{cid}/{hi0}")
-            obj_l.append(f"inst:turn/{cid}/{lo1}")
-    if conv_l:
-        stitch = pa.table(
-            {
-                "conv_id": pa.array(conv_l, pa.string()),
-                "subj": pa.array(subj_l, pa.string()),
-                "pred_id": pa.array([nt_id] * len(conv_l), pa.int8()),
-                "obj": pa.array(obj_l, pa.string()),
-            }
+
+    def stitch_block(t: pa.Table) -> pa.Table:
+        """One conv-co-located block of boundary partials -> cross-chunk
+        nextTurn edges (combine partials, then adjacent-chunk pairs)."""
+        if t.num_rows == 0:
+            return _EMPTY_TRIPLES
+        g = t.group_by(["conv_id", "salt"]).aggregate(
+            [("lo", "min"), ("hi", "max")]
+        ).rename_columns(["conv_id", "salt", "lo", "hi"])
+        g = g.sort_by([("conv_id", "ascending"), ("salt", "ascending")])
+        n = g.num_rows
+        if n < 2:
+            return _EMPTY_TRIPLES
+        conv = g["conv_id"].combine_chunks() if isinstance(g["conv_id"], pa.ChunkedArray) else g["conv_id"]
+        same = pc.equal(conv.slice(1), conv.slice(0, n - 1))
+        hi_iri = _str_concat(
+            "inst:turn/", conv, "/", pc.cast(g["hi"], pa.string())
         )
-        triples = triples.union(ray.data.from_arrow(stitch))
-    return decode_triples(distinct(triples, COMPACT_COLS))
+        lo_iri = _str_concat(
+            "inst:turn/", conv, "/", pc.cast(g["lo"], pa.string())
+        )
+        return pa.table(
+            {
+                "conv_id": conv.slice(0, n - 1),
+                "subj": hi_iri.slice(0, n - 1),
+                "pred_id": pa.nulls(n - 1, pa.int8()).fill_null(nt_id),
+                "obj": lo_iri.slice(1),
+            }
+        ).filter(same)
+
+    stitch = (
+        salted.map_batches(bounds, batch_format="pyarrow")
+        .sort("conv_id")
+        .map_batches(stitch_block, batch_format="pyarrow", batch_size=None)
+    )
+    return decode_triples(distinct(triples.union(stitch), COMPACT_COLS))
 
 
 def extract_errors(transcripts: ray.data.Dataset) -> ray.data.Dataset:

@@ -22,6 +22,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import ray.data
+from ifctordf_ray.sources.transcripts import clean_read_parquet as _clean_read_parquet
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -145,7 +146,7 @@ def media_from_documents(sf_dir: str) -> ray.data.Dataset:
     table (payload = utf-8 bytes of text; media_type alternates by
     doc_id) — exercises the full binary-column plumbing against real
     driver-generated data with no external inputs."""
-    ds = ray.data.read_parquet(
+    ds = _clean_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 

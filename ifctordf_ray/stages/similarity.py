@@ -20,6 +20,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
+from ifctordf_ray.sources.transcripts import clean_read_parquet as _clean_read_parquet
 
 DEFAULT_K = 10
 DEFAULT_NQ = 5  # queries = the NQ lowest vec_ids
@@ -34,7 +35,7 @@ def _load_queries(sf_dir: str, nq: int) -> tuple[np.ndarray, np.ndarray]:
     then a filtered fetch of just those nq rows."""
     import pyarrow.compute as pc
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    ds = _clean_read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
     partial = ds.map_batches(
         lambda t: t.sort_by("vec_id").slice(0, nq), batch_format="pyarrow"
     )
@@ -43,7 +44,7 @@ def _load_queries(sf_dir: str, nq: int) -> tuple[np.ndarray, np.ndarray]:
     ids = np.array(sorted(r["vec_id"] for r in id_rows), dtype=np.int64)
     id_arr = pa.array(ids)
 
-    emb = ray.data.read_parquet(
+    emb = _clean_read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(
         lambda t: t.filter(pc.is_in(t["vec_id"], id_arr)), batch_format="pyarrow"
@@ -93,7 +94,7 @@ def knn_brute_force(
     """Exact cosine top-k (self-match included: it ranks first by
     construction, a useful sanity anchor)."""
     q_ref = ray.put(_load_queries(sf_dir, nq))
-    ds = ray.data.read_parquet(
+    ds = _clean_read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     scored = ds.map_batches(
@@ -180,7 +181,7 @@ def knn_lsh(
 
     planes_ref = ray.put(planes)
     q_ref = ray.put((ids, qmat))
-    ds = ray.data.read_parquet(
+    ds = _clean_read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     bucketed = ds.map_batches(
@@ -286,7 +287,7 @@ def near_dup_pairs_cosine(
     is inherently O(n^2) compute — the sub-quadratic scale path is LSH
     candidate generation + verify (see stages.dedup's banded pattern and
     knn_lsh's bucketer)."""
-    ds = ray.data.read_parquet(
+    ds = _clean_read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     n = ds.count()  # parquet metadata only

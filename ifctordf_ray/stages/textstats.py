@@ -15,6 +15,7 @@ import re
 
 import pyarrow as pa
 import ray.data
+from ifctordf_ray.sources.transcripts import clean_read_parquet as _clean_read_parquet
 
 # token = maximal run of non-whitespace
 TOKEN_RE = r"\S+"
@@ -55,7 +56,7 @@ class TokenCounter:
 
 
 def token_counts(sf_dir: str) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(TokenCounter, batch_format="pyarrow", concurrency=(1, 4))
 
 
@@ -99,7 +100,7 @@ class QualityScorer:
 
 
 def quality_scores(sf_dir: str) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 4))
 
 
@@ -148,7 +149,7 @@ class LangId:
 
 
 def lang_id(sf_dir: str) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
 
 
@@ -193,7 +194,7 @@ class Fingerprinter:
 
 
 def fingerprints(sf_dir: str) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 4))
 
 

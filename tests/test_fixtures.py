@@ -208,3 +208,85 @@ def test_null_role_and_text():
     assert not any(p == S.P_HAS_ROLE and s.endswith("/0") for s, p, _, _ in got)
     # null text behaves as empty string (wrapper for "")
     assert (S.text_wrapper_iri(""), S.P_HAS_STRING, "^^xsd:string", "literal") in got
+
+
+def test_f20_double_verbatim_lexical():
+    # reference golden test11 analog: "12." stays "12." (verbatim xsd:double)
+    got, _ = run_both(
+        [{"conv_id": "c", "turn_idx": 0, "role": "user", "text": "v 12. and 3.14"}]
+    )
+    assert ("inst:dec/12.", S.P_HAS_DOUBLE, "12.^^xsd:double", "literal") in got
+    assert ("inst:turn/c/0", S.P_MENTIONS_DECIMAL, "inst:dec/3.14", "uri") in got
+    assert ("inst:dec/3.14", S.P_HAS_DOUBLE, "3.14^^xsd:double", "literal") in got
+    # the integer mentions of the digit runs are unchanged (both engines)
+    assert ("inst:turn/c/0", S.P_MENTIONS_NUMBER, "inst:num/12", "uri") in got
+    assert ("inst:dec/12.0", S.P_HAS_DOUBLE, "12.0^^xsd:double", "literal") not in got
+
+
+def test_f21_boolean_tool_flag():
+    got, _ = run_both(
+        [
+            {"conv_id": "c", "turn_idx": 0, "role": "tool", "tool": "search", "text": "x"},
+            {"conv_id": "c", "turn_idx": 1, "role": "user", "text": "y"},
+        ]
+    )
+    assert ("inst:turn/c/0", S.P_TOOL_FLAG, "true^^xsd:boolean", "literal") in got
+    assert ("inst:turn/c/1", S.P_TOOL_FLAG, "false^^xsd:boolean", "literal") in got
+
+
+def test_f22_logical_individual_three_valued():
+    got, _ = run_both(
+        [
+            {"conv_id": "c", "turn_idx": 0, "role": "user", "text": "hello"},
+            {"conv_id": "c", "turn_idx": 1, "role": "assistant", "text": ""},
+            {"conv_id": "c", "turn_idx": 2, "role": "user", "text": None},
+        ]
+    )
+    assert ("inst:turn/c/0", S.P_TEXT_PRESENCE, "ont:logical/TRUE", "uri") in got
+    assert ("inst:turn/c/1", S.P_TEXT_PRESENCE, "ont:logical/FALSE", "uri") in got
+    assert ("inst:turn/c/2", S.P_TEXT_PRESENCE, "ont:logical/UNKNOWN", "uri") in got
+
+
+def run_both_deduped(rows):
+    tbl = transcripts_table(rows)
+    ds = ray.data.from_arrow(tbl)
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["obj_kind"])
+        for r in extract.extract_deduped(ds).take_all()
+    }
+    exp, errs = oracle.extract_reference(tbl.to_pylist(), dedup=True)
+    assert got == exp, (sorted(got - exp)[:5], sorted(exp - got)[:5])
+    return got, errs
+
+
+def test_f23_dedup_redirects_mentions_turn():
+    # turn 2 duplicates turn 0 (same role/text/tool); a '#2' ref must
+    # redirect to the keeper turn 0 (IfcSpfParser.java:184-187 analog)
+    got, _ = run_both_deduped(
+        [
+            {"conv_id": "c", "turn_idx": 0, "role": "user", "text": "same"},
+            {"conv_id": "c", "turn_idx": 1, "role": "assistant", "text": "see #2"},
+            {"conv_id": "c", "turn_idx": 2, "role": "user", "text": "same"},
+            {"conv_id": "c", "turn_idx": 3, "role": "user", "text": "tail"},
+        ]
+    )
+    assert ("inst:turn/c/1", S.P_MENTIONS_TURN, "inst:turn/c/0", "uri") in got
+    assert ("inst:turn/c/1", S.P_MENTIONS_TURN, "inst:turn/c/2", "uri") not in got
+    # the duplicate turn emits no triples of its own ...
+    assert ("inst:turn/c/2", S.RDF_TYPE, S.CLS_TURN, "uri") not in got
+    # ... and the nextTurn chain skips it
+    assert ("inst:turn/c/1", S.P_NEXT_TURN, "inst:turn/c/3", "uri") in got
+
+
+def test_f24_dedup_ref_to_dropped_turn_is_not_dangling():
+    # '#1' targets a dropped duplicate: valid (resolves through the
+    # redirect map), so the conversation is NOT aborted
+    got, _ = run_both_deduped(
+        [
+            {"conv_id": "c", "turn_idx": 0, "role": "user", "text": "dup"},
+            {"conv_id": "c", "turn_idx": 1, "role": "user", "text": "dup"},
+            {"conv_id": "c", "turn_idx": 2, "role": "assistant", "text": "ref #1"},
+        ]
+    )
+    assert got, "conversation must survive"
+    assert ("inst:turn/c/2", S.P_MENTIONS_TURN, "inst:turn/c/0", "uri") in got

@@ -95,3 +95,32 @@ def test_batch_extractor_matches_oracle(rows):
     got = pure_fast_path(rows)
     exp, _ = oracle.extract_reference(rows)
     assert got == exp, (sorted(got - exp)[:4], sorted(exp - got)[:4])
+
+
+def test_distinct_equal_keys_never_span_blocks():
+    """Pins the contract distinct() relies on (stages/extract.py:596-602):
+    Ray's range sort assigns equal leading keys to ONE output block and
+    batch_size=None preserves block boundaries, so per-block adjacent
+    dedup is an exact global distinct.  Many duplicated keys across many
+    input blocks: any cross-block leakage of equal keys would overcount.
+    Breaks loudly if Ray's sort-block semantics ever change."""
+    import ray.data
+
+    n_keys, reps = 40, 50
+    subj = [f"k{i:03d}" for i in range(n_keys) for _ in range(reps)]
+    rng = __import__("random").Random(7)
+    rng.shuffle(subj)
+    t = pa.table(
+        {
+            "subj": pa.array(subj, pa.string()),
+            "pred_id": pa.array([i % 3 for i in range(len(subj))], pa.int8()),
+            "obj": pa.array(["o"] * len(subj), pa.string()),
+        }
+    )
+    # many small input blocks -> the sort must still co-locate equal keys
+    ds = ray.data.from_arrow(t).repartition(16)
+    out = extract.distinct(ds, ["subj", "pred_id", "obj"]).take_all()
+    seen = {(r["subj"], r["pred_id"], r["obj"]) for r in out}
+    assert len(out) == len(seen), "adjacent dedup leaked duplicates across blocks"
+    # expected: per key, the pred_id cycle covers {0,1,2} (reps >> 3)
+    assert len(seen) == n_keys * 3

@@ -64,3 +64,32 @@ def test_plan_partitions_deterministic():
     b = ckpt.plan_partitions(list(reversed(files)), 3)
     assert a == b
     assert sum(len(g) for g in a) == 7
+
+
+def test_interrupted_partition_cleared_before_rerun(tmp_path):
+    """A crashed attempt leaves part files but no _SUCCESS; the rerun must
+    clear them (sort block splits are not reproducible, so stale
+    content-addressed files would otherwise survive and double-count)."""
+    files = _write_sharded_transcripts(tmp_path)
+    out = str(tmp_path / "out")
+    entries = kg.run_resumable(files, out, num_partitions=3)
+
+    # simulate an interrupted attempt: stale part file, no _SUCCESS
+    os.remove(os.path.join(out, "part=1", "_SUCCESS"))
+    stale = os.path.join(out, "part=1", "nt", "part-deadbeef.nt")
+    with open(stale, "w") as f:
+        f.write("<stale> <stale> <stale> .\n")
+
+    entries2 = kg.run_resumable(files, out, num_partitions=3)
+    assert not os.path.exists(stale)
+    assert entries2[1].n_triples == entries[1].n_triples
+    # lineage lists exactly the files present
+    listed = set(entries2[1].extra["files"])
+    on_disk = set(glob.glob(os.path.join(out, "part=1", "nt", "*.nt")))
+    assert listed == on_disk
+    # total unique triples in the partition match the manifest count
+    lines = set()
+    for p in on_disk:
+        with open(p) as f:
+            lines.update(l for l in f.read().splitlines() if l)
+    assert len(lines) == entries2[1].n_triples

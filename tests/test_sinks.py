@@ -51,3 +51,61 @@ def test_graph_parquet_buckets(tmp_path):
     back = ray.data.read_parquet(out)
     assert back.count() == 3
     assert any(d.startswith("bucket=") for d in os.listdir(out))
+
+
+def test_turtle_round_trip(tmp_path):
+    """write_turtle output parses back (prefix resolution + escaping) to
+    exactly the triple set that went in — the reference's primary .ttl
+    output contract (RDFWriter.java:111-122)."""
+    from ifctordf_ray.sources.transcripts import transcripts_table
+    from ifctordf_ray.stages import extract
+
+    rows = [
+        {"conv_id": "c", "turn_idx": 0, "role": "user",
+         "text": 'num 12 dec 3.14 "quoted"\nnewline'},
+        {"conv_id": "c", "turn_idx": 1, "role": "tool", "tool": "search",
+         "text": "see #0"},
+    ]
+    ds = ray.data.from_arrow(transcripts_table(rows))
+    triples = extract.extract_grouped(ds)
+    expected = {
+        (r["subj"], r["pred"], r["obj"], r["obj_kind"])
+        for r in triples.take_all()
+    }
+    out = str(tmp_path / "ttl")
+    manifest = sinks.write_turtle(triples, out)
+    assert sum(m["n_triples"] for m in manifest) == len(expected)
+    got = set()
+    for name in os.listdir(out):
+        with open(os.path.join(out, name)) as f:
+            text = f.read()
+        assert text.startswith("# baseURI:")
+        assert "@prefix ont: <https://w3id.org/conv/ont#> ." in text
+        got |= sinks.parse_turtle(text)
+    assert got == expected
+
+
+def test_turtle_prefixed_vs_full_iri_terms():
+    t = _triples_table()
+    out = sinks.format_turtle(t)
+    lines = out.strip().split("\n")
+    # subject local part has '/': falls back to full IRI; class is prefixed
+    assert lines[0] == "<https://w3id.org/conv/inst/turn/c/0> a ont:Turn ."
+    assert '^^xsd:string' in lines[1]
+    assert '"0"^^xsd:integer' in lines[2]
+
+
+def test_iter_triples_streams_all_batches():
+    """S9 consumer (parseModelToStreamRdf analog): incremental batches
+    cover the full set exactly once."""
+    ds = ray.data.from_arrow(_triples_table())
+    seen = []
+    for batch in sinks.iter_triples(ds, batch_size=2):
+        assert isinstance(batch, pa.Table)
+        assert batch.num_rows <= 2
+        seen.extend(zip(*[batch[c].to_pylist()
+                          for c in ("subj", "pred", "obj", "obj_kind")]))
+    tt = _triples_table()
+    assert sorted(seen) == sorted(
+        zip(*[tt[c].to_pylist() for c in ("subj", "pred", "obj", "obj_kind")])
+    )
