@@ -32,6 +32,10 @@ def main(argv=None):
     r.add_argument("--from-events", action="store_true",
                    help="derive transcripts from <input>/events.parquet")
     r.add_argument("--parquet", action="store_true", help="also write bucketed parquet")
+    r.add_argument("--turtle", action="store_true",
+                   help="also write Turtle (.ttl with @prefix header) beside the N-Triples")
+    r.add_argument("--dedup-turns", action="store_true",
+                   help="collapse duplicate turns per conversation and redirect #N refs to the keeper")
     r.add_argument("--partitions", type=int, default=0,
                    help=">0: resumable partitioned run over input files")
     r.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
@@ -69,6 +73,7 @@ def main(argv=None):
             m = kg.run(
                 args.input, args.output, mode=args.mode,
                 from_events=args.from_events, parquet=args.parquet,
+                turtle=args.turtle, dedup_turns=args.dedup_turns,
             )
             print(json.dumps(m))
     finally:

@@ -30,9 +30,15 @@ from ifctordf_ray.stages.canonicalize import canonicalize_mentions
 from ifctordf_ray.state import checkpoint as ckpt
 
 
-def kg_triples(transcripts: ray.data.Dataset, mode: str = "fast") -> ray.data.Dataset:
+def kg_triples(
+    transcripts: ray.data.Dataset, mode: str = "fast", dedup_turns: bool = False
+) -> ray.data.Dataset:
     """Deduplicated triple set.  mode='fast' (map_batches, shuffle-free,
-    dense turn_idx) or 'grouped' (groupby(conv_id) flagship, any layout)."""
+    dense turn_idx) or 'grouped' (groupby(conv_id) flagship, any layout).
+    dedup_turns=True additionally collapses duplicate turns and redirects
+    '#N' refs to the keeper (J2; forces the grouped physical plan)."""
+    if dedup_turns:
+        return extract.extract_deduped(transcripts)
     if mode == "grouped":
         return extract.extract_grouped(transcripts)
     return extract.extract_fast(transcripts)
@@ -55,7 +61,8 @@ def kg_from_events(
 
 
 def materialize(
-    triples: ray.data.Dataset, out_dir: str, parquet: bool = False
+    triples: ray.data.Dataset, out_dir: str, parquet: bool = False,
+    turtle: bool = False,
 ) -> list[dict]:
     """Final sorted-shuffle materialization; returns manifest rows.
     kg_triples output is already subject-sorted (distinct() sorts on
@@ -70,6 +77,8 @@ def materialize(
     manifest = sinks.write_ntriples(triples, f"{out_dir}/nt", sort=False)
     if parquet:
         sinks.write_graph_parquet(triples, f"{out_dir}/parquet")
+    if turtle:
+        sinks.write_turtle(triples, f"{out_dir}/ttl", sort=False)
     from ifctordf_ray import schema as S
 
     os.makedirs(out_dir, exist_ok=True)
@@ -95,17 +104,27 @@ def run(
     mode: str = "fast",
     from_events: bool = True,
     parquet: bool = False,
+    turtle: bool = False,
+    dedup_turns: bool = False,
 ) -> dict:
     """One-shot (non-partitioned) flagship run.  Returns metrics."""
     t0 = time.time()
     if from_events:
-        triples = kg_from_events(source, mode=mode)
+        tr = None
+        if dedup_turns:
+            from ifctordf_ray.sources.transcripts import transcripts_from_events
+
+            triples = kg_triples(
+                transcripts_from_events(source), mode=mode, dedup_turns=True
+            )
+        else:
+            triples = kg_from_events(source, mode=mode)
     else:
         tr = read_transcripts(source)
-        if mode == "fast":
+        if mode == "fast" and not dedup_turns:
             tr = tr.materialize()  # two consumers: resolve pass + extraction
-        triples = kg_triples(tr, mode=mode)
-    manifest = materialize(triples, out_dir, parquet=parquet)
+        triples = kg_triples(tr, mode=mode, dedup_turns=dedup_turns)
+    manifest = materialize(triples, out_dir, parquet=parquet, turtle=turtle)
     n = sum(m["n_triples"] for m in manifest)
     return {
         "n_triples": n,

@@ -174,6 +174,36 @@ PRED_NAMES: tuple[str, ...] = tuple(p for p, _ in PRED_TABLE)
 PRED_KINDS: tuple[str, ...] = tuple(k for _, k in PRED_TABLE)
 
 
+# --------------------------------------------------------------------------
+# Compact WIRE prefix codes.  Inside the engine's shuffled triple tables
+# every URI term starts with one of a CLOSED set of prefixes; the wire
+# format replaces the prefix with ONE byte, cutting 4-15 bytes from each
+# of subj and (uri) obj on every row the sorted-dedup exchange moves.
+# Codes ascend in the prefixes' lexicographic order, so a range sort on
+# encoded terms induces the same cross-prefix block order as on decoded
+# terms — the sink's disjoint-subject-range manifest contract survives.
+# Literal objects are NEVER encoded (arbitrary text could start with a
+# code byte); decode is masked on obj_kind == 'uri'.
+# --------------------------------------------------------------------------
+WIRE_PREFIX_TABLE: tuple[tuple[str, str], ...] = (
+    ("\x01", "inst:conv/"),
+    ("\x02", "inst:dec/"),
+    ("\x03", "inst:num/"),
+    ("\x04", "inst:text/"),
+    ("\x05", "inst:turn/"),
+    ("\x06", "ont:Conversation"),
+    ("\x07", "ont:Turn"),
+    ("\x08", "ont:logical/"),
+    ("\x0b", "ont:role/"),   # skip \x09/\x0a (tab/newline: keep wire
+    ("\x0c", "ont:tool/"),   # strings free of whitespace control bytes)
+)
+W_CONV, W_DEC, W_NUM, W_TEXT, W_TURN, W_CLS_CONV, W_CLS_TURN, W_LOGICAL, W_ROLE, W_TOOL = (
+    c for c, _ in WIRE_PREFIX_TABLE
+)
+assert [p for _, p in WIRE_PREFIX_TABLE] == sorted(p for _, p in WIRE_PREFIX_TABLE)
+assert [c for c, _ in WIRE_PREFIX_TABLE] == sorted(c for c, _ in WIRE_PREFIX_TABLE)
+
+
 # sort key giving the reference's "first-seen wins" total order for
 # canonical-ID assignment (resolveDuplicates, IfcSpfParser.java:147-165):
 # lexicographic on conv_id then zero-padded turn_idx.  Must match the SQL

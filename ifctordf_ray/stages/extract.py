@@ -181,21 +181,42 @@ class ExtractTriples:
         )
 
 
-def decode_triples(ds: ray.data.Dataset) -> ray.data.Dataset:
+_WIRE_CODES = pa.array([c for c, _ in S.WIRE_PREFIX_TABLE])
+_WIRE_PREFIXES = pa.array([x for _, x in S.WIRE_PREFIX_TABLE])
+
+
+def _decode_wire_uris(arr) -> pa.Array:
+    """Vectorized wire-code -> full-prefix expansion for URI terms (one
+    slice + dictionary take + join; no per-row Python)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    first = pc.utf8_slice_codeunits(arr, 0, 1)
+    rest = pc.utf8_slice_codeunits(arr, 1, 1 << 30)
+    idx = pc.index_in(first, _WIRE_CODES).cast(pa.int32())
+    prefix = pa.DictionaryArray.from_arrays(idx, _WIRE_PREFIXES).cast(pa.string())
+    return pc.binary_join_element_wise(prefix, rest, "")
+
+
+def decode_compact_batch(t: pa.Table) -> pa.Table:
     """Compact wire format (subj, pred_id, obj) -> public triple schema
-    (subj, pred, obj, obj_kind).  pred/obj_kind strings exist only at the
-    edges; the shuffles move an int8."""
+    (subj, pred, obj, obj_kind): int8 pred decoded via dictionary take,
+    wire prefix codes expanded (subj always; obj only where the
+    predicate's object kind is uri — literals are never encoded)."""
+    ids = t["pred_id"].combine_chunks() if isinstance(t["pred_id"], pa.ChunkedArray) else t["pred_id"]
+    idx = ids.cast(pa.int32())
+    pred = pa.DictionaryArray.from_arrays(idx, pa.array(S.PRED_NAMES)).cast(pa.string())
+    kind = pa.DictionaryArray.from_arrays(idx, pa.array(S.PRED_KINDS)).cast(pa.string())
+    subj = _decode_wire_uris(t["subj"])
+    obj_raw = t["obj"].combine_chunks() if isinstance(t["obj"], pa.ChunkedArray) else t["obj"]
+    is_uri = pc.equal(kind, "uri")
+    obj = pc.if_else(is_uri, _decode_wire_uris(obj_raw), obj_raw)
+    return pa.table({"subj": subj, "pred": pred, "obj": obj, "obj_kind": kind})
 
-    def dec(t: pa.Table) -> pa.Table:
-        ids = t["pred_id"].combine_chunks() if isinstance(t["pred_id"], pa.ChunkedArray) else t["pred_id"]
-        idx = ids.cast(pa.int32())
-        pred = pa.DictionaryArray.from_arrays(idx, pa.array(S.PRED_NAMES)).cast(pa.string())
-        kind = pa.DictionaryArray.from_arrays(idx, pa.array(S.PRED_KINDS)).cast(pa.string())
-        return pa.table(
-            {"subj": t["subj"], "pred": pred, "obj": t["obj"], "obj_kind": kind}
-        )
 
-    return ds.map_batches(dec, batch_format="pyarrow")
+def decode_triples(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Dataset wrapper over decode_compact_batch — applied AFTER the
+    distinct shuffle, so the exchange moves wire-coded bytes."""
+    return ds.map_batches(decode_compact_batch, batch_format="pyarrow")
 
 
 def extract_batch_triples(
@@ -225,8 +246,8 @@ def extract_batch_triples(
     conv = batch["conv_id"].combine_chunks() if isinstance(batch["conv_id"], pa.ChunkedArray) else batch["conv_id"]
     idx = batch["turn_idx"]
     idx_str = pc.cast(idx, pa.string())
-    conv_iri = _str_concat("inst:conv/", conv)
-    turn_iri = _str_concat("inst:turn/", conv, "/", idx_str)
+    conv_iri = _str_concat(S.W_CONV, conv)
+    turn_iri = _str_concat(S.W_TURN, conv, "/", idx_str)
     role = batch["role"]
     tool = batch["tool"]
     text = batch["text"]
@@ -254,10 +275,10 @@ def extract_batch_triples(
         conv_type_mask if conv_type_mask is not None else pc.equal(idx, conv_type_idx)
     )
     emit(conv, conv_iri, S.RDF_TYPE,
-         pa.nulls(len(conv), pa.string()).fill_null(S.CLS_CONVERSATION),
+         pa.nulls(len(conv), pa.string()).fill_null(S.W_CLS_CONV),
          mask=first_mask)
     emit(conv, turn_iri, S.RDF_TYPE,
-         pa.nulls(len(conv), pa.string()).fill_null(S.CLS_TURN))
+         pa.nulls(len(conv), pa.string()).fill_null(S.W_CLS_TURN))
     # conv -hasTurn-> turn (SET-valued, T4)
     emit(conv, conv_iri, S.P_HAS_TURN, turn_iri)
     # turnIndex literal
@@ -267,23 +288,23 @@ def extract_batch_triples(
     emit(conv, turn_iri, S.P_AT_TIME, _str_concat(ts_lex, "^^" + S.XSD_DATETIME))
     # hasRole enum individual — unmatched emits nothing (ERROR 9 contract)
     role_ok = pc.is_in(role, pa.array(sorted(roles)))
-    emit(conv, turn_iri, S.P_HAS_ROLE, _str_concat("ont:role/", role), mask=role_ok)
+    emit(conv, turn_iri, S.P_HAS_ROLE, _str_concat(S.W_ROLE, role), mask=role_ok)
     # usedTool enum individual
     tool_ok = pc.and_kleene(pc.is_valid(tool), pc.is_in(tool, pa.array(sorted(tools))))
     tool_ok = pc.fill_null(tool_ok, False)
     emit(conv, turn_iri, S.P_USED_TOOL,
-         _str_concat("ont:tool/", pc.fill_null(tool, "")), mask=tool_ok)
+         _str_concat(S.W_TOOL, pc.fill_null(tool, "")), mask=tool_ok)
     # hasText -> canonical wrapper + wrapper hasString literal (T11/D3 analog)
     text_py = text.to_pylist()
     text_hash = pa.array(_md5_hex([t if t is not None else "" for t in text_py]), pa.string())
-    text_iri = _str_concat("inst:text/", text_hash)
+    text_iri = _str_concat(S.W_TEXT, text_hash)
     emit(conv, turn_iri, S.P_HAS_TEXT, text_iri)
     emit(conv, text_iri, S.P_HAS_STRING,
          _str_concat(pc.fill_null(text, ""), "^^" + S.XSD_STRING))
     # nextTurn chain (T7-T10 analog): arithmetic predecessor (dense idx)
     prev_mask = pc.greater(idx, 0)
     prev_iri = _str_concat(
-        "inst:turn/", conv, "/", pc.cast(pc.subtract(idx, 1), pa.string())
+        S.W_TURN, conv, "/", pc.cast(pc.subtract(idx, 1), pa.string())
     )
     emit(conv, prev_iri, S.P_NEXT_TURN, turn_iri, mask=prev_mask)
     # usedToolFlag xsd:boolean literal — tool PRESENCE, vocab-independent
@@ -300,10 +321,10 @@ def extract_batch_triples(
         pc.is_valid(text),
         pc.if_else(
             pc.equal(pc.fill_null(text, ""), ""),
-            pa.scalar("ont:logical/FALSE"),
-            pa.scalar("ont:logical/TRUE"),
+            pa.scalar(S.W_LOGICAL + "FALSE"),
+            pa.scalar(S.W_LOGICAL + "TRUE"),
         ),
-        pa.scalar("ont:logical/UNKNOWN"),
+        pa.scalar(S.W_LOGICAL + "UNKNOWN"),
     )
     emit(conv, turn_iri, S.P_TEXT_PRESENCE, pres)
 
@@ -331,7 +352,7 @@ def extract_batch_triples(
             r_tgt.append(m)
     if m_lex:
         turn_iri_py = turn_iri.to_pylist()
-        num_iri = pa.array([f"inst:num/{m}" for m in m_lex], pa.string())
+        num_iri = pa.array([S.W_NUM + m for m in m_lex], pa.string())
         src = pa.array([turn_iri_py[i] for i in m_turn], pa.string())
         cv = pa.array(m_conv, pa.string())
         emit(cv, src, S.P_MENTIONS_NUMBER, num_iri)
@@ -341,7 +362,7 @@ def extract_batch_triples(
         # decimal mentions: VERBATIM lexical xsd:double ("12." kept as-is,
         # golden test11 analog)
         turn_iri_py = turn_iri.to_pylist()
-        dec_iri = pa.array([f"inst:dec/{m}" for m in d_lex], pa.string())
+        dec_iri = pa.array([S.W_DEC + m for m in d_lex], pa.string())
         src = pa.array([turn_iri_py[i] for i in d_turn], pa.string())
         cv = pa.array(d_conv, pa.string())
         emit(cv, src, S.P_MENTIONS_DECIMAL, dec_iri)
@@ -358,7 +379,7 @@ def extract_batch_triples(
                 tgt_i = ref_redirect.get((cv, tgt_i), tgt_i)
             keep_c.append(cv)
             keep_s.append(turn_iri_py[i])
-            keep_o.append(f"inst:turn/{cv}/{tgt_i}")
+            keep_o.append(f"{S.W_TURN}{cv}/{tgt_i}")
         if keep_c:
             emit(
                 pa.array(keep_c, pa.string()),
@@ -376,34 +397,39 @@ def extract_batch_triples(
 
 class ExtractErrors:
     """Side-output error rows (the reference logs + aborts; we emit data —
-    SURVEY.md §7.3 abort semantics)."""
+    SURVEY.md §7.3 abort semantics).  Fully vectorized: two is_in masks +
+    filters, no per-row Python."""
 
     def __init__(self):
-        self.roles = frozenset(S.ROLES)
-        self.tools = frozenset(S.TOOLS)
+        self.roles_arr = pa.array(sorted(S.ROLES))
+        self.tools_arr = pa.array(sorted(S.TOOLS))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        conv, idx = [], []
-        code, detail = [], []
-        roles = batch["role"].to_pylist()
-        tools = batch["tool"].to_pylist()
-        conv_py = batch["conv_id"].to_pylist()
-        idx_py = batch["turn_idx"].to_pylist()
-        for i in range(batch.num_rows):
-            if roles[i] not in self.roles:
-                conv.append(conv_py[i]); idx.append(idx_py[i])
-                code.append(S.E_BAD_ROLE)
-                detail.append("" if roles[i] is None else str(roles[i]))
-            if tools[i] is not None and tools[i] not in self.tools:
-                conv.append(conv_py[i]); idx.append(idx_py[i])
-                code.append(S.E_BAD_TOOL); detail.append(str(tools[i]))
-        return pa.table(
-            {
-                "conv_id": pa.array(conv, pa.string()),
-                "turn_idx": pa.array(idx, pa.int32()),
-                "code": pa.array(code, pa.string()),
-                "detail": pa.array(detail, pa.string()),
-            }
+        role = batch["role"]
+        tool = batch["tool"]
+        # null role is a vocab violation too (detail '')
+        bad_role = pc.invert(pc.fill_null(pc.is_in(role, self.roles_arr), False))
+        bad_tool = pc.and_(
+            pc.is_valid(tool),
+            pc.invert(pc.fill_null(pc.is_in(tool, self.tools_arr), False)),
+        )
+
+        def rows(mask, code: str, detail_col) -> pa.Table:
+            t = pa.table(
+                {
+                    "conv_id": batch["conv_id"],
+                    "turn_idx": pc.cast(batch["turn_idx"], pa.int32()),
+                    "code": pa.nulls(batch.num_rows, pa.string()).fill_null(code),
+                    "detail": pc.cast(pc.fill_null(detail_col, ""), pa.string()),
+                }
+            )
+            return t.filter(mask)
+
+        return pa.concat_tables(
+            [
+                rows(bad_role, S.E_BAD_ROLE, role),
+                rows(bad_tool, S.E_BAD_TOOL, tool),
+            ]
         )
 
 
@@ -604,12 +630,12 @@ def extract_conversation_group(group: pa.Table) -> pa.Table:
             {
                 "conv_id": pa.array([cid] * (len(idx) - 1), pa.string()),
                 "subj": pa.array(
-                    [f"inst:turn/{cid}/{idx[k]}" for k in range(len(idx) - 1)],
+                    [f"{S.W_TURN}{cid}/{idx[k]}" for k in range(len(idx) - 1)],
                     pa.string(),
                 ),
                 "pred_id": pa.array([nt_id] * (len(idx) - 1), pa.int8()),
                 "obj": pa.array(
-                    [f"inst:turn/{cid}/{idx[k + 1]}" for k in range(len(idx) - 1)],
+                    [f"{S.W_TURN}{cid}/{idx[k + 1]}" for k in range(len(idx) - 1)],
                     pa.string(),
                 ),
             }
@@ -816,7 +842,7 @@ def _extract_sorted_block(t: pa.Table, dedup: bool = False) -> pa.Table:
     if sub.num_rows > 1:
         sconv = sub["conv_id"].combine_chunks() if isinstance(sub["conv_id"], pa.ChunkedArray) else sub["conv_id"]
         sidx = pc.cast(sub["turn_idx"], pa.string())
-        t_iri = _str_concat("inst:turn/", sconv, "/", sidx)
+        t_iri = _str_concat(S.W_TURN, sconv, "/", sidx)
         m = sub.num_rows
         same = pc.equal(sconv.slice(1), sconv.slice(0, m - 1))
         nt = pa.table(
@@ -905,12 +931,12 @@ def _extract_chunk_group(group: pa.Table) -> pa.Table:
             {
                 "conv_id": pa.array([cid] * (len(idx) - 1), pa.string()),
                 "subj": pa.array(
-                    [f"inst:turn/{cid}/{idx[k]}" for k in range(len(idx) - 1)],
+                    [f"{S.W_TURN}{cid}/{idx[k]}" for k in range(len(idx) - 1)],
                     pa.string(),
                 ),
                 "pred_id": pa.array([nt_id] * (len(idx) - 1), pa.int8()),
                 "obj": pa.array(
-                    [f"inst:turn/{cid}/{idx[k + 1]}" for k in range(len(idx) - 1)],
+                    [f"{S.W_TURN}{cid}/{idx[k + 1]}" for k in range(len(idx) - 1)],
                     pa.string(),
                 ),
             }
@@ -967,10 +993,10 @@ def extract_salted(
         conv = g["conv_id"].combine_chunks() if isinstance(g["conv_id"], pa.ChunkedArray) else g["conv_id"]
         same = pc.equal(conv.slice(1), conv.slice(0, n - 1))
         hi_iri = _str_concat(
-            "inst:turn/", conv, "/", pc.cast(g["hi"], pa.string())
+            S.W_TURN, conv, "/", pc.cast(g["hi"], pa.string())
         )
         lo_iri = _str_concat(
-            "inst:turn/", conv, "/", pc.cast(g["lo"], pa.string())
+            S.W_TURN, conv, "/", pc.cast(g["lo"], pa.string())
         )
         return pa.table(
             {

@@ -79,12 +79,14 @@ def pure_fast_path(rows):
         tools=frozenset(S.TOOLS),
         ref_targets=None,
     )
+    dec = extract.decode_compact_batch(out)
     return {
-        (s, S.PRED_NAMES[p], o, S.PRED_KINDS[p])
-        for s, p, o in zip(
-            out["subj"].to_pylist(),
-            out["pred_id"].to_pylist(),
-            out["obj"].to_pylist(),
+        (s, p, o, k)
+        for s, p, o, k in zip(
+            dec["subj"].to_pylist(),
+            dec["pred"].to_pylist(),
+            dec["obj"].to_pylist(),
+            dec["obj_kind"].to_pylist(),
         )
     }
 
