@@ -144,12 +144,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _stage("textstats", "fingerprints"),
         # --- dedup ---
         "doc_exact_duplicates": _stage("dedup", "exact_duplicates"),
+        "doc_deduped_ids": _stage("dedup", "deduped_doc_ids"),
         "doc_minhash_near_dups": _stage("dedup", "near_dup_pairs_minhash"),
         "doc_simhash": _stage("dedup", "simhash_fingerprints"),
         "doc_verified_near_dups": _stage("dedup", "verified_near_dups"),
         # --- similarity search ---
         "emb_knn_brute_force": _stage("similarity", "knn_brute_force"),
         "emb_knn_lsh": _stage("similarity", "knn_lsh"),
+        "emb_knn_ivf": _stage("similarity", "knn_ivf"),
         "emb_near_dup_pairs": _stage("similarity", "near_dup_pairs_cosine"),
         # --- multimodal plumbing ---
         "mm_media_features": _stage("multimodal", "media_features"),
@@ -193,6 +195,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": T.lang_id_sql(),
         "doc_fingerprints": T.fingerprints_sql(),
         "doc_exact_duplicates": D.exact_duplicates_sql(),
+        "doc_deduped_ids": D.deduped_doc_ids_sql(),
         # md5-derived hash spec == DuckDB md5_number_upper, so the full
         # minhash/LSH/simhash pipelines have exact SQL replicas:
         "doc_minhash_near_dups": D.near_dup_pairs_minhash_sql(),
@@ -200,6 +203,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_verified_near_dups": D.verified_near_dups_sql(),
         "emb_knn_brute_force": SIM.knn_brute_force_sql(),
         "emb_knn_lsh": SIM.knn_lsh_sql(),
+        "emb_knn_ivf": SIM.knn_ivf_sql(),
         "emb_near_dup_pairs": SIM.near_dup_pairs_cosine_sql(),
         "mm_media_stats": MM.media_stats_sql(),
         # mm_media_features: the decode stub's feature math (seeded RNG

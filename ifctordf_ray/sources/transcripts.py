@@ -42,14 +42,41 @@ TRANSCRIPT_SCHEMA = pa.schema(
 )
 
 def clean_read_parquet(path, **kwargs) -> "ray.data.Dataset":
-    """ray.data.read_parquet + schema-metadata strip.  The driver's
-    pandas-written parquet carries b'pandas' schema metadata whose nested
-    dict makes pa.Schema unhashable — every downstream sort/union then
-    logs 'Failed to hash the schemas (for deduplication)' per reduce task
-    (Ray's schema dedup calls set(schemas)).  Stripping at the read edge
-    (fused into the first map stage) keeps real warnings visible."""
+    """ray.data.read_parquet with pandas schema metadata stripped.  The
+    driver's pandas-written parquet carries b'pandas' schema metadata
+    whose nested dict makes pa.Schema unhashable — every downstream
+    sort/union then logs 'Failed to hash the schemas (for deduplication)'
+    per reduce task (Ray's schema dedup calls set(schemas)).
+
+    Preferred path: pass read_parquet an explicit metadata-free schema
+    (projected to `columns`) built from one file footer — zero extra
+    stages and even the read op's own schema dedup stays quiet.  Fallback
+    (globs/dirs where a footer isn't cheaply resolvable): a strip map
+    fused into the first stage."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
     import ray.data as _rd
 
+    if "schema" not in kwargs:
+        probe = path[0] if isinstance(path, (list, tuple)) else path
+        f = None
+        if isinstance(probe, str) and probe.endswith(".parquet") and _os.path.isfile(probe):
+            f = probe
+        elif isinstance(probe, str) and _os.path.isdir(probe):
+            hits = sorted(_glob.glob(_os.path.join(probe, "*.parquet")))
+            f = hits[0] if hits else None
+        if f is not None:
+            try:
+                full = _pq.read_schema(f).remove_metadata()
+                cols = kwargs.get("columns")
+                schema = (
+                    pa.schema([full.field(c) for c in cols]) if cols else full
+                )
+                return _rd.read_parquet(path, schema=schema, **kwargs)
+            except Exception:
+                pass  # fall through to the strip map
     return _rd.read_parquet(path, **kwargs).map_batches(
         lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
     )

@@ -479,6 +479,49 @@ def exact_duplicates(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def deduped_doc_ids(sf_dir: str, num_partitions: int | None = None) -> ray.data.Dataset:
+    """The APPLIED exact dedup: the surviving doc ids after dropping every
+    non-first duplicate — what a training-data pipeline actually feeds
+    downstream.  Physical shape: fingerprint map -> groupby(min) keepers
+    -> hash join back on fingerprint -> keep rows where doc_id is the
+    keeper.  Both sides distributed; no driver state."""
+    from ifctordf_ray.stages.textstats import Fingerprinter
+    from ifctordf_ray.tuning import join_kwargs
+
+    ds = _clean_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    fps = ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 4))
+    keepers = fps.groupby("fingerprint").aggregate(
+        Min("doc_id", alias_name="keep_doc_id")
+    ).map_batches(
+        lambda t: pa.table({"fp": t["fingerprint"], "keep_doc_id": t["keep_doc_id"]}),
+        batch_format="pyarrow",
+    )
+    joined = fps.join(
+        keepers, join_type="inner", on=("fingerprint",), right_on=("fp",),
+        **join_kwargs(num_partitions),
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["doc_id"], t["keep_doc_id"])).select(["doc_id"])
+
+    return joined.map_batches(keep, batch_format="pyarrow")
+
+
+def deduped_doc_ids_sql() -> str:
+    return r"""
+    SELECT doc_id FROM (
+        SELECT doc_id, min(doc_id) OVER (
+            PARTITION BY md5(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))
+        ) AS keep
+        FROM documents
+    ) WHERE doc_id = keep
+    """
+
+
 def exact_duplicates_sql() -> str:
     return r"""
     SELECT md5(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS fingerprint,

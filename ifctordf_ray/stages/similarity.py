@@ -268,6 +268,140 @@ def knn_lsh_sql(
 
 
 # ---------------------------------------------------------------------------
+# IVF-style ANN (coarse quantizer buckets; the other classic scale path)
+# ---------------------------------------------------------------------------
+IVF_NC = 16      # number of coarse centroids
+IVF_NPROBE = 4   # probed centroids per query
+
+
+class IvfAssigner:
+    """Actor-pool stage: assign each vector to its nearest centroid
+    (cosine, 6-dp rounded, tie -> lowest centroid id).  Centroid matrix
+    fetched once per actor."""
+
+    def __init__(self, centroids_ref):
+        self.c_ids, c = ray.get(centroids_ref)
+        self.cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        embs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(embs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = np.round((embs / norms) @ self.cn.T, ROUND_DP)
+        # argmax returns the FIRST max -> lowest centroid id (ids sorted)
+        assign = self.c_ids[np.argmax(sims, axis=1)]
+        return batch.append_column("centroid", pa.array(assign, pa.int64()))
+
+
+def knn_ivf(
+    sf_dir: str, k: int = DEFAULT_K, nq: int = DEFAULT_NQ,
+    nc: int = IVF_NC, nprobe: int = IVF_NPROBE,
+) -> ray.data.Dataset:
+    """IVF-bucketed approximate top-k: a deterministic coarse quantizer
+    (centroids = the NC lowest vec_ids' embeddings — data-derived yet
+    SQL-replicable, standing in for trained k-means centroids) assigns
+    every vector to its nearest centroid; each query probes its NPROBE
+    nearest centroids and only vectors in probed buckets are scored.
+    At cluster scale the assignment is a narrow map and the probe filter
+    drops (1 - nprobe/nc) of the corpus before any scoring."""
+    c_ids, cmat = _load_queries(sf_dir, nc)  # NC lowest ids as centroids
+    cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    q_ids, qmat = _load_queries(sf_dir, nq)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qsims = np.round(qn @ cn.T, ROUND_DP)  # (nq, nc)
+    probe: set[int] = set()
+    for row in qsims:
+        # rank centroids by (sim DESC, centroid id ASC)
+        order = sorted(range(len(c_ids)), key=lambda j: (-row[j], c_ids[j]))
+        probe.update(int(c_ids[j]) for j in order[:nprobe])
+    probe_arr = pa.array(sorted(probe), pa.int64())
+
+    cent_ref = ray.put((c_ids, cmat))
+    q_ref = ray.put((q_ids, qmat))
+    ds = _clean_read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    assigned = ds.map_batches(
+        IvfAssigner,
+        fn_constructor_kwargs={"centroids_ref": cent_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def keep_probed(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t["centroid"], probe_arr)).drop_columns(
+            ["centroid"]
+        )
+
+    candidates = assigned.map_batches(keep_probed, batch_format="pyarrow")
+    scored = candidates.map_batches(
+        CosineScorer,
+        fn_constructor_kwargs={"queries_ref": q_ref},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+    return scored.groupby("query_id").map_groups(
+        lambda g: _topk_per_query(g, k), batch_format="pyarrow"
+    )
+
+
+def knn_ivf_sql(
+    k: int = DEFAULT_K, nq: int = DEFAULT_NQ,
+    nc: int = IVF_NC, nprobe: int = IVF_NPROBE,
+) -> str:
+    """Exact DuckDB replica of knn_ivf: centroids, assignment, probing and
+    scoring all computed IN SQL (data-independent oracle string)."""
+    return f"""
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding AS ce
+        FROM embeddings ORDER BY vec_id LIMIT {nc}
+    ), assign_ranked AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(c.ce AS DOUBLE[])), {ROUND_DP}) DESC, c.cid ASC
+               ) AS rn
+        FROM embeddings e, cent c
+    ), assigned AS (
+        SELECT vec_id, embedding, cid AS centroid FROM assign_ranked WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings ORDER BY vec_id LIMIT {nq}
+    ), probe_ranked AS (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(
+                       CAST(q.qe AS DOUBLE[]),
+                       CAST(c.ce AS DOUBLE[])), {ROUND_DP}) DESC, c.cid ASC
+               ) AS rn
+        FROM q, cent c
+    ), probe AS (
+        SELECT DISTINCT cid FROM probe_ranked WHERE rn <= {nprobe}
+    ), cands AS (
+        SELECT vec_id, embedding FROM assigned
+        WHERE centroid IN (SELECT cid FROM probe)
+    ), scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(
+                   CAST(c.embedding AS DOUBLE[]),
+                   CAST(q.qe AS DOUBLE[])), {ROUND_DP}) AS sim
+        FROM cands c, q
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-duplicate pairs
 # ---------------------------------------------------------------------------
 NEAR_DUP_THRESHOLD = 0.45

@@ -55,3 +55,19 @@ def test_knn_lsh_recall():
         key = (r["query_id"], r["neighbor_id"])
         if key in sim_e:
             assert r["sim"] == sim_e[key]
+
+
+def test_knn_ivf_recall_and_sim_parity():
+    exact = similarity.knn_brute_force(SF, k=10, nq=5).take_all()
+    approx = similarity.knn_ivf(SF, k=10, nq=5).take_all()
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert len(e & a) / len(e) >= 0.3  # random vectors: IVF worst case
+    # self-match survives (the query's own bucket is always probed)
+    for q in {r["query_id"] for r in approx}:
+        assert (q, q) in a
+    sim_e = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in sim_e:
+            assert r["sim"] == sim_e[key]
