@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_orders_per_customer": _rel("top_orders_per_customer"),
         "rel_active_entity_keys": _rel("active_entity_keys"),
         "rel_user_running_totals": _rel("user_running_totals"),
+        "rel_value_quantiles": _rel("value_quantiles"),
         # --- text analysis ---
         "doc_token_counts": _stage("textstats", "token_counts"),
         "doc_quality_scores": _stage("textstats", "quality_scores"),
@@ -190,6 +191,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_top_orders_per_customer": R.top_orders_per_customer_sql(),
         "rel_active_entity_keys": R.active_entity_keys_sql(),
         "rel_user_running_totals": R.user_running_totals_sql(),
+        "rel_value_quantiles": R.value_quantiles_sql(),
         "doc_token_counts": T.token_counts_sql(),
         "doc_quality_scores": T.quality_scores_sql(),
         "doc_lang_id": T.lang_id_sql(),

@@ -534,3 +534,79 @@ def user_running_totals_sql() -> str:
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
     FROM events
     """
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles (histogram pre-aggregation, no full sort)
+# ---------------------------------------------------------------------------
+QUANTILES = (("p50_cents", 0.5), ("p95_cents", 0.95), ("p99_cents", 0.99))
+
+
+def value_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-event-type value quantiles (percentile_disc semantics:
+    the first value whose cumulative fraction reaches q).
+
+    Physical shape for scale: NOT a per-group sort of raw rows — the
+    integer-cents value domain is bounded, so an algebraic
+    groupby(event_type, value) count builds a pre-combined histogram
+    (the shuffle moves one row per (block, type, distinct value)), and
+    the quantile selection walks each type's small histogram.  At 100x
+    data the histogram size is unchanged."""
+    from ifctordf_ray.sources.transcripts import clean_read_parquet
+
+    ds = clean_read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": t["event_type"], "v": _cents(t["value"])}
+        )
+
+    hist = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "v"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def pick(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        g = group.sort_by("v")
+        v = g["v"].to_numpy()
+        n = g["n"].to_numpy()
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        row = {"event_type": [g["event_type"][0].as_py()]}
+        for name, q in QUANTILES:
+            # percentile_disc: first v with cum/total >= q
+            i = int(np.searchsorted(cum, q * total, side="left"))
+            if cum[i] < q * total:  # float guard
+                i += 1
+            row[name] = [int(v[i])]
+        return pa.table(
+            {
+                "event_type": pa.array(row["event_type"], pa.string()),
+                **{
+                    name: pa.array(row[name], pa.int64())
+                    for name, _ in QUANTILES
+                },
+            }
+        )
+
+    return hist.groupby("event_type").map_groups(pick, batch_format="pyarrow")
+
+
+def value_quantiles_sql() -> str:
+    cols = ",\n           ".join(
+        f"CAST(percentile_disc({q}) WITHIN GROUP (ORDER BY v) AS BIGINT) AS {name}"
+        for name, q in QUANTILES
+    )
+    return f"""
+    SELECT event_type,
+           {cols}
+    FROM (SELECT event_type,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+          FROM events)
+    GROUP BY event_type
+    """
