@@ -57,12 +57,15 @@ def _run_benchmarks() -> dict:
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     # memory-bandwidth-aware execution cap (see ifctordf_ray/tuning.py):
-    # beyond ~12 concurrent tasks the sorted exchange thrashes this box's
-    # shared memory bus (measured 99.8 s uncapped vs 38.8 s capped at 32
-    # session CPUs).  Only applied when the session exceeds the cap.
+    # past the memory bus's sustainable stream count more concurrent
+    # sort/format tasks REDUCE throughput.  Round-2 sweep at 32 session
+    # CPUs: cap 8 -> 21.4-21.6 s, cap 12 -> 24.6 s, cap 16 -> 33.1 s,
+    # uncapped regime worse still — the vectorized writer shifted the
+    # optimum down from round 1's 12 (less compute to hide bus stalls).
+    # Only applied when the session exceeds the cap.
     from ifctordf_ray import tuning
 
-    cap = int(os.environ.get("GRAFT_EXEC_CPU_CAP", "12"))
+    cap = int(os.environ.get("GRAFT_EXEC_CPU_CAP", "8"))
     if num_cpus > cap:
         tuning.apply_exec_cpu_cap(cap)
 
