@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_scores": _stage("textstats", "quality_scores"),
         "doc_lang_id": _stage("textstats", "lang_id"),
         "doc_fingerprints": _stage("textstats", "fingerprints"),
+        "doc_sample": _stage("textstats", "sample_docs"),
         # --- dedup ---
         "doc_exact_duplicates": _stage("dedup", "exact_duplicates"),
         "doc_deduped_ids": _stage("dedup", "deduped_doc_ids"),
@@ -154,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_lsh": _stage("similarity", "knn_lsh"),
         "emb_knn_ivf": _stage("similarity", "knn_ivf"),
         "emb_near_dup_pairs": _stage("similarity", "near_dup_pairs_cosine"),
+        "emb_near_dup_pairs_lsh": _stage("similarity", "near_dup_pairs_lsh"),
         # --- multimodal plumbing ---
         "mm_media_features": _stage("multimodal", "media_features"),
         "mm_media_stats": _stage("multimodal", "media_stats"),
@@ -196,6 +198,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_scores": T.quality_scores_sql(),
         "doc_lang_id": T.lang_id_sql(),
         "doc_fingerprints": T.fingerprints_sql(),
+        "doc_sample": T.sample_docs_sql(),
         "doc_exact_duplicates": D.exact_duplicates_sql(),
         "doc_deduped_ids": D.deduped_doc_ids_sql(),
         # md5-derived hash spec == DuckDB md5_number_upper, so the full
@@ -207,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_knn_lsh": SIM.knn_lsh_sql(),
         "emb_knn_ivf": SIM.knn_ivf_sql(),
         "emb_near_dup_pairs": SIM.near_dup_pairs_cosine_sql(),
+        "emb_near_dup_pairs_lsh": SIM.near_dup_pairs_lsh_sql(),
         "mm_media_stats": MM.media_stats_sql(),
         # mm_media_features: the decode stub's feature math (seeded RNG
         # image fake + FFT) is outside SQL's reach -> rows-only check;

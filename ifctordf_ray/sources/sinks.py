@@ -220,27 +220,67 @@ def turtle_header(base: str | None = None) -> str:
     return "\n".join(lines) + "\n\n"
 
 
+def _term_turtle_vec(arr) -> pa.Array:
+    """Vectorized CURIE -> Turtle term: prefixed name where the local part
+    is PN_LOCAL-safe, else <full IRI>.  The safety test vectorizes as a
+    regex match on the whole CURIE."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    import pyarrow.compute as pc
+
+    pfx_alt = "|".join(S.PREFIXES)
+    safe = pc.match_substring_regex(
+        arr, pattern=rf"^({pfx_alt}):[A-Za-z0-9_][A-Za-z0-9_.-]*$"
+    )
+    safe = pc.and_(safe, pc.invert(pc.ends_with(arr, pattern=".")))
+    return pc.if_else(safe, arr, _expand_curies_vec(arr))
+
+
 def format_turtle(batch: pa.Table) -> str:
-    """Triples -> Turtle statements (no header).  Literal escaping and
-    datatype handling shared with the N-Triples writer; object lists are
-    not compacted (one statement per triple keeps the writer streaming)."""
-    subj = batch["subj"].to_pylist()
-    pred = batch["pred"].to_pylist()
-    obj = batch["obj"].to_pylist()
-    kind = batch["obj_kind"].to_pylist()
-    lines = []
-    for s, p, o, k in zip(subj, pred, obj, kind):
-        pt = "a" if p == S.RDF_TYPE else _term_turtle(p)
-        if k == "uri":
-            ot = _term_turtle(o)
-        else:
-            lex, sep, dtype = o.rpartition("^^")
-            if sep and dtype in _KNOWN_DTYPES:
-                ot = f'"{lex.translate(_ESCAPES)}"^^{_term_turtle(dtype)}'
-            else:
-                ot = f'"{o.translate(_ESCAPES)}"'
-        lines.append(f"{_term_turtle(s)} {pt} {ot} .")
-    return "\n".join(lines) + ("\n" if lines else "")
+    """Triples -> Turtle statements (no header), Arrow-vectorized like
+    format_ntriples.  Literal escaping and datatype handling shared with
+    the N-Triples writer; object lists are not compacted (one statement
+    per triple keeps the writer streaming)."""
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    if n == 0:
+        return ""
+    subj = _term_turtle_vec(batch["subj"])
+    pred_raw = batch["pred"].combine_chunks() if isinstance(batch["pred"], pa.ChunkedArray) else batch["pred"]
+    pred = pc.if_else(
+        pc.equal(pred_raw, S.RDF_TYPE), pa.scalar("a"), _term_turtle_vec(pred_raw)
+    )
+    obj = batch["obj"].combine_chunks() if isinstance(batch["obj"], pa.ChunkedArray) else batch["obj"]
+    kind = batch["obj_kind"]
+    is_uri = pc.equal(kind, "uri")
+
+    lex_all = obj
+    dtype_tag = pa.nulls(n, pa.string())
+    for dt in _KNOWN_DTYPES:
+        sfx = "^^" + dt
+        has = pc.ends_with(lex_all, pattern=sfx)
+        if pc.any(has).as_py():
+            rev = pc.utf8_reverse(lex_all)
+            stripped = pc.utf8_reverse(
+                pc.replace_substring(rev, pattern=sfx[::-1], replacement="",
+                                     max_replacements=1)
+            )
+            lex_all = pc.if_else(has, stripped, lex_all)
+            dtype_tag = pc.if_else(has, pa.scalar(dt), dtype_tag)
+    esc = _escape_literals_vec(lex_all)
+    quoted = pc.binary_join_element_wise(
+        pa.nulls(n, pa.string()).fill_null('"'), esc, '"', ""
+    )
+    with_dt = pc.binary_join_element_wise(
+        quoted, "^^", _term_turtle_vec(dtype_tag.combine_chunks() if isinstance(dtype_tag, pa.ChunkedArray) else dtype_tag), ""
+    )
+    lit = pc.if_else(pc.is_valid(dtype_tag), with_dt, quoted)
+    obj_term = pc.if_else(is_uri, _term_turtle_vec(obj), lit)
+    lines = pc.binary_join_element_wise(subj, pred, obj_term, ".", " ")
+    flat = lines.combine_chunks() if isinstance(lines, pa.ChunkedArray) else lines
+    list_arr = pa.ListArray.from_arrays(pa.array([0, n], pa.int32()), flat)
+    return pc.binary_join(list_arr, "\n")[0].as_py() + "\n"
 
 
 def write_turtle_batch(batch: pa.Table, out_dir: str) -> pa.Table:

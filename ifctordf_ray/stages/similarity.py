@@ -268,6 +268,146 @@ def knn_lsh_sql(
 
 
 # ---------------------------------------------------------------------------
+# banded hyperplane LSH near-dup pairs (sub-quadratic scale path for the
+# exact tiled all-pairs operator)
+# ---------------------------------------------------------------------------
+PAIR_LSH_TABLES = 4   # L hash tables ...
+PAIR_LSH_BITS = 4     # ... of b hyperplane bits each (planes 0..L*b-1)
+PAIR_MAX_BUCKET = 200
+
+
+def near_dup_pairs_lsh(
+    sf_dir: str, threshold: float = 0.45,
+    tables: int = PAIR_LSH_TABLES, bits: int = PAIR_LSH_BITS,
+) -> ray.data.Dataset:
+    """Approximate embedding near-dup pairs: candidates = pairs sharing
+    at least one of L hyperplane sign-codes (banded LSH — each table is
+    an independent b-bit code), verified by exact cosine >= threshold
+    inside the bucket, deduplicated across tables by a groupby.
+
+    This is the sub-quadratic scale path next to the exact tiled
+    `near_dup_pairs_cosine`: the only shuffle is the bucket groupby
+    (L rows/vector), and compute is bounded by bucket sizes (capped).
+    Deterministic (seeded planes) and exactly replicated in SQL."""
+    planes = _hyperplanes(EMB_DIM, nbits=tables * bits)
+    planes_ref = ray.put(planes)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        embs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        signs = (embs @ pl.T) > 0  # (n, L*b)
+        out_vec, out_tbl, out_code, out_emb = [], [], [], []
+        vec_ids = t["vec_id"].to_pylist()
+        emb_list = t["embedding"].to_pylist()
+        w = 1 << np.arange(bits)
+        for ti in range(tables):
+            codes = signs[:, ti * bits : (ti + 1) * bits] @ w
+            out_vec.extend(vec_ids)
+            out_tbl.extend([ti] * len(vec_ids))
+            out_code.extend(int(c) for c in codes)
+            out_emb.extend(emb_list)
+        return pa.table(
+            {
+                "vec_id": pa.array(out_vec, pa.int64()),
+                "tbl": pa.array(out_tbl, pa.int32()),
+                "code": pa.array(out_code, pa.int64()),
+                "embedding": pa.array(out_emb, t["embedding"].type),
+            }
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        empty = pa.table(
+            {
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        if n < 2:
+            return empty
+        ids = np.asarray(g["vec_id"].to_pylist(), dtype=np.int64)
+        order = np.argsort(ids)[:PAIR_MAX_BUCKET]
+        ids = ids[order]
+        embs = np.asarray(g["embedding"].to_pylist(), dtype=np.float64)[order]
+        norms = np.linalg.norm(embs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        embs = embs / norms
+        sims = np.round(embs @ embs.T, ROUND_DP)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sims[ii, jj] >= threshold
+        ii, jj = ii[keep], jj[keep]
+        a, b = ids[ii], ids[jj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {
+                "vec_a": pa.array(lo, pa.int64()),
+                "vec_b": pa.array(hi, pa.int64()),
+                "sim": pa.array(sims[ii, jj], pa.float64()),
+            }
+        )
+
+    ds = _clean_read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    buckets = ds.map_batches(bucketize, batch_format="pyarrow")
+    pairs = buckets.groupby(["tbl", "code"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
+        Min("sim", alias_name="sim")
+    )
+
+
+def near_dup_pairs_lsh_sql(
+    threshold: float = 0.45,
+    tables: int = PAIR_LSH_TABLES, bits: int = PAIR_LSH_BITS,
+) -> str:
+    planes = _hyperplanes(EMB_DIM, nbits=tables * bits)
+    dot_cols = ",\n           ".join(
+        "list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ",".join(repr(x) for x in planes[i])
+        + f"]) AS d{i}"
+        for i in range(tables * bits)
+    )
+    code_selects = []
+    for ti in range(tables):
+        expr = " + ".join(
+            f"(CASE WHEN d{ti * bits + j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(bits)
+        )
+        code_selects.append(
+            f"SELECT vec_id, embedding, {ti} AS tbl, {expr} AS code FROM dots"
+        )
+    codes_union = "\n        UNION ALL\n        ".join(code_selects)
+    return f"""
+    WITH dots AS (
+        SELECT vec_id, embedding,
+           {dot_cols}
+        FROM embeddings
+    ), codes AS (
+        {codes_union}
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM codes a JOIN codes b
+          ON a.tbl = b.tbl AND a.code = b.code AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           round(list_cosine_similarity(
+               CAST(ea.embedding AS DOUBLE[]),
+               CAST(eb.embedding AS DOUBLE[])), {ROUND_DP}) AS sim
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_b
+    WHERE round(list_cosine_similarity(
+        CAST(ea.embedding AS DOUBLE[]),
+        CAST(eb.embedding AS DOUBLE[])), {ROUND_DP}) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
 # IVF-style ANN (coarse quantizer buckets; the other classic scale path)
 # ---------------------------------------------------------------------------
 IVF_NC = 16      # number of coarse centroids

@@ -204,3 +204,37 @@ def fingerprints_sql() -> str:
            md5(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS fingerprint
     FROM documents
     """
+
+
+SAMPLE_PCT = 10  # deterministic 10% sample
+
+
+def sample_docs(sf_dir: str, pct: int = SAMPLE_PCT) -> ray.data.Dataset:
+    """Deterministic hash-based sampling: keep doc_id iff
+    stable_hash64(str(doc_id)) % 100 < pct.  Unlike Dataset.random_sample
+    this is reproducible across runs/cluster sizes and exactly
+    SQL-replicable (md5_number_upper) — the sampling contract a
+    training-data pipeline needs for auditable subsets.  Pure narrow map:
+    no shuffle, scales with the read."""
+    from ifctordf_ray.functions.kernels import stable_hash64
+
+    ds = _clean_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pa.array(
+            [stable_hash64(str(d)) % 100 < pct for d in t["doc_id"].to_pylist()]
+        )
+        return t.filter(keep)
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def sample_docs_sql(pct: int = SAMPLE_PCT) -> str:
+    return f"""
+    SELECT doc_id, n_chars FROM documents
+    WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < {pct}
+    """
