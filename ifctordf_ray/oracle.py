@@ -33,6 +33,8 @@ def extract_reference(
     num_re = re.compile(S.NUM_RE)
     ref_re = re.compile(S.REF_RE)
     dec_re = re.compile(S.DEC_RE)
+    outer_re = re.compile(S.OUTER_LIST_RE)
+    inner_re = re.compile(S.INNER_LIST_RE)
     convs: dict[str, list[dict]] = defaultdict(list)
     for r in rows:
         convs[r["conv_id"]].append(r)
@@ -127,6 +129,32 @@ def extract_reference(
                 conv_triples.add(
                     (dw, S.P_HAS_DOUBLE, S.typed_literal(m, S.XSD_DOUBLE), "literal")
                 )
+            for olex in outer_re.findall(text):
+                conv_triples.add(
+                    (t_iri, S.P_MENTIONS_LIST, S.list_node_iri(olex, 0), "uri")
+                )
+                inners = inner_re.findall(olex)
+                for oi, ilex in enumerate(inners):
+                    conv_triples.add(
+                        (S.list_node_iri(olex, oi), S.P_HAS_CONTENTS,
+                         S.list_node_iri(ilex, 0), "uri")
+                    )
+                    if oi + 1 < len(inners):
+                        conv_triples.add(
+                            (S.list_node_iri(olex, oi), S.P_HAS_NEXT,
+                             S.list_node_iri(olex, oi + 1), "uri")
+                        )
+                    cells = ilex.split(",")
+                    for j, d in enumerate(cells):
+                        conv_triples.add(
+                            (S.list_node_iri(ilex, j), S.P_HAS_CONTENTS,
+                             S.num_wrapper_iri(d), "uri")
+                        )
+                        if j + 1 < len(cells):
+                            conv_triples.add(
+                                (S.list_node_iri(ilex, j), S.P_HAS_NEXT,
+                                 S.list_node_iri(ilex, j + 1), "uri")
+                            )
             for m in ref_re.findall(text):
                 tgt = redirect.get(int(m), int(m))
                 conv_triples.add(

@@ -56,6 +56,9 @@ P_MENTIONS_DECIMAL = "ont:mentionsDecimal"  # turn -> canonical decimal wrapper
 P_HAS_DOUBLE = "ont:hasDouble"        # wrapper -> xsd:double literal (VERBATIM lexical incl. "12." — P5/test11 analog, RDFWriter.java:674-686)
 P_TOOL_FLAG = "ont:usedToolFlag"      # turn -> xsd:boolean literal (P5 boolean dispatch analog, RDFWriter.java:687-695)
 P_TEXT_PRESENCE = "ont:textPresence"  # turn -> ont:logical/{TRUE,FALSE,UNKNOWN} (logical-individual analog, RDFWriter.java:696-704)
+P_MENTIONS_LIST = "ont:mentionsList"  # turn -> head node of a structured list mention
+P_HAS_CONTENTS = "ont:hasContents"    # list node -> cell value (list:hasContents analog, T7-T10/T13)
+P_HAS_NEXT = "ont:hasNext"            # list node -> successor node (list:hasNext analog)
 
 # Closed vocabularies (the enum NamedIndividual analog — RDFWriter.java:659-672;
 # an unmatched value emits NO triple for the slot and an error row instead,
@@ -68,6 +71,12 @@ TOOLS: tuple[str, ...] = ("logger", "search", "code", "browser", "shell")
 NUM_RE = r"\d+"          # numeric mention; lexical form kept VERBATIM (P5 contract)
 REF_RE = r"#(\d+)"       # reference to another turn of the same conversation
 DEC_RE = r"\d+\.\d*"     # decimal mention; VERBATIM lexical ("12." stays "12.")
+# two-level structured list mention, e.g. "((1,2),(3,4))" (tool-call
+# argument lists) — the _List_List analog (RDFWriter.java:427-436,
+# reference tests 13/16/19).  RE2-safe fixed-depth pattern (no recursion)
+# shared verbatim with DuckDB regexp_extract_all.
+OUTER_LIST_RE = r"\(\(\d+(?:,\d+)*\)(?:,\(\d+(?:,\d+)*\))*\)"
+INNER_LIST_RE = r"\((\d+(?:,\d+)*)\)"   # group 1 = comma-joined cells
 
 # Timestamp lexical form — 6-digit microseconds; identical output from
 # pandas .dt.strftime and DuckDB strftime (verified parity).
@@ -126,6 +135,15 @@ def logical_iri(value: str) -> str:
     return f"ont:logical/{value}"
 
 
+def list_node_iri(content_key: str, pos: int) -> str:
+    """List node IRI: content-derived (md5 of the list's lexical) + cell
+    position — replaces the reference's idCounter-numbered list nodes
+    (RDFWriter.java:136-137) so identical (sub)lists share one node chain
+    globally (test13/16 cross-sublist sharing) with zero coordination."""
+    h = hashlib.md5(content_key.encode("utf-8")).hexdigest()
+    return f"inst:listn/{h}/{pos}"
+
+
 # Literal object encoding inside the engine's triple datasets: the `obj`
 # column holds `<lexical>^^<datatype-curie>`; obj_kind distinguishes uri vs
 # literal.  The N-Triples sink renders proper RDF terms from these.
@@ -168,6 +186,9 @@ PRED_TABLE: tuple[tuple[str, str], ...] = (
     (P_HAS_DOUBLE, "literal"),
     (P_TOOL_FLAG, "literal"),
     (P_TEXT_PRESENCE, "uri"),
+    (P_MENTIONS_LIST, "uri"),
+    (P_HAS_CONTENTS, "uri"),
+    (P_HAS_NEXT, "uri"),
 )
 PRED_ID: dict[str, int] = {p: i for i, (p, _) in enumerate(PRED_TABLE)}
 PRED_NAMES: tuple[str, ...] = tuple(p for p, _ in PRED_TABLE)
@@ -188,18 +209,18 @@ PRED_KINDS: tuple[str, ...] = tuple(k for _, k in PRED_TABLE)
 WIRE_PREFIX_TABLE: tuple[tuple[str, str], ...] = (
     ("\x01", "inst:conv/"),
     ("\x02", "inst:dec/"),
-    ("\x03", "inst:num/"),
-    ("\x04", "inst:text/"),
-    ("\x05", "inst:turn/"),
-    ("\x06", "ont:Conversation"),
-    ("\x07", "ont:Turn"),
-    ("\x08", "ont:logical/"),
-    ("\x0b", "ont:role/"),   # skip \x09/\x0a (tab/newline: keep wire
-    ("\x0c", "ont:tool/"),   # strings free of whitespace control bytes)
+    ("\x03", "inst:listn/"),
+    ("\x04", "inst:num/"),
+    ("\x05", "inst:text/"),
+    ("\x06", "inst:turn/"),
+    ("\x07", "ont:Conversation"),
+    ("\x08", "ont:Turn"),
+    ("\x0b", "ont:logical/"),  # skip \x09/\x0a (tab/newline: keep wire
+    ("\x0c", "ont:role/"),     # strings free of whitespace control bytes)
+    ("\x0e", "ont:tool/"),
 )
-W_CONV, W_DEC, W_NUM, W_TEXT, W_TURN, W_CLS_CONV, W_CLS_TURN, W_LOGICAL, W_ROLE, W_TOOL = (
-    c for c, _ in WIRE_PREFIX_TABLE
-)
+(W_CONV, W_DEC, W_LISTN, W_NUM, W_TEXT, W_TURN, W_CLS_CONV, W_CLS_TURN,
+ W_LOGICAL, W_ROLE, W_TOOL) = (c for c, _ in WIRE_PREFIX_TABLE)
 assert [p for _, p in WIRE_PREFIX_TABLE] == sorted(p for _, p in WIRE_PREFIX_TABLE)
 assert [c for c, _ in WIRE_PREFIX_TABLE] == sorted(c for c, _ in WIRE_PREFIX_TABLE)
 

@@ -24,6 +24,11 @@ def transcripts_cte() -> str:
     return f"transcripts AS ({transcripts_from_events_sql()})"
 
 
+# regex literals escaped for embedding in single-quoted SQL strings
+_OUTER_RE_SQL = S.OUTER_LIST_RE.replace("'", "''")
+_INNER_RE_SQL = S.INNER_LIST_RE.replace("'", "''")
+
+
 def kg_transcripts_sql() -> str:
     """The derived transcript table itself (conversation assembly check —
     per-turn text equality under stable turn ordering)."""
@@ -110,6 +115,47 @@ def _turn_triples_unions(mentions_turn_select: str) -> str:
     SELECT 'inst:dec/' || u.m, '{S.P_HAS_DOUBLE}',
            u.m || '^^{S.XSD_DOUBLE}', 'literal'
     FROM turn, UNNEST(regexp_extract_all(txt, '{S.DEC_RE}')) AS u(m)
+    UNION ALL
+    -- two-level structured list mentions (T13/_List_List analog)
+    SELECT t_iri, '{S.P_MENTIONS_LIST}',
+           'inst:listn/' || md5(u.m) || '/0', 'uri'
+    FROM turn, UNNEST(regexp_extract_all(txt, '{_OUTER_RE_SQL}')) AS u(m)
+    UNION ALL
+    SELECT 'inst:listn/' || md5(o.olex) || '/' || CAST(p.i AS VARCHAR),
+           '{S.P_HAS_CONTENTS}',
+           'inst:listn/' || md5(o.inners[p.i + 1]) || '/0', 'uri'
+    FROM (
+        SELECT u.m AS olex,
+               regexp_extract_all(u.m, '{_INNER_RE_SQL}', 1) AS inners
+        FROM turn, UNNEST(regexp_extract_all(txt, '{_OUTER_RE_SQL}')) AS u(m)
+    ) o, UNNEST(range(len(o.inners))) AS p(i)
+    UNION ALL
+    SELECT 'inst:listn/' || md5(o.olex) || '/' || CAST(p.i AS VARCHAR),
+           '{S.P_HAS_NEXT}',
+           'inst:listn/' || md5(o.olex) || '/' || CAST(p.i + 1 AS VARCHAR), 'uri'
+    FROM (
+        SELECT u.m AS olex,
+               regexp_extract_all(u.m, '{_INNER_RE_SQL}', 1) AS inners
+        FROM turn, UNNEST(regexp_extract_all(txt, '{_OUTER_RE_SQL}')) AS u(m)
+    ) o, UNNEST(range(len(o.inners) - 1)) AS p(i)
+    UNION ALL
+    SELECT 'inst:listn/' || md5(q.ilex) || '/' || CAST(p.i AS VARCHAR),
+           '{S.P_HAS_CONTENTS}',
+           'inst:num/' || q.cells[p.i + 1], 'uri'
+    FROM (
+        SELECT u2.m AS ilex, str_split(u2.m, ',') AS cells
+        FROM turn, UNNEST(regexp_extract_all(txt, '{_OUTER_RE_SQL}')) AS u(m),
+             UNNEST(regexp_extract_all(u.m, '{_INNER_RE_SQL}', 1)) AS u2(m)
+    ) q, UNNEST(range(len(q.cells))) AS p(i)
+    UNION ALL
+    SELECT 'inst:listn/' || md5(q.ilex) || '/' || CAST(p.i AS VARCHAR),
+           '{S.P_HAS_NEXT}',
+           'inst:listn/' || md5(q.ilex) || '/' || CAST(p.i + 1 AS VARCHAR), 'uri'
+    FROM (
+        SELECT u2.m AS ilex, str_split(u2.m, ',') AS cells
+        FROM turn, UNNEST(regexp_extract_all(txt, '{_OUTER_RE_SQL}')) AS u(m),
+             UNNEST(regexp_extract_all(u.m, '{_INNER_RE_SQL}', 1)) AS u2(m)
+    ) q, UNNEST(range(len(q.cells) - 1)) AS p(i)
     UNION ALL
 {mentions_turn_select}"""
 

@@ -105,6 +105,8 @@ def _compiled() -> dict:
             "num_re": re.compile(S.NUM_RE),
             "ref_re": re.compile(S.REF_RE),
             "dec_re": re.compile(S.DEC_RE),
+            "outer_list_re": re.compile(S.OUTER_LIST_RE),
+            "inner_list_re": re.compile(S.INNER_LIST_RE),
             "roles": frozenset(S.ROLES),
             "tools": frozenset(S.TOOLS),
         }
@@ -368,6 +370,51 @@ def extract_batch_triples(
         emit(cv, src, S.P_MENTIONS_DECIMAL, dec_iri)
         emit(cv, dec_iri, S.P_HAS_DOUBLE,
              pa.array([f"{m}^^{S.XSD_DOUBLE}" for m in d_lex], pa.string()))
+    # two-level structured list mentions (the _List_List analog,
+    # reference tests 13/16/19): content-derived node chains with
+    # hasContents/hasNext; identical (sub)lists share one chain globally
+    # via the distinct (cross-sublist sharing, test13/16)
+    has_outer = [("((" in t) if t else False for t in text_py]
+    if any(has_outer):
+        import hashlib as _hl
+
+        outer_re = _compiled()["outer_list_re"]
+        inner_re = _compiled()["inner_list_re"]
+        l_conv, l_subj, l_pid, l_obj = [], [], [], []
+
+        def node(key: str, pos: int) -> str:
+            return f"{S.W_LISTN}{_hl.md5(key.encode()).hexdigest()}/{pos}"
+
+        def add(cv, s_, p_, o_):
+            l_conv.append(cv); l_subj.append(s_)
+            l_pid.append(S.PRED_ID[p_]); l_obj.append(o_)
+
+        turn_iri_py = turn_iri.to_pylist()
+        for i, t in enumerate(text_py):
+            if not has_outer[i]:
+                continue
+            cv = conv_py[i]
+            for olex in outer_re.findall(t):
+                add(cv, turn_iri_py[i], S.P_MENTIONS_LIST, node(olex, 0))
+                inners = inner_re.findall(olex)
+                for oi, ilex in enumerate(inners):
+                    add(cv, node(olex, oi), S.P_HAS_CONTENTS, node(ilex, 0))
+                    if oi + 1 < len(inners):
+                        add(cv, node(olex, oi), S.P_HAS_NEXT, node(olex, oi + 1))
+                    cells = ilex.split(",")
+                    for j, d in enumerate(cells):
+                        add(cv, node(ilex, j), S.P_HAS_CONTENTS, S.W_NUM + d)
+                        if j + 1 < len(cells):
+                            add(cv, node(ilex, j), S.P_HAS_NEXT, node(ilex, j + 1))
+        if l_conv:
+            tables.append(pa.table(
+                {
+                    "conv_id": pa.array(l_conv, pa.string()),
+                    "subj": pa.array(l_subj, pa.string()),
+                    "pred_id": pa.array(l_pid, pa.int8()),
+                    "obj": pa.array(l_obj, pa.string()),
+                }
+            ))
     if r_tgt:
         turn_iri_py = turn_iri.to_pylist()
         keep_c, keep_s, keep_o = [], [], []

@@ -290,3 +290,47 @@ def test_f24_dedup_ref_to_dropped_turn_is_not_dangling():
     )
     assert got, "conversation must survive"
     assert ("inst:turn/c/2", S.P_MENTIONS_TURN, "inst:turn/c/0", "uri") in got
+
+
+def test_f25_nested_list_chain():
+    # two-level structured list mention ((1,2),(3,4)) -> outer node chain
+    # whose cells are inner-list head nodes; inner chains hold the values
+    # (reference test13/test16 _List_List analog)
+    got, _ = run_both(
+        [{"conv_id": "c", "turn_idx": 0, "role": "user",
+          "text": "args ((1,2),(3,4)) end"}]
+    )
+    o0 = S.list_node_iri("((1,2),(3,4))", 0)
+    o1 = S.list_node_iri("((1,2),(3,4))", 1)
+    i12_0 = S.list_node_iri("1,2", 0)
+    i12_1 = S.list_node_iri("1,2", 1)
+    i34_0 = S.list_node_iri("3,4", 0)
+    assert ("inst:turn/c/0", S.P_MENTIONS_LIST, o0, "uri") in got
+    assert (o0, S.P_HAS_CONTENTS, i12_0, "uri") in got
+    assert (o0, S.P_HAS_NEXT, o1, "uri") in got
+    assert (o1, S.P_HAS_CONTENTS, i34_0, "uri") in got
+    assert (i12_0, S.P_HAS_CONTENTS, "inst:num/1", "uri") in got
+    assert (i12_0, S.P_HAS_NEXT, i12_1, "uri") in got
+    assert (i12_1, S.P_HAS_CONTENTS, "inst:num/2", "uri") in got
+    # no dangling hasNext off the last nodes
+    assert (o1, S.P_HAS_NEXT, S.list_node_iri("((1,2),(3,4))", 2), "uri") not in got
+
+
+def test_f26_cross_sublist_sharing():
+    # the same inner list (7,8) appears in two different outer lists and
+    # twice in one: content-derived nodes -> ONE shared chain (test13/16
+    # cross-sublist literal sharing, idCounter replaced)
+    got, _ = run_both(
+        [
+            {"conv_id": "c", "turn_idx": 0, "role": "user",
+             "text": "a ((7,8),(7,8)) b"},
+            {"conv_id": "c", "turn_idx": 1, "role": "assistant",
+             "text": "c ((7,8),(9))"},
+        ]
+    )
+    i78 = S.list_node_iri("7,8", 0)
+    heads = [t for t in got if t[1] == S.P_HAS_CONTENTS and t[2] == i78]
+    # three outer cells point at the SAME inner head node
+    assert len(heads) == 3
+    # and the inner chain exists exactly once (set semantics)
+    assert (i78, S.P_HAS_CONTENTS, "inst:num/7", "uri") in got
