@@ -105,3 +105,40 @@ def test_grouped_segmented_equals_mapgroups(corpus):
     the per-conversation map_groups reference implementation."""
     tr, _, exp, _ = corpus
     assert tset(extract.extract_grouped_mapgroups(tr)) == exp
+
+
+def test_fast_path_rejects_gapped_turn_idx():
+    """ADVICE item: the fast path's dense-0-based turn_idx contract is
+    VALIDATED, not assumed — gapped input must raise (pointing at the
+    grouped path), never silently emit nextTurn edges to missing turns."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from ifctordf_ray.sources.transcripts import transcripts_table
+    from ifctordf_ray.stages import extract
+
+    rows = [
+        {"conv_id": "g", "turn_idx": 0, "role": "user", "text": "a"},
+        {"conv_id": "g", "turn_idx": 2, "role": "user", "text": "b"},  # gap
+    ]
+    ds = ray.data.from_arrow(transcripts_table(rows))
+    with pytest.raises(Exception) as ei:
+        extract.extract_fast(ds).take_all()
+    assert "grouped" in str(ei.value)
+
+    # duplicated turn_idx with matching count/max is also caught (sum check)
+    rows2 = [
+        {"conv_id": "h", "turn_idx": 0, "role": "user", "text": "a"},
+        {"conv_id": "h", "turn_idx": 1, "role": "user", "text": "b"},
+        {"conv_id": "h", "turn_idx": 1, "role": "user", "text": "c"},
+        {"conv_id": "h", "turn_idx": 3, "role": "user", "text": "d"},
+    ]
+    ds2 = ray.data.from_arrow(transcripts_table(rows2))
+    with pytest.raises(Exception) as ei2:
+        extract.extract_fast(ds2).take_all()
+    assert "grouped" in str(ei2.value)
+
+    # the grouped path handles the same inputs fine
+    assert extract.extract_grouped(ds).count() > 0
+    assert extract.extract_grouped(ds2).count() > 0
