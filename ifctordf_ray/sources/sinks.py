@@ -396,6 +396,21 @@ def write_graph_parquet(triples: ray.data.Dataset, out_dir: str) -> None:
     )
 
 
+def read_graph_parquet(out_dir: str) -> ray.data.Dataset:
+    """Load a graph written by write_graph_parquet back as a triples
+    Dataset (subject-bucket hive partitions pruned at the read for
+    bucket-targeted queries; here the full graph).  Completes the
+    sink/source pair so downstream pipelines can consume materialized
+    graphs without reparsing text."""
+    from ifctordf_ray.sources.transcripts import clean_read_parquet
+
+    ds = clean_read_parquet(out_dir)
+    return ds.map_batches(
+        lambda t: t.select(["subj", "pred", "obj", "obj_kind"]),
+        batch_format="pyarrow",
+    )
+
+
 def iter_triples(triples: ray.data.Dataset, batch_size: int = 65536):
     """StreamRDF-analog consumer (parseModelToStreamRdf,
     IfcSpfReader.java:357-365): yields pyarrow batches incrementally."""

@@ -109,3 +109,14 @@ def test_iter_triples_streams_all_batches():
     assert sorted(seen) == sorted(
         zip(*[tt[c].to_pylist() for c in ("subj", "pred", "obj", "obj_kind")])
     )
+
+
+def test_graph_parquet_round_trip(tmp_path):
+    ds = ray.data.from_arrow(_triples_table())
+    out = str(tmp_path / "pq2")
+    sinks.write_graph_parquet(ds, out)
+    back = sinks.read_graph_parquet(out).take_all()
+    orig = {tuple(r.values()) for r in
+            ray.data.from_arrow(_triples_table()).take_all()}
+    got = {(r["subj"], r["pred"], r["obj"], r["obj_kind"]) for r in back}
+    assert got == orig
