@@ -66,3 +66,54 @@ def cents(arr) -> pa.Array:
     double summation (order-dependent) or round() (different half-way
     rules between numpy and SQL)."""
     return pc.cast(pc.floor(pc.add(pc.multiply(arr, 100.0), 0.5)), pa.int64())
+
+
+def join_ready(ds, schema: pa.Schema, sentinel_row: dict | None = None):
+    """Make `ds` safe to feed into `Dataset.join` at ANY partition count.
+
+    Why this exists: Ray's groupby/aggregate emits empty partitions as
+    zero-COLUMN blocks, and its hash-shuffle join only broadcasts the
+    schema to aggregators from the FIRST block it fans out — a fan-out
+    that is silently skipped for empty blocks
+    (ray/data/_internal/execution/operators/hash_shuffle.py:223).  So if
+    the first block of a join input is empty, every aggregator partition
+    that receives no rows finalizes an empty-SCHEMA table and pyarrow's
+    Acero fails with `ArrowInvalid: No match or multiple matches for key
+    field reference FieldRef.Name(...)` (CORRECTNESS_r02
+    `doc_verified_near_dups`, 16-partition default on 32 CPUs; passes at
+    2 partitions — which is how the 4-CPU test session masked it).
+
+    A schema-pinning `map_batches` alone CANNOT fix this: Ray
+    short-circuits zero-row blocks around every map UDF
+    (plan_udf_map_op.py:456), so the empty blocks survive untouched.
+    The working recipe is:
+
+    1. pin column order/types on the non-empty blocks (so the broadcast
+       schema is the canonical one),
+    2. optionally union a sentinel row that no real key can produce (so
+       the dataset is never entirely empty; an inner join drops it), and
+    3. `repartition(k)` — the split-and-merge barrier is the one op that
+       absorbs empty blocks into schema-ful ones and puts rows in the
+       FIRST output block.  It runs over this (small, post-aggregation)
+       stream only, not the corpus.
+    """
+    from ifctordf_ray.tuning import default_join_partitions
+
+    def _pin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return schema.empty_table()
+        return pa.table(
+            {f.name: pc.cast(t[f.name], f.type) for f in schema},
+            schema=schema,
+        )
+
+    import ray.data
+
+    out = ds.map_batches(_pin, batch_format="pyarrow")
+    if sentinel_row is not None:
+        seed = pa.table(
+            {f.name: pa.array([sentinel_row[f.name]], f.type) for f in schema},
+            schema=schema,
+        )
+        out = out.union(ray.data.from_arrow(seed))
+    return out.repartition(default_join_partitions())

@@ -52,13 +52,18 @@ import pyarrow.compute as _pc
 
 
 def _expand_curies_vec(arr) -> pa.Array:
-    """Vectorized CURIE -> <IRI>: one replace_substring pass per known
-    prefix (prefixes only ever occur at term start in engine IRIs; literal
-    terms never reach this function), then angle-bracket wrap."""
+    """Vectorized CURIE -> <IRI>: one ANCHORED regex replace per known
+    prefix, then angle-bracket wrap.  Anchoring (^pfx: with
+    max_replacements=1) matches expand_curie's first-colon-only
+    semantics — an IRI whose LOCAL part happens to contain 'inst:' /
+    'rdf:' etc. (possible with arbitrary conv_id input) must not be
+    rewritten mid-string."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     for pfx, base in S.PREFIXES.items():
-        arr = _pc.replace_substring(arr, pattern=pfx + ":", replacement=base)
+        arr = _pc.replace_substring_regex(
+            arr, pattern=f"^{pfx}:", replacement=base, max_replacements=1
+        )
     return _pc.binary_join_element_wise(
         pa.nulls(len(arr), pa.string()).fill_null("<"), arr, ">", ""
     )
@@ -91,11 +96,17 @@ def format_ntriples(batch: pa.Table) -> str:
     # (a lexical may itself contain '^^xsd:string'): reverse the string,
     # replace the now-FIRST occurrence with max_replacements=1, reverse
     # back — all C kernels, exact match of rpartition('^^') semantics.
+    # The ends_with mask is computed on the ORIGINAL obj AND masked with
+    # is_null(dtype_tag) so at most ONE suffix is ever removed — testing
+    # the already-stripped lex would double-strip a string literal whose
+    # text itself ends in '^^xsd:double' etc. (ADVICE r2).
     lex_all = obj
     dtype_tag = pa.nulls(n, pa.string())
     for dt in _KNOWN_DTYPES:
         sfx = "^^" + dt
-        has = _pc.ends_with(lex_all, pattern=sfx)
+        has = _pc.and_(
+            _pc.ends_with(obj, pattern=sfx), _pc.is_null(dtype_tag)
+        )
         if _pc.any(has).as_py():
             rev = _pc.utf8_reverse(lex_all)
             rev_stripped = _pc.replace_substring(
@@ -255,11 +266,13 @@ def format_turtle(batch: pa.Table) -> str:
     kind = batch["obj_kind"]
     is_uri = pc.equal(kind, "uri")
 
+    # same single-strip discipline as format_ntriples: mask on the
+    # ORIGINAL obj + untagged rows only (ADVICE r2 double-strip fix)
     lex_all = obj
     dtype_tag = pa.nulls(n, pa.string())
     for dt in _KNOWN_DTYPES:
         sfx = "^^" + dt
-        has = pc.ends_with(lex_all, pattern=sfx)
+        has = pc.and_(pc.ends_with(obj, pattern=sfx), pc.is_null(dtype_tag))
         if pc.any(has).as_py():
             rev = pc.utf8_reverse(lex_all)
             stripped = pc.utf8_reverse(

@@ -389,10 +389,26 @@ def verified_near_dups(
     never collected to the driver or broadcast whole — at 100x data both
     joins stay partitioned exchanges proportional to the candidate count.
     """
+    from ifctordf_ray.functions.kernels import join_ready
     from ifctordf_ray.tuning import join_kwargs
 
     jk = join_kwargs(num_partitions)
-    cand = near_dup_pairs_minhash(sf_dir, threshold=0.0)
+    # join_ready: the upstream groupby.aggregate emits empty partitions as
+    # EMPTY-SCHEMA blocks, which crash Acero inside Dataset.join when a
+    # hash partition gets only those (the r2 16-partition failure).  The
+    # sentinel (-1, -1) can never be a real pair (doc ids >= 0) and is
+    # dropped by the inner join.
+    cand = join_ready(
+        near_dup_pairs_minhash(sf_dir, threshold=0.0),
+        pa.schema(
+            [
+                ("doc_a", pa.int64()),
+                ("doc_b", pa.int64()),
+                ("est_jaccard", pa.float64()),
+            ]
+        ),
+        sentinel_row={"doc_a": -1, "doc_b": -1, "est_jaccard": 0.0},
+    )
     docs = _clean_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
@@ -408,6 +424,21 @@ def verified_near_dups(
     )
     j1 = cand.join(
         sh_a, join_type="inner", on=("doc_a",), right_on=("da",), **jk,
+    )
+    # re-arm between the chained joins: a j1 hash partition with no
+    # matches emits a 0-row block, and if that block is the first one
+    # fanned into j2's shuffle the schema broadcast is lost the same way
+    j1 = join_ready(
+        j1,
+        pa.schema(
+            [
+                ("doc_a", pa.int64()),
+                ("doc_b", pa.int64()),
+                ("est_jaccard", pa.float64()),
+                ("sh_a", pa.string()),
+            ]
+        ),
+        sentinel_row={"doc_a": -1, "doc_b": -1, "est_jaccard": 0.0, "sh_a": ""},
     )
     j2 = j1.join(
         sh_b, join_type="inner", on=("doc_b",), right_on=("db",), **jk,
@@ -492,11 +523,22 @@ def deduped_doc_ids(sf_dir: str, num_partitions: int | None = None) -> ray.data.
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     fps = ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 4))
-    keepers = fps.groupby("fingerprint").aggregate(
-        Min("doc_id", alias_name="keep_doc_id")
-    ).map_batches(
-        lambda t: pa.table({"fp": t["fingerprint"], "keep_doc_id": t["keep_doc_id"]}),
-        batch_format="pyarrow",
+    from ifctordf_ray.functions.kernels import join_ready
+
+    # join_ready: keepers is a groupby output (empty partitions are
+    # zero-column blocks — see kernels.join_ready).  Sentinel fp "\x00"
+    # cannot be a real fingerprint (md5 hex) so the inner join drops it.
+    keepers = join_ready(
+        fps.groupby("fingerprint").aggregate(
+            Min("doc_id", alias_name="keep_doc_id")
+        ).map_batches(
+            lambda t: pa.table(
+                {"fp": t["fingerprint"], "keep_doc_id": t["keep_doc_id"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("fp", pa.string()), ("keep_doc_id", pa.int64())]),
+        sentinel_row={"fp": "\x00", "keep_doc_id": -1},
     )
     joined = fps.join(
         keepers, join_type="inner", on=("fingerprint",), right_on=("fp",),

@@ -67,10 +67,31 @@ def link_mentions(
     """
     from ifctordf_ray.tuning import join_kwargs
 
+    from ifctordf_ray.functions.kernels import join_ready
+
     jk = join_kwargs(num_partitions)
-    canon = canonicalize_mentions(transcripts).map_batches(
-        lambda t: t.select(["surface_key", "canonical_id", "first_seen"]),
-        batch_format="pyarrow",
+    # join_ready: canonicalize ends in a groupby whose empty partitions
+    # are zero-column blocks; armor the join input against Ray's
+    # first-block-empty schema-broadcast loss (see kernels.join_ready).
+    # The sentinel key "\x00" cannot be a real surface form (NUM_RE
+    # matches digits only) and the inner join drops it.
+    canon = join_ready(
+        canonicalize_mentions(transcripts).map_batches(
+            lambda t: t.select(["surface_key", "canonical_id", "first_seen"]),
+            batch_format="pyarrow",
+        ),
+        pa.schema(
+            [
+                ("surface_key", pa.string()),
+                ("canonical_id", pa.string()),
+                ("first_seen", pa.string()),
+            ]
+        ),
+        sentinel_row={
+            "surface_key": "\x00",
+            "canonical_id": "\x00",
+            "first_seen": "\x00",
+        },
     )
     occ = transcripts.map_batches(
         MentionOccurrences, batch_format="pyarrow", concurrency=(1, 8)

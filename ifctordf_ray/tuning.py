@@ -45,7 +45,11 @@ def join_kwargs(num_partitions: int | None = None) -> dict:
     if num_partitions is None:
         num_partitions = default_join_partitions()
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    per_agg = max(0.125, min(1.0, (cpus * 0.25) / num_partitions))
+    # floor 0.05 (not 0.125): a 4-CPU session running a chained join at 16
+    # partitions must keep its two 16-actor aggregator pools under ~half
+    # the CPUs or the upstream map tasks can never schedule (deadlock —
+    # seen when the r2 driver-partition-count regression test first ran)
+    per_agg = max(0.05, min(1.0, (cpus * 0.25) / num_partitions))
     return {
         "num_partitions": num_partitions,
         "aggregator_ray_remote_args": {"num_cpus": per_agg},

@@ -75,3 +75,27 @@ def test_exact_duplicates_first_seen(tmp_path):
     # whitespace-collapsed lowercase canonical form: docs 0,1,3 are one group
     assert by_n[3]["keep_doc_id"] == 0  # first-seen (min doc_id) wins
     assert by_n[1]["keep_doc_id"] == 2
+
+
+def test_verified_near_dups_at_driver_scale_partitions(tmp_path):
+    """Regression for the r2 driver failure: verified_near_dups crashed
+    with ArrowInvalid when the join ran at the 32-CPU default partition
+    count (16) because empty join partitions finalized with an
+    empty-schema table (kernels.join_ready docstring).  The 4-CPU test
+    session uses 2 partitions and masked it — so force 16 here, with a
+    candidate set far smaller than the partition count."""
+    base = "spark group query row data slow small filter customer line batch value " * 3
+    texts = [f"unique document number {i} with its own words {i * 7} " * 4 for i in range(20)]
+    texts += [base, base + " tiny change"]
+    sf = _docs_ds(tmp_path, texts)
+    verified = dedup.verified_near_dups(sf, threshold=0.5, num_partitions=16).take_all()
+    got = {(p["doc_a"], p["doc_b"]) for p in verified}
+    assert (20, 21) in got
+
+
+def test_verified_near_dups_no_candidates(tmp_path):
+    """All-unique corpus: the candidate set is EMPTY — the join must
+    return zero rows, not crash (sentinel-row path in join_ready)."""
+    texts = [f"totally distinct content {i} nothing shared {i * 13} " * 3 for i in range(8)]
+    sf = _docs_ds(tmp_path, texts)
+    assert dedup.verified_near_dups(sf, threshold=0.5, num_partitions=8).count() == 0

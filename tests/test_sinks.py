@@ -120,3 +120,31 @@ def test_graph_parquet_round_trip(tmp_path):
             ray.data.from_arrow(_triples_table()).take_all()}
     got = {(r["subj"], r["pred"], r["obj"], r["obj_kind"]) for r in back}
     assert got == orig
+
+
+def test_format_single_dtype_strip():
+    """A string literal whose TEXT ends in '^^xsd:double' must strip only
+    the final (real) datatype tag — r2 ADVICE double-strip regression."""
+    t = pa.table(
+        {
+            "subj": ["inst:text/x", "inst:text/y"],
+            "pred": ["ont:hasString", "ont:hasString"],
+            "obj": ["5^^xsd:double^^xsd:string", "plain^^xsd:string"],
+            "obj_kind": ["literal", "literal"],
+        }
+    )
+    nt = sinks.format_ntriples(t).strip().split("\n")
+    assert nt[0].endswith(
+        '"5^^xsd:double"^^<http://www.w3.org/2001/XMLSchema#string> .'
+    )
+    ttl = sinks.format_turtle(t).strip().split("\n")
+    assert '"5^^xsd:double"^^xsd:string' in ttl[0]
+
+
+def test_expand_curies_anchored():
+    """A CURIE whose LOCAL part contains 'rdf:' / 'inst:' must only have
+    its leading prefix expanded (first-colon-only semantics)."""
+    arr = pa.array(["inst:conv/weird rdf:stuff inst:tail", "ont:Turn"])
+    out = sinks._expand_curies_vec(arr).to_pylist()
+    assert out[0] == "<https://w3id.org/conv/inst/conv/weird rdf:stuff inst:tail>"
+    assert out[1] == "<https://w3id.org/conv/ont#Turn>"
