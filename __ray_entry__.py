@@ -77,8 +77,10 @@ def _q_kg_predicate_stats(sf_dir: str):
     )
 
 
-def _stage_tr(module, name, materialize=False):
-    """Stage operating on the derived transcript Dataset."""
+def _stage_tr(module, name):
+    """Stage operating on the derived transcript Dataset.  Multi-consumer
+    stages (link_mentions) re-execute the cheap pruned derivation per
+    branch instead of materializing the corpus in the object store."""
 
     def q(sf_dir: str):
         import importlib
@@ -86,8 +88,6 @@ def _stage_tr(module, name, materialize=False):
         from ifctordf_ray.sources.transcripts import transcripts_from_events
 
         tr = transcripts_from_events(sf_dir)
-        if materialize:
-            tr = tr.materialize()
         m = importlib.import_module(f"ifctordf_ray.stages.{module}")
         return getattr(m, name)(tr)
 
@@ -125,7 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_predicate_stats": _q_kg_predicate_stats,
         "kg_dedup_turns": _stage_tr("turndedup", "dedup_turns"),
         "kg_turn_redirects": _stage_tr("turndedup", "turn_redirects"),
-        "kg_linked_mentions": _stage_tr("link", "link_mentions", materialize=True),
+        "kg_linked_mentions": _stage_tr("link", "link_mentions"),
         # --- relational operator coverage ---
         "rel_pricing_summary": _rel("pricing_summary"),
         "rel_nation_revenue": _rel("nation_revenue"),
@@ -212,7 +212,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup_pairs": SIM.near_dup_pairs_cosine_sql(),
         "emb_near_dup_pairs_lsh": SIM.near_dup_pairs_lsh_sql(),
         "mm_media_stats": MM.media_stats_sql(),
-        # mm_media_features: the decode stub's feature math (seeded RNG
-        # image fake + FFT) is outside SQL's reach -> rows-only check;
-        # determinism is pinned by tests/test_multimodal.py.
+        # real PPM/WAV decode with integer-exact features: the oracle
+        # reconstructs the payload byte streams from the text and
+        # aggregates the same integer statistics.
+        "mm_media_features": MM.media_features_sql(),
     }

@@ -120,9 +120,11 @@ def run(
         else:
             triples = kg_from_events(source, mode=mode)
     else:
+        # fast mode has two consumers (resolve pass + extraction); each
+        # branch RE-READS the pruned parquet rather than materializing the
+        # corpus in the object store — at 100 TB the store cannot hold the
+        # input, while a second pruned read is cheap and streaming.
         tr = read_transcripts(source)
-        if mode == "fast" and not dedup_turns:
-            tr = tr.materialize()  # two consumers: resolve pass + extraction
         triples = kg_triples(tr, mode=mode, dedup_turns=dedup_turns)
     manifest = materialize(triples, out_dir, parquet=parquet, turtle=turtle)
     n = sum(m["n_triples"] for m in manifest)

@@ -125,33 +125,81 @@ class JoinOrdersToNation:
         )
 
 
-def nation_revenue(sf_dir: str) -> ray.data.Dataset:
+# broadcast the customer dimension only while it fits comfortably in a
+# worker heap / the object store; beyond this the driver would build a
+# multi-GB dense array (customer grows with SF — the r2 scale `weak`).
+BROADCAST_MAX_ROWS = 2_000_000
+
+
+def nation_revenue(
+    sf_dir: str, broadcast_max_rows: int = BROADCAST_MAX_ROWS
+) -> ray.data.Dataset:
+    """orders x customer x nation revenue rollup with a SIZE-THRESHOLDED
+    physical plan: customer below `broadcast_max_rows` (parquet metadata,
+    no data read) -> broadcast dense-array probe (no shuffle of orders);
+    above it -> distributed Dataset.join orders->customer, with only the
+    fixed 25-row nation table broadcast.  The reference always
+    dict-looks-up (L1) because its state is ~MBs; customer is the one
+    dimension here that scales with the data."""
     import numpy as np
     import pyarrow.parquet as pq
 
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
     n_names = nation["n_name"].to_pylist()
     nat_pos = {k: i for i, k in enumerate(nation["n_nationkey"].to_pylist())}
-    cust_key = cust["c_custkey"].to_numpy()
-    cust_nat_pos = np.array(
-        [nat_pos[k] for k in cust["c_nationkey"].to_pylist()], dtype=np.int32
-    )
-    ref = ray.put((cust_key, (n_names, cust_nat_pos)))
 
     orders = _clean_read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
-    joined = orders.map_batches(
-        JoinOrdersToNation,
-        fn_constructor_kwargs={"cust_nation_ref": ref},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
+
+    n_cust = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    if n_cust <= broadcast_max_rows:
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        cust_key = cust["c_custkey"].to_numpy()
+        cust_nat_pos = np.array(
+            [nat_pos[k] for k in cust["c_nationkey"].to_pylist()], dtype=np.int32
+        )
+        ref = ray.put((cust_key, (n_names, cust_nat_pos)))
+        joined = orders.map_batches(
+            JoinOrdersToNation,
+            fn_constructor_kwargs={"cust_nation_ref": ref},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+    else:
+        from ifctordf_ray.tuning import join_kwargs
+
+        cust_ds = _clean_read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        big = orders.join(
+            cust_ds,
+            join_type="inner",
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+            **join_kwargs(),
+        )
+        # nation stays broadcast: 25 rows, scale-independent
+        names_arr = pa.array(n_names, pa.string())
+        nat_idx = {k: i for k, i in nat_pos.items()}
+
+        def attach_nation(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            idx = pc.index_in(
+                t["c_nationkey"],
+                pa.array(list(nat_idx)).cast(t["c_nationkey"].type),
+            )
+            names = pc.take(names_arr, idx)
+            return pa.table(
+                {"n_name": names, "price_cents": _cents(t["o_totalprice"])}
+            )
+
+        joined = big.map_batches(attach_nation, batch_format="pyarrow")
     return joined.groupby("n_name").aggregate(
         Count(alias_name="n_orders"),
         Sum("price_cents", alias_name="revenue_cents"),

@@ -249,8 +249,9 @@ sig AS (
 
 def _candidates_cte() -> str:
     """CTEs band/cand/est: banded LSH candidate pairs + signature-estimated
-    Jaccard (replicates _explode_bands/_bucket_pairs, ignoring the
-    MAX_BUCKET skew cap — valid while no bucket exceeds it)."""
+    Jaccard (replicates _explode_bands/_bucket_pairs INCLUDING the
+    MAX_BUCKET skew cap: only the lowest-{MAX_BUCKET} doc_ids of a bucket
+    form pairs, matching argsort(docs)[:MAX_BUCKET])."""
     return f"""band AS (
     SELECT doc_id, pid // {ROWS_PER_BAND} AS band_id,
            md5_number_upper(
@@ -258,11 +259,18 @@ def _candidates_cte() -> str:
                string_agg(CAST(v AS VARCHAR), ',' ORDER BY pid)) AS band_hash
     FROM sig GROUP BY doc_id, pid // {ROWS_PER_BAND}
 ),
+bandr AS (
+    SELECT doc_id, band_id, band_hash,
+           row_number() OVER (PARTITION BY band_id, band_hash
+                              ORDER BY doc_id) AS rk
+    FROM band
+),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM band a JOIN band b
+    FROM bandr a JOIN bandr b
       ON a.band_id = b.band_id AND a.band_hash = b.band_hash
      AND a.doc_id < b.doc_id
+     AND a.rk <= {MAX_BUCKET} AND b.rk <= {MAX_BUCKET}
 ),
 est AS (
     SELECT c.doc_a, c.doc_b,

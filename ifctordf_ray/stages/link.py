@@ -23,7 +23,6 @@ import pyarrow as pa
 import ray.data
 
 from ifctordf_ray import schema as S
-from ifctordf_ray.stages.canonicalize import canonicalize_mentions
 
 
 class MentionOccurrences:
@@ -65,21 +64,55 @@ def link_mentions(
     tuning.default_join_partitions; at multi-node scale pass ~2-4x
     aggregate cores so each aggregator's hash table stays in heap).
     """
-    from ifctordf_ray.tuning import join_kwargs
-
     from ifctordf_ray.functions.kernels import join_ready
+    from ifctordf_ray.tuning import join_kwargs
+    from ray.data.aggregate import Min
 
     jk = join_kwargs(num_partitions)
-    # join_ready: canonicalize ends in a groupby whose empty partitions
-    # are zero-column blocks; armor the join input against Ray's
-    # first-block-empty schema-broadcast loss (see kernels.join_ready).
-    # The sentinel key "\x00" cannot be a real surface form (NUM_RE
-    # matches digits only) and the inner join drops it.
+    occ = transcripts.map_batches(
+        MentionOccurrences, batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+    # ONE extraction pass: the canonical table is DERIVED from the same
+    # occurrence stream and self-joined back (the r2 wrapper materialized
+    # the whole transcript dataset to feed two separate extractions — a
+    # scale-killer at object-store-sized input; each branch here instead
+    # re-executes the cheap pruned read, which is the 100-TB answer).
+    def _with_sk(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # schema.first_seen_key vectorized: conv_id # zero-padded idx
+        sk = pc.binary_join_element_wise(
+            t["conv_id"],
+            pc.utf8_lpad(pc.cast(t["turn_idx"], pa.string()), 10, "0"),
+            "#",
+        )
+        return pa.table({"surface_key": t["surface_key"], "sk": sk})
+
+    def _finish_canon(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cid = pc.binary_join_element_wise(
+            pa.scalar("inst:num/"), t["surface_key"], ""
+        )
+        return pa.table(
+            {
+                "surface_key": t["surface_key"],
+                "canonical_id": cid,
+                "first_seen": t["first_seen"],
+            }
+        )
+
+    # join_ready: the groupby's empty partitions are zero-column blocks;
+    # armor the join input against Ray's first-block-empty
+    # schema-broadcast loss (see kernels.join_ready).  The sentinel key
+    # "\x00" cannot be a real surface form (NUM_RE matches digits only)
+    # and the inner join drops it.
     canon = join_ready(
-        canonicalize_mentions(transcripts).map_batches(
-            lambda t: t.select(["surface_key", "canonical_id", "first_seen"]),
-            batch_format="pyarrow",
-        ),
+        occ.map_batches(_with_sk, batch_format="pyarrow")
+        .groupby("surface_key")
+        .aggregate(Min("sk", alias_name="first_seen"))
+        .map_batches(_finish_canon, batch_format="pyarrow"),
         pa.schema(
             [
                 ("surface_key", pa.string()),
@@ -92,9 +125,6 @@ def link_mentions(
             "canonical_id": "\x00",
             "first_seen": "\x00",
         },
-    )
-    occ = transcripts.map_batches(
-        MentionOccurrences, batch_format="pyarrow", concurrency=(1, 8)
     )
     joined = occ.join(
         canon,

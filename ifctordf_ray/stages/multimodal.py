@@ -1,23 +1,37 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata, with REAL
+dependency-free decoders.
 
-Images/audio/video are carried as `binary` columns with a sidecar
-metadata struct (media_type, width/height or sample_rate, codec).  The
-decode/feature kernels themselves are STUBBED — the image/audio libraries
-are not in this container — behind `_decode_image` / `_decode_audio`,
-which raise NotImplementedError unless `deterministic_fake=True`, where a
-seeded, content-derived fake is produced instead.  Everything Ray-side is
-real and tested: schema, actor-pool stage shape, batch sizing for large
-binary rows, and output layout.
+Images/audio are carried as `binary` columns with a sidecar metadata
+struct (media_type, codec, dims).  Decode is real for one trivial format
+per modality — no codec libraries needed:
+
+- image: binary PPM (P6) — header `P6\\n<w> <h>\\n255\\n` + raw RGB bytes,
+  parsed with a header regex + np.frombuffer.
+- audio: canonical 44-byte RIFF/WAV header, 16-bit mono PCM — parsed with
+  struct.unpack + np.frombuffer('<i2').
+
+The engine's media table is DERIVED deterministically from the documents
+table (payload bytes come from the document text), so the whole
+decode -> feature path has an exact DuckDB oracle: every feature below is
+an INTEGER statistic (sums, counts, extrema) — exact in numpy int64 and
+DuckDB BIGINT alike, no float summation-order hazard.
 
 Scale notes: binary rows are large, so these stages use SMALL batch
 sizes (default 64) and actor pools sized so batch x concurrency fits the
-worker heap; blocks of binary columns should flow with
-batch_format="pyarrow" (pandas would copy to object dtype).
+worker heap; blocks of binary columns flow with batch_format="pyarrow"
+(pandas would copy to object dtype).
+
+Reference analog: the typed-literal decode dispatch of RDFWriter.java:
+674-704 — here the "schema" is the media container header and the typed
+output is the feature row; golden-style certification mirrors
+TestIfcSpfReader.java:102-151 via the SQL oracle + fixture round-trips.
 """
 
 from __future__ import annotations
 
 import hashlib
+import re
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -35,102 +49,193 @@ MEDIA_SCHEMA = pa.schema(
 
 EMBED_DIM = 16
 
+# --- payload geometry (fixed-shape derived media; see media_from_documents)
+PPM_W = PPM_H = 8
+N_PIX_BYTES = PPM_W * PPM_H * 3          # 192 RGB bytes
+_PPM_HEADER = b"P6\n%d %d\n255\n" % (PPM_W, PPM_H)   # 11 bytes
+WAV_SR = 8000
+WAV_N = 128                              # samples
+PAD_BYTE = 0x20                          # pad short docs with ' '
 
-def _decode_image(payload: bytes, deterministic_fake: bool) -> np.ndarray:
-    """-> HxWx3 uint8.  STUB: no image codec libs in this container."""
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "image decode requires an image codec library (not installed); "
-            "run with deterministic_fake=True for plumbing tests"
-        )
-    h = hashlib.md5(payload).digest()
-    rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
-    return rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+_PPM_HEAD_RE = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+_NON_PRINTABLE = re.compile(r"[^ -~]")   # canonicalize to printable ASCII
 
 
-def _decode_audio(payload: bytes, deterministic_fake: bool) -> np.ndarray:
-    """-> float32 mono samples.  STUB: no audio codec libs installed."""
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "audio decode requires an audio codec library (not installed); "
-            "run with deterministic_fake=True for plumbing tests"
-        )
-    h = hashlib.md5(payload).digest()
-    rng = np.random.RandomState(int.from_bytes(h[4:8], "big"))
-    return rng.standard_normal(128).astype(np.float32)
+# ---------------------------------------------------------------------------
+# real codecs (encode for the derived table, decode for the feature stage)
+# ---------------------------------------------------------------------------
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> binary PPM (P6) bytes."""
+    h, w, c = rgb.shape
+    assert c == 3 and rgb.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (H, W, 3) uint8.  Real parse: header fields are
+    read from the payload, not assumed."""
+    m = _PPM_HEAD_RE.match(payload)
+    if not m:
+        raise ValueError("not a binary PPM (P6) payload")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    need = w * h * 3
+    body = payload[m.end() : m.end() + need]
+    if len(body) != need:
+        raise ValueError("truncated PPM pixel data")
+    return np.frombuffer(body, np.uint8).reshape(h, w, 3)
+
+
+_WAV_HDR = struct.Struct("<4sI4s4sIHHIIHH4sI")  # canonical 44-byte header
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = WAV_SR) -> bytes:
+    """int16 mono samples -> RIFF/WAVE PCM bytes (canonical header)."""
+    data = samples.astype("<i2").tobytes()
+    hdr = _WAV_HDR.pack(
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM16 mono -> (sample_rate, int16 samples).  Real parse
+    with container validation."""
+    if len(payload) < _WAV_HDR.size:
+        raise ValueError("truncated WAV header")
+    (riff, _size, wave, fmt_tag, fmt_size, audio_fmt, n_ch, sr,
+     _brate, _align, bits, data_tag, dlen) = _WAV_HDR.unpack(
+        payload[: _WAV_HDR.size]
+    )
+    if riff != b"RIFF" or wave != b"WAVE" or fmt_tag != b"fmt ":
+        raise ValueError("not a RIFF/WAVE payload")
+    if (audio_fmt, n_ch, bits, data_tag) != (1, 1, 16, b"data"):
+        raise ValueError("only 16-bit mono PCM with a canonical header is supported")
+    body = payload[_WAV_HDR.size : _WAV_HDR.size + dlen]
+    if len(body) != dlen:
+        raise ValueError("truncated WAV sample data")
+    return sr, np.frombuffer(body, "<i2")
+
+
+# ---------------------------------------------------------------------------
+# feature extraction (integer-exact -> SQL-oracle-able)
+# ---------------------------------------------------------------------------
+FEATURE_FIELDS = [
+    ("item_id", pa.int64()),
+    ("media_type", pa.string()),
+    ("payload_bytes", pa.int64()),
+    # generic slots (image / audio semantics):
+    ("dim_a", pa.int64()),   # width           / sample_rate
+    ("dim_b", pa.int64()),   # height          / n_samples
+    ("sum_a", pa.int64()),   # sum of R bytes  / sum |s|
+    ("sum_b", pa.int64()),   # sum of G bytes  / sum s^2
+    ("sum_c", pa.int64()),   # sum of B bytes  / zero crossings
+    ("v_min", pa.int64()),   # min byte        / min sample
+    ("v_max", pa.int64()),   # max byte        / max sample
+]
+
+
+def image_features(payload: bytes) -> tuple[int, ...]:
+    img = decode_ppm(payload)
+    h, w, _ = img.shape
+    i64 = img.astype(np.int64)
+    ch = i64.sum(axis=(0, 1))
+    return (w, h, int(ch[0]), int(ch[1]), int(ch[2]),
+            int(i64.min()), int(i64.max()))
+
+
+def audio_features(payload: bytes) -> tuple[int, ...]:
+    sr, s = decode_wav(payload)
+    s64 = s.astype(np.int64)
+    neg = s64 < 0
+    zc = int(np.count_nonzero(neg[1:] != neg[:-1]))
+    return (sr, len(s64), int(np.abs(s64).sum()), int((s64 * s64).sum()),
+            zc, int(s64.min()), int(s64.max()))
 
 
 class MediaFeaturizer:
-    """Actor-pool stage: decode -> fixed-dim feature vector.  One actor
-    holds the (stub) decoder; batches stay Arrow end to end."""
-
-    def __init__(self, deterministic_fake: bool = False):
-        self.fake = deterministic_fake
-
-    def _features(self, media_type: str, payload: bytes) -> np.ndarray:
-        if media_type == "image":
-            img = _decode_image(payload, self.fake).astype(np.float64)
-            v = img.mean(axis=(0, 1))  # per-channel means
-            out = np.zeros(EMBED_DIM)
-            out[: len(v)] = v
-            return out
-        if media_type == "audio":
-            sig = _decode_audio(payload, self.fake).astype(np.float64)
-            spec = np.abs(np.fft.rfft(sig))[:EMBED_DIM]
-            out = np.zeros(EMBED_DIM)
-            out[: len(spec)] = spec
-            return out
-        raise ValueError(f"unknown media_type {media_type!r}")
+    """Actor-pool stage: REAL container decode (PPM / WAV) -> integer
+    feature row.  One actor per pool member; batches stay Arrow."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [
-            self._features(m, p)
-            for m, p in zip(
-                batch["media_type"].to_pylist(), batch["payload"].to_pylist()
-            )
-        ]
+        cols: dict[str, list] = {n: [] for n, _ in FEATURE_FIELDS}
+        for item, mtype, payload in zip(
+            batch["item_id"].to_pylist(),
+            batch["media_type"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if mtype == "image":
+                feats = image_features(payload)
+            elif mtype == "audio":
+                feats = audio_features(payload)
+            else:
+                raise ValueError(f"unknown media_type {mtype!r}")
+            row = (item, mtype, len(payload), *feats)
+            for (name, _), v in zip(FEATURE_FIELDS, row):
+                cols[name].append(v)
         return pa.table(
-            {
-                "item_id": batch["item_id"],
-                "media_type": batch["media_type"],
-                "payload_bytes": pa.array(
-                    [len(p) for p in batch["payload"].to_pylist()], pa.int64()
-                ),
-                "features": pa.array(
-                    [f.tolist() for f in feats], pa.list_(pa.float64(), EMBED_DIM)
-                ),
-            }
+            {name: pa.array(cols[name], typ) for name, typ in FEATURE_FIELDS}
         )
 
 
 def featurize_media(
     media: ray.data.Dataset,
-    deterministic_fake: bool = False,
     batch_size: int = 64,
     concurrency=(1, 4),
 ) -> ray.data.Dataset:
-    """media Dataset (MEDIA_SCHEMA) -> features Dataset.  Small batches:
+    """media Dataset (MEDIA_SCHEMA) -> feature Dataset.  Small batches:
     binary payloads are large; batch x concurrency must fit worker heap."""
     return media.map_batches(
         MediaFeaturizer,
-        fn_constructor_kwargs={"deterministic_fake": deterministic_fake},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
     )
 
 
+# ---------------------------------------------------------------------------
+# derived media table (real payloads, deterministic, no external inputs)
+# ---------------------------------------------------------------------------
+def _canon_bytes(text: str | None) -> bytes:
+    """Printable-ASCII canonical bytes of a document's text — the same
+    char-wise transform the SQL oracle applies (regexp_replace to ' ')."""
+    return _NON_PRINTABLE.sub(" ", text or "").encode("ascii")
+
+
+def text_to_ppm(text: str | None) -> bytes:
+    b = _canon_bytes(text)
+    buf = (b + bytes([PAD_BYTE]) * N_PIX_BYTES)[:N_PIX_BYTES]
+    return encode_ppm(np.frombuffer(buf, np.uint8).reshape(PPM_H, PPM_W, 3))
+
+
+def text_to_wav(text: str | None) -> bytes:
+    b = _canon_bytes(text)
+    buf = (b + bytes([PAD_BYTE]) * WAV_N)[:WAV_N]
+    # center around 'a' (0x61) and scale into int16 range
+    samples = (np.frombuffer(buf, np.uint8).astype(np.int64) - 0x61) * 256
+    return encode_wav(samples.astype(np.int16))
+
+
 def synthetic_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic opaque payloads for plumbing tests (NOT real media)."""
+    """Deterministic REAL media payloads for tests: random pixel images
+    (PPM) and random-walk waveforms (WAV)."""
     rng = np.random.RandomState(seed)
     items, types, payloads, metas = [], [], [], []
     for i in range(n):
-        kind = "image" if i % 2 == 0 else "audio"
-        size = int(rng.randint(200, 2000))
+        if i % 2 == 0:
+            img = rng.randint(0, 256, size=(PPM_H, PPM_W, 3), dtype=np.uint8)
+            payloads.append(encode_ppm(img))
+            types.append("image")
+            metas.append('{"codec": "ppm", "w": %d, "h": %d}' % (PPM_W, PPM_H))
+        else:
+            samples = np.cumsum(rng.randint(-500, 501, size=WAV_N)).astype(np.int16)
+            payloads.append(encode_wav(samples))
+            types.append("audio")
+            metas.append('{"codec": "pcm16", "sr": %d}' % WAV_SR)
         items.append(i)
-        types.append(kind)
-        payloads.append(rng.bytes(size))
-        metas.append('{"codec": "fake", "bytes": %d}' % size)
     return pa.table(
         {
             "item_id": pa.array(items, pa.int64()),
@@ -142,32 +247,36 @@ def synthetic_media_table(n: int, seed: int = 42) -> pa.Table:
 
 
 def media_from_documents(sf_dir: str) -> ray.data.Dataset:
-    """Deterministic opaque media table DERIVED from the real documents
-    table (payload = utf-8 bytes of text; media_type alternates by
-    doc_id) — exercises the full binary-column plumbing against real
-    driver-generated data with no external inputs."""
+    """Deterministic media table DERIVED from the real documents table:
+    even doc_id -> an 8x8 binary PPM whose pixel bytes are the document's
+    printable-ASCII text (padded with spaces), odd doc_id -> a 128-sample
+    16-bit PCM WAV whose samples are text-byte-derived.  Payloads are
+    REAL container files (decodable by any PPM/WAV reader), derived with
+    no external inputs so the decode path has an exact SQL oracle."""
     ds = _clean_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
     def to_media(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         doc_id = t["doc_id"]
-        texts = [s or "" for s in t["text"].to_pylist()]
-        kind = pc.if_else(
-            pc.equal(pc.bit_wise_and(doc_id, 1), 0),
-            pa.scalar("image"),
-            pa.scalar("audio"),
-        )
+        texts = t["text"].to_pylist()
+        ids = doc_id.to_pylist()
+        payloads, kinds, metas = [], [], []
+        for i, s in zip(ids, texts):
+            if i % 2 == 0:
+                payloads.append(text_to_ppm(s))
+                kinds.append("image")
+                metas.append('{"codec": "ppm", "w": %d, "h": %d}' % (PPM_W, PPM_H))
+            else:
+                payloads.append(text_to_wav(s))
+                kinds.append("audio")
+                metas.append('{"codec": "pcm16", "sr": %d}' % WAV_SR)
         return pa.table(
             {
                 "item_id": doc_id,
-                "media_type": kind.cast(pa.string()),
-                "payload": pa.array([s.encode("utf-8") for s in texts], pa.binary()),
-                "meta": pa.array(
-                    ['{"codec": "fake"}'] * len(texts), pa.string()
-                ),
+                "media_type": pa.array(kinds, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "meta": pa.array(metas, pa.string()),
             }
         )
 
@@ -175,21 +284,87 @@ def media_from_documents(sf_dir: str) -> ray.data.Dataset:
 
 
 def media_features(sf_dir: str) -> ray.data.Dataset:
-    """queries() entry: decode-stub featurization over the derived media
-    table (rows-only check: the fake decode is outside SQL's reach, but
-    determinism is asserted by tests)."""
-    return featurize_media(media_from_documents(sf_dir), deterministic_fake=True)
+    """queries() entry: real PPM/WAV decode + integer feature extraction
+    over the derived media table — exact DuckDB oracle
+    (media_features_sql)."""
+    return featurize_media(media_from_documents(sf_dir))
+
+
+_IMG_PAYLOAD_BYTES = len(_PPM_HEADER) + N_PIX_BYTES   # 203
+_WAV_PAYLOAD_BYTES = _WAV_HDR.size + 2 * WAV_N        # 300
+
+
+def media_features_sql() -> str:
+    """Exact replica: reconstruct the payload byte streams from the text
+    (the same canonicalization + padding), aggregate the same integer
+    features.  DuckDB sum() returns HUGEINT — cast back to BIGINT."""
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           regexp_replace(coalesce(text, ''), '[^ -~]', ' ', 'g') AS txt
+    FROM documents
+),
+ib AS (
+    SELECT doc_id, i,
+           CASE WHEN i <= length(txt) THEN unicode(substr(txt, i, 1))
+                ELSE {PAD_BYTE} END AS b
+    FROM t CROSS JOIN (SELECT unnest(range(1, {N_PIX_BYTES + 1})) AS i)
+    WHERE doc_id % 2 = 0
+),
+img AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN (i-1) % 3 = 0 THEN b ELSE 0 END) AS BIGINT) AS sum_a,
+           CAST(sum(CASE WHEN (i-1) % 3 = 1 THEN b ELSE 0 END) AS BIGINT) AS sum_b,
+           CAST(sum(CASE WHEN (i-1) % 3 = 2 THEN b ELSE 0 END) AS BIGINT) AS sum_c,
+           CAST(min(b) AS BIGINT) AS v_min,
+           CAST(max(b) AS BIGINT) AS v_max
+    FROM ib GROUP BY doc_id
+),
+ab AS (
+    SELECT doc_id, i,
+           (CASE WHEN i <= length(txt) THEN unicode(substr(txt, i, 1))
+                 ELSE {PAD_BYTE} END - {0x61}) * 256 AS s
+    FROM t CROSS JOIN (SELECT unnest(range(1, {WAV_N + 1})) AS i)
+    WHERE doc_id % 2 = 1
+),
+aw AS (
+    SELECT doc_id, i, s,
+           lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS ls
+    FROM ab
+),
+aud AS (
+    SELECT doc_id,
+           CAST(sum(abs(s)) AS BIGINT) AS sum_a,
+           CAST(sum(s * s) AS BIGINT) AS sum_b,
+           CAST(sum(CASE WHEN ls IS NOT NULL AND (s < 0) != (ls < 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS sum_c,
+           CAST(min(s) AS BIGINT) AS v_min,
+           CAST(max(s) AS BIGINT) AS v_max
+    FROM aw GROUP BY doc_id
+)
+SELECT doc_id AS item_id, 'image' AS media_type,
+       CAST({_IMG_PAYLOAD_BYTES} AS BIGINT) AS payload_bytes,
+       CAST({PPM_W} AS BIGINT) AS dim_a, CAST({PPM_H} AS BIGINT) AS dim_b,
+       sum_a, sum_b, sum_c, v_min, v_max
+FROM img
+UNION ALL
+SELECT doc_id, 'audio',
+       CAST({_WAV_PAYLOAD_BYTES} AS BIGINT),
+       CAST({WAV_SR} AS BIGINT), CAST({WAV_N} AS BIGINT),
+       sum_a, sum_b, sum_c, v_min, v_max
+FROM aud
+"""
 
 
 class MediaStats:
     """Actor-pool stage over the binary media table: per-item byte count
     + content digest — the decode-free half of the multimodal plumbing,
-    exactly SQL-replicable (hash-green driver oracle, unlike the stubbed
-    decode path)."""
+    exactly SQL-replicable.  The digest is md5 over the LOWERCASE HEX of
+    the payload (not the raw bytes): DuckDB's md5() only accepts VARCHAR
+    and raw media bytes aren't valid UTF-8, so both engines hash the same
+    faithful text encoding of the bytes instead."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ifctordf_ray.functions.kernels import md5_hex
-
         payloads = batch["payload"].to_pylist()
         return pa.table(
             {
@@ -197,7 +372,8 @@ class MediaStats:
                 "media_type": batch["media_type"],
                 "payload_bytes": pa.array([len(p) for p in payloads], pa.int64()),
                 "payload_md5": pa.array(
-                    [hashlib.md5(p).hexdigest() for p in payloads], pa.string()
+                    [hashlib.md5(p.hex().encode()).hexdigest() for p in payloads],
+                    pa.string(),
                 ),
             }
         )
@@ -213,10 +389,56 @@ def media_stats(sf_dir: str, batch_size: int = 64) -> ray.data.Dataset:
 
 
 def media_stats_sql() -> str:
-    return """
-    SELECT doc_id AS item_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
-           octet_length(encode(coalesce(text, ''))) AS payload_bytes,
-           md5(coalesce(text, '')) AS payload_md5
+    """The digest is over the REAL container bytes (as lowercase hex —
+    see MediaStats), so the oracle reconstructs those bytes in SQL: PPM
+    header || padded text bytes for images; for audio the 44-byte header
+    + little-endian int16 sample bytes are hex-built from the text the
+    same way the engine builds them."""
+    hdr_hex = _PPM_HEADER.hex()
+    wav_hdr_hex = encode_wav(np.zeros(WAV_N, np.int16))[:44].hex()
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           regexp_replace(coalesce(text, ''), '[^ -~]', ' ', 'g') AS txt
     FROM documents
-    """
+),
+ibh AS (
+    -- image pixel bytes as lowercase hex, in order
+    SELECT doc_id, i,
+           lpad(lower(to_hex(CASE WHEN i <= length(txt)
+                                  THEN unicode(substr(txt, i, 1))
+                                  ELSE {PAD_BYTE} END)), 2, '0') AS hx
+    FROM t CROSS JOIN (SELECT unnest(range(1, {N_PIX_BYTES + 1})) AS i)
+    WHERE doc_id % 2 = 0
+),
+img AS (
+    SELECT doc_id,
+           md5('{hdr_hex}' || string_agg(hx, '' ORDER BY i)) AS payload_md5
+    FROM ibh GROUP BY doc_id
+),
+ab AS (
+    SELECT doc_id, i,
+           (CASE WHEN i <= length(txt) THEN unicode(substr(txt, i, 1))
+                 ELSE {PAD_BYTE} END - {0x61}) * 256 AS s
+    FROM t CROSS JOIN (SELECT unnest(range(1, {WAV_N + 1})) AS i)
+    WHERE doc_id % 2 = 1
+),
+awb AS (
+    -- int16 little-endian bytes of each sample (two's complement) as hex
+    SELECT doc_id, i,
+           lpad(lower(to_hex(((s + 65536) % 65536) % 256)), 2, '0') ||
+           lpad(lower(to_hex(((s + 65536) % 65536) // 256)), 2, '0') AS hx
+    FROM ab
+),
+wav AS (
+    SELECT doc_id,
+           md5('{wav_hdr_hex}' || string_agg(hx, '' ORDER BY i)) AS payload_md5
+    FROM awb GROUP BY doc_id
+)
+SELECT doc_id AS item_id, 'image' AS media_type,
+       CAST({_IMG_PAYLOAD_BYTES} AS BIGINT) AS payload_bytes, payload_md5
+FROM img
+UNION ALL
+SELECT doc_id, 'audio', CAST({_WAV_PAYLOAD_BYTES} AS BIGINT), payload_md5
+FROM wav
+"""

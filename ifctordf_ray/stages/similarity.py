@@ -389,10 +389,17 @@ def near_dup_pairs_lsh_sql(
         FROM embeddings
     ), codes AS (
         {codes_union}
+    ), codes_r AS (
+        -- replicate the engine's PAIR_MAX_BUCKET skew cap: only the
+        -- lowest-{PAIR_MAX_BUCKET} vec_ids of a bucket form pairs
+        SELECT vec_id, tbl, code,
+               row_number() OVER (PARTITION BY tbl, code ORDER BY vec_id) AS rk
+        FROM codes
     ), cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM codes a JOIN codes b
+        FROM codes_r a JOIN codes_r b
           ON a.tbl = b.tbl AND a.code = b.code AND a.vec_id < b.vec_id
+         AND a.rk <= {PAIR_MAX_BUCKET} AND b.rk <= {PAIR_MAX_BUCKET}
     )
     SELECT c.vec_a, c.vec_b,
            round(list_cosine_similarity(

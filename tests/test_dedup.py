@@ -99,3 +99,28 @@ def test_verified_near_dups_no_candidates(tmp_path):
     texts = [f"totally distinct content {i} nothing shared {i * 13} " * 3 for i in range(8)]
     sf = _docs_ds(tmp_path, texts)
     assert dedup.verified_near_dups(sf, threshold=0.5, num_partitions=8).count() == 0
+
+
+def test_minhash_bucket_cap_matches_sql(tmp_path):
+    """A hot bucket (60 identical docs > MAX_BUCKET=50) must produce the
+    SAME pair set in the engine and the SQL oracle — the r2 ADVICE
+    divergence: the engine caps buckets, the SQL previously did not."""
+    import duckdb
+
+    texts = ["the same repeated document body here again " * 5] * 60
+    texts += [f"unique filler document {i} unrelated content {i * 3} " * 3 for i in range(5)]
+    sf = _docs_ds(tmp_path, texts)
+    got = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in dedup.near_dup_pairs_minhash(sf, threshold=0.5).take_all()
+    }
+    assert len(got) == 50 * 49 // 2  # capped pair count, not C(60,2)
+    con = duckdb.connect()
+    con.sql(f"create view documents as select * from '{sf}/documents.parquet'")
+    exp = {
+        (a, b, est)
+        for a, b, est in con.sql(
+            dedup.near_dup_pairs_minhash_sql(threshold=0.5)
+        ).fetchall()
+    }
+    assert got == exp

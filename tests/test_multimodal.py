@@ -1,3 +1,6 @@
+"""Real dependency-free media codecs (PPM P6 / WAV PCM16) + the integer
+feature stage over them."""
+
 import numpy as np
 import pytest
 import ray.data
@@ -5,26 +8,74 @@ import ray.data
 from ifctordf_ray.stages import multimodal
 
 
-def test_decode_stub_raises_without_fake():
-    with pytest.raises(NotImplementedError):
-        multimodal._decode_image(b"xx", deterministic_fake=False)
-    with pytest.raises(NotImplementedError):
-        multimodal._decode_audio(b"xx", deterministic_fake=False)
+def test_ppm_round_trip():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    payload = multimodal.encode_ppm(img)
+    assert payload.startswith(b"P6\n8 8\n255\n")
+    back = multimodal.decode_ppm(payload)
+    assert np.array_equal(back, img)
 
 
-def test_featurize_plumbing_deterministic():
+def test_ppm_golden_decode():
+    """Handcrafted golden: a 2x1 image, red then green pixel."""
+    payload = b"P6\n2 1\n255\n" + bytes([255, 0, 0, 0, 255, 0])
+    img = multimodal.decode_ppm(payload)
+    assert img.shape == (1, 2, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[0, 1].tolist() == [0, 255, 0]
+
+
+def test_wav_round_trip():
+    samples = (np.sin(np.linspace(0, 20, 128)) * 20000).astype(np.int16)
+    payload = multimodal.encode_wav(samples, 8000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    sr, back = multimodal.decode_wav(payload)
+    assert sr == 8000
+    assert np.array_equal(back, samples)
+
+
+def test_decode_rejects_garbage():
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"not a ppm")
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFFxxxxWAVEgarbage" + b"\x00" * 40)
+
+
+def test_featurize_real_decode():
     t = multimodal.synthetic_media_table(32)
     ds = ray.data.from_arrow(t)
-    out = multimodal.featurize_media(ds, deterministic_fake=True).take_all()
+    out = multimodal.featurize_media(ds).take_all()
     assert len(out) == 32
     by_id = {r["item_id"]: r for r in out}
-    assert all(len(r["features"]) == multimodal.EMBED_DIM for r in out)
     assert by_id[0]["media_type"] == "image" and by_id[1]["media_type"] == "audio"
-    # content-derived fake decode => rerun is bit-identical (idempotent tasks)
-    out2 = multimodal.featurize_media(ds, deterministic_fake=True).take_all()
-    by_id2 = {r["item_id"]: r for r in out2}
-    for i in by_id:
-        assert np.allclose(by_id[i]["features"], by_id2[i]["features"])
+    # image features match a direct decode of the same payload
+    payloads = {r["item_id"]: r["payload"] for r in t.to_pylist()}
+    img = multimodal.decode_ppm(payloads[0]).astype(np.int64)
+    assert by_id[0]["sum_a"] == int(img[:, :, 0].sum())
+    assert by_id[0]["dim_a"] == 8 and by_id[0]["dim_b"] == 8
+    # audio features match a direct decode
+    sr, s = multimodal.decode_wav(payloads[1])
+    s64 = s.astype(np.int64)
+    assert by_id[1]["dim_a"] == sr and by_id[1]["dim_b"] == len(s)
+    assert by_id[1]["sum_b"] == int((s64 * s64).sum())
     # payload byte accounting survives the arrow round trip
-    src = {r["item_id"]: len(r["payload"]) for r in t.to_pylist()}
-    assert all(by_id[i]["payload_bytes"] == src[i] for i in by_id)
+    assert all(by_id[i]["payload_bytes"] == len(payloads[i]) for i in by_id)
+    # rerun is bit-identical (idempotent tasks)
+    out2 = multimodal.featurize_media(ds).take_all()
+    assert sorted(map(tuple, (r.values() for r in out))) == sorted(
+        map(tuple, (r.values() for r in out2))
+    )
+
+
+def test_text_payload_builders_are_real_containers():
+    ppm = multimodal.text_to_ppm("hello world " * 30)
+    img = multimodal.decode_ppm(ppm)
+    assert img.shape == (8, 8, 3)
+    assert img.reshape(-1)[0] == ord("h")
+    wav = multimodal.text_to_wav("abc")
+    sr, s = multimodal.decode_wav(wav)
+    assert sr == multimodal.WAV_SR and len(s) == multimodal.WAV_N
+    # 'a' - 0x61 == 0, 'b' -> 256, 'c' -> 512, padding ' ' -> (32-97)*256
+    assert s[0] == 0 and s[1] == 256 and s[2] == 512
+    assert s[3] == (0x20 - 0x61) * 256
