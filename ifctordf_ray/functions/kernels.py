@@ -117,3 +117,23 @@ def join_ready(ds, schema: pa.Schema, sentinel_row: dict | None = None):
         )
         out = out.union(ray.data.from_arrow(seed))
     return out.repartition(default_join_partitions())
+
+
+def digit_runs(text_col) -> tuple[pa.Array, pa.Array]:
+    """Vectorized findall(r'\\d+') over a string column: returns
+    (parent_row_indices, runs) — every maximal digit run with the row it
+    came from.  All C kernels (regex replace -> trim -> split -> flatten),
+    no per-row Python: replaces the per-row findall loops in the mention
+    stages (MentionOccurrences / MentionSurfaceForms, the r2 hot-loop
+    note).  Exactly matches re.findall(NUM_RE) semantics."""
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    t = pc.fill_null(text_col, "")
+    # non-digit runs -> single space, so split(" ") yields the digit runs
+    cleaned = pc.replace_substring_regex(t, pattern="[^0-9]+", replacement=" ")
+    trimmed = pc.utf8_trim(cleaned, " ")
+    lists = pc.split_pattern(trimmed, pattern=" ")
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists)
+    mask = pc.not_equal(flat, "")  # empty rows produce one "" token
+    return parents.filter(mask), flat.filter(mask)

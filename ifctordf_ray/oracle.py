@@ -33,6 +33,7 @@ def extract_reference(
     num_re = re.compile(S.NUM_RE)
     ref_re = re.compile(S.REF_RE)
     dec_re = re.compile(S.DEC_RE)
+    hex_re = re.compile(S.HEX_RE)
     outer_re = re.compile(S.OUTER_LIST_RE)
     inner_re = re.compile(S.INNER_LIST_RE)
     convs: dict[str, list[dict]] = defaultdict(list)
@@ -128,6 +129,15 @@ def extract_reference(
                 conv_triples.add((t_iri, S.P_MENTIONS_DECIMAL, dw, "uri"))
                 conv_triples.add(
                     (dw, S.P_HAS_DOUBLE, S.typed_literal(m, S.XSD_DOUBLE), "literal")
+                )
+            for m in hex_re.findall(text):
+                if len(m) % 2:  # odd run: outside hexBinary's lexical space
+                    continue
+                hw = S.hex_wrapper_iri(m)
+                conv_triples.add((t_iri, S.P_MENTIONS_HEX, hw, "uri"))
+                conv_triples.add(
+                    (hw, S.P_HAS_HEXBINARY,
+                     S.typed_literal(m, S.XSD_HEXBINARY), "literal")
                 )
             for olex in outer_re.findall(text):
                 conv_triples.add(

@@ -167,6 +167,7 @@ def nation_revenue(
         joined = orders.map_batches(
             JoinOrdersToNation,
             fn_constructor_kwargs={"cust_nation_ref": ref},
+            max_restarts=0,  # constructor args hold ObjectRefs (ray#53727 warning)
             batch_format="pyarrow",
             concurrency=(1, 4),
         )
@@ -364,15 +365,15 @@ def _sessionize_group(g: pa.Table) -> pa.Table:
     if len(ts) > 1:
         new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
     session_seq = np.cumsum(new_session) - 1
-    uid = g["user_id"][0].as_py()
-    out = pa.table(
-        {
-            "user_id": g["user_id"],
-            "session_id": pa.array(
-                [f"u{uid}-s{s}" for s in session_seq], pa.string()
-            ),
-        }
+    # vectorized "u{uid}-s{seq}" (the r2 per-row f-string list-comp)
+    sid = pc.binary_join_element_wise(
+        "u",
+        pc.cast(g["user_id"], pa.string()),
+        "-s",
+        pc.cast(pa.array(session_seq, pa.int64()), pa.string()),
+        "",
     )
+    out = pa.table({"user_id": g["user_id"], "session_id": sid})
     return (
         out.group_by(["user_id", "session_id"])
         .aggregate([("session_id", "count")])

@@ -59,6 +59,8 @@ P_TEXT_PRESENCE = "ont:textPresence"  # turn -> ont:logical/{TRUE,FALSE,UNKNOWN}
 P_MENTIONS_LIST = "ont:mentionsList"  # turn -> head node of a structured list mention
 P_HAS_CONTENTS = "ont:hasContents"    # list node -> cell value (list:hasContents analog, T7-T10/T13)
 P_HAS_NEXT = "ont:hasNext"            # list node -> successor node (list:hasNext analog)
+P_MENTIONS_HEX = "ont:mentionsHex"    # turn -> canonical hex wrapper
+P_HAS_HEXBINARY = "ont:hasHexBinary"  # wrapper -> xsd:hexBinary literal (the last P5 dispatch branch, RDFWriter.java:678-686)
 
 # Closed vocabularies (the enum NamedIndividual analog — RDFWriter.java:659-672;
 # an unmatched value emits NO triple for the slot and an error row instead,
@@ -71,6 +73,11 @@ TOOLS: tuple[str, ...] = ("logger", "search", "code", "browser", "shell")
 NUM_RE = r"\d+"          # numeric mention; lexical form kept VERBATIM (P5 contract)
 REF_RE = r"#(\d+)"       # reference to another turn of the same conversation
 DEC_RE = r"\d+\.\d*"     # decimal mention; VERBATIM lexical ("12." stays "12.")
+# hex mention '0x' + maximal hex-digit run; group 1 (case VERBATIM) is
+# the xsd:hexBinary lexical.  ODD-length runs are skipped by the shared
+# even-length filter (odd hex is outside xsd:hexBinary's lexical space —
+# the reference's warn-and-skip dispatch, RDFWriter.java:678-686 analog).
+HEX_RE = r"0x([0-9a-fA-F]+)"
 # two-level structured list mention, e.g. "((1,2),(3,4))" (tool-call
 # argument lists) — the _List_List analog (RDFWriter.java:427-436,
 # reference tests 13/16/19).  RE2-safe fixed-depth pattern (no recursion)
@@ -129,6 +136,12 @@ def dec_wrapper_iri(lexical: str) -> str:
     return f"inst:dec/{lexical}"
 
 
+def hex_wrapper_iri(lexical: str) -> str:
+    """Canonical wrapper for a hexBinary literal (verbatim lexical key —
+    case preserved: 'DEAD' and 'dead' are distinct wrappers)."""
+    return f"inst:hex/{lexical}"
+
+
 def logical_iri(value: str) -> str:
     """Three-valued logical named individual (TRUE/FALSE/UNKNOWN — the
     EXPRESS LOGICAL enumeration analog, RDFWriter.java:696-704)."""
@@ -152,6 +165,7 @@ XSD_STRING = "xsd:string"
 XSD_DATETIME = "xsd:dateTime"
 XSD_DOUBLE = "xsd:double"
 XSD_BOOLEAN = "xsd:boolean"
+XSD_HEXBINARY = "xsd:hexBinary"
 
 
 def typed_literal(lexical: str, dtype: str) -> str:
@@ -189,6 +203,9 @@ PRED_TABLE: tuple[tuple[str, str], ...] = (
     (P_MENTIONS_LIST, "uri"),
     (P_HAS_CONTENTS, "uri"),
     (P_HAS_NEXT, "uri"),
+    # appended in round 3 (append-only wire contract)
+    (P_MENTIONS_HEX, "uri"),
+    (P_HAS_HEXBINARY, "literal"),
 )
 PRED_ID: dict[str, int] = {p: i for i, (p, _) in enumerate(PRED_TABLE)}
 PRED_NAMES: tuple[str, ...] = tuple(p for p, _ in PRED_TABLE)
@@ -209,18 +226,19 @@ PRED_KINDS: tuple[str, ...] = tuple(k for _, k in PRED_TABLE)
 WIRE_PREFIX_TABLE: tuple[tuple[str, str], ...] = (
     ("\x01", "inst:conv/"),
     ("\x02", "inst:dec/"),
-    ("\x03", "inst:listn/"),
-    ("\x04", "inst:num/"),
-    ("\x05", "inst:text/"),
-    ("\x06", "inst:turn/"),
-    ("\x07", "ont:Conversation"),
-    ("\x08", "ont:Turn"),
-    ("\x0b", "ont:logical/"),  # skip \x09/\x0a (tab/newline: keep wire
-    ("\x0c", "ont:role/"),     # strings free of whitespace control bytes)
-    ("\x0e", "ont:tool/"),
+    ("\x03", "inst:hex/"),
+    ("\x04", "inst:listn/"),
+    ("\x05", "inst:num/"),
+    ("\x06", "inst:text/"),
+    ("\x07", "inst:turn/"),
+    ("\x08", "ont:Conversation"),
+    ("\x0b", "ont:Turn"),      # skip \x09/\x0a (tab/newline: keep wire
+    ("\x0c", "ont:logical/"),  # strings free of whitespace control bytes)
+    ("\x0e", "ont:role/"),     # (\x0d CR skipped likewise)
+    ("\x0f", "ont:tool/"),
 )
-(W_CONV, W_DEC, W_LISTN, W_NUM, W_TEXT, W_TURN, W_CLS_CONV, W_CLS_TURN,
- W_LOGICAL, W_ROLE, W_TOOL) = (c for c, _ in WIRE_PREFIX_TABLE)
+(W_CONV, W_DEC, W_HEX, W_LISTN, W_NUM, W_TEXT, W_TURN, W_CLS_CONV,
+ W_CLS_TURN, W_LOGICAL, W_ROLE, W_TOOL) = (c for c, _ in WIRE_PREFIX_TABLE)
 assert [p for _, p in WIRE_PREFIX_TABLE] == sorted(p for _, p in WIRE_PREFIX_TABLE)
 assert [c for c, _ in WIRE_PREFIX_TABLE] == sorted(c for c, _ in WIRE_PREFIX_TABLE)
 

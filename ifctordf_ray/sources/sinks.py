@@ -33,7 +33,8 @@ _ESCAPES = str.maketrans(
 
 # datatype CURIEs the engine's `obj` encoding can carry (lexical^^dtype)
 _KNOWN_DTYPES = (
-    S.XSD_INTEGER, S.XSD_STRING, S.XSD_DATETIME, S.XSD_DOUBLE, S.XSD_BOOLEAN
+    S.XSD_INTEGER, S.XSD_STRING, S.XSD_DATETIME, S.XSD_DOUBLE, S.XSD_BOOLEAN,
+    S.XSD_HEXBINARY,
 )
 
 

@@ -27,6 +27,7 @@ def transcripts_cte() -> str:
 # regex literals escaped for embedding in single-quoted SQL strings
 _OUTER_RE_SQL = S.OUTER_LIST_RE.replace("'", "''")
 _INNER_RE_SQL = S.INNER_LIST_RE.replace("'", "''")
+_HEX_RE_SQL = S.HEX_RE.replace("'", "''")
 
 
 def kg_transcripts_sql() -> str:
@@ -115,6 +116,15 @@ def _turn_triples_unions(mentions_turn_select: str) -> str:
     SELECT 'inst:dec/' || u.m, '{S.P_HAS_DOUBLE}',
            u.m || '^^{S.XSD_DOUBLE}', 'literal'
     FROM turn, UNNEST(regexp_extract_all(txt, '{S.DEC_RE}')) AS u(m)
+    UNION ALL
+    SELECT t_iri, '{S.P_MENTIONS_HEX}', 'inst:hex/' || u.m, 'uri'
+    FROM turn, UNNEST(regexp_extract_all(txt, '{_HEX_RE_SQL}', 1)) AS u(m)
+    WHERE len(u.m) % 2 = 0
+    UNION ALL
+    SELECT 'inst:hex/' || u.m, '{S.P_HAS_HEXBINARY}',
+           u.m || '^^{S.XSD_HEXBINARY}', 'literal'
+    FROM turn, UNNEST(regexp_extract_all(txt, '{_HEX_RE_SQL}', 1)) AS u(m)
+    WHERE len(u.m) % 2 = 0
     UNION ALL
     -- two-level structured list mentions (T13/_List_List analog)
     SELECT t_iri, '{S.P_MENTIONS_LIST}',

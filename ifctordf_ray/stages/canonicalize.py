@@ -15,7 +15,6 @@ moves one partial row per (block, key), not one row per mention.
 
 from __future__ import annotations
 
-import re
 
 import pyarrow as pa
 import ray.data
@@ -26,30 +25,26 @@ from ifctordf_ray import schema as S
 
 class MentionSurfaceForms:
     """map_batches stage: flatten numeric mentions to (surface_key, sk)
-    rows, sk = the first-seen total-order key."""
-
-    def __init__(self):
-        self.num_re = re.compile(S.NUM_RE)
+    rows, sk = the first-seen total-order key.  Fully vectorized
+    (kernels.digit_runs + Arrow string kernels — no per-row loop)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys, sks = [], []
-        for c, i, t in zip(
-            batch["conv_id"].to_pylist(),
-            batch["turn_idx"].to_pylist(),
-            batch["text"].to_pylist(),
-        ):
-            if not t:
-                continue
-            sk = S.first_seen_key(c, i)
-            for m in self.num_re.findall(t):
-                keys.append(m)
-                sks.append(sk)
-        return pa.table(
-            {
-                "surface_key": pa.array(keys, pa.string()),
-                "sk": pa.array(sks, pa.string()),
-            }
+        import pyarrow.compute as pc
+
+        from ifctordf_ray.functions.kernels import digit_runs
+
+        parents, runs = digit_runs(batch["text"])
+        # schema.first_seen_key vectorized: conv_id # zero-padded idx
+        sk = pc.binary_join_element_wise(
+            pc.take(batch["conv_id"], parents),
+            pc.utf8_lpad(
+                pc.cast(pc.take(batch["turn_idx"], parents), pa.string()),
+                10,
+                "0",
+            ),
+            "#",
         )
+        return pa.table({"surface_key": runs, "sk": sk})
 
 
 def canonicalize_mentions(transcripts: ray.data.Dataset) -> ray.data.Dataset:

@@ -105,6 +105,7 @@ def _compiled() -> dict:
             "num_re": re.compile(S.NUM_RE),
             "ref_re": re.compile(S.REF_RE),
             "dec_re": re.compile(S.DEC_RE),
+            "hex_re": re.compile(S.HEX_RE),
             "outer_list_re": re.compile(S.OUTER_LIST_RE),
             "inner_list_re": re.compile(S.INNER_LIST_RE),
             "roles": frozenset(S.ROLES),
@@ -332,9 +333,11 @@ def extract_batch_triples(
 
     # mentions — regex over text, flattened with row offsets
     dec_re = _compiled()["dec_re"]
+    hex_re = _compiled()["hex_re"]
     conv_py = conv.to_pylist()
     m_conv, m_turn, m_lex = [], [], []
     d_conv, d_turn, d_lex = [], [], []
+    h_conv, h_turn, h_lex = [], [], []
     r_conv, r_turn, r_tgt = [], [], []
     for i, t in enumerate(text_py):
         if not t:
@@ -348,6 +351,13 @@ def extract_batch_triples(
                 d_conv.append(conv_py[i])
                 d_turn.append(i)
                 d_lex.append(m)
+        if "0x" in t:
+            for m in hex_re.findall(t):
+                if len(m) % 2:  # odd run: outside hexBinary's lexical space
+                    continue
+                h_conv.append(conv_py[i])
+                h_turn.append(i)
+                h_lex.append(m)
         for m in ref_re.findall(t):
             r_conv.append(conv_py[i])
             r_turn.append(i)
@@ -370,6 +380,16 @@ def extract_batch_triples(
         emit(cv, src, S.P_MENTIONS_DECIMAL, dec_iri)
         emit(cv, dec_iri, S.P_HAS_DOUBLE,
              pa.array([f"{m}^^{S.XSD_DOUBLE}" for m in d_lex], pa.string()))
+    if h_lex:
+        # hex mentions: VERBATIM case xsd:hexBinary (the last P5 dispatch
+        # branch, RDFWriter.java:678-686)
+        turn_iri_py = turn_iri.to_pylist()
+        hex_iri = pa.array([S.W_HEX + m for m in h_lex], pa.string())
+        src = pa.array([turn_iri_py[i] for i in h_turn], pa.string())
+        cv = pa.array(h_conv, pa.string())
+        emit(cv, src, S.P_MENTIONS_HEX, hex_iri)
+        emit(cv, hex_iri, S.P_HAS_HEXBINARY,
+             pa.array([f"{m}^^{S.XSD_HEXBINARY}" for m in h_lex], pa.string()))
     # two-level structured list mentions (the _List_List analog,
     # reference tests 13/16/19): content-derived node chains with
     # hasContents/hasNext; identical (sub)lists share one chain globally

@@ -17,7 +17,6 @@ key) rows, never raw text.
 
 from __future__ import annotations
 
-import re
 
 import pyarrow as pa
 import ray.data
@@ -27,29 +26,20 @@ from ifctordf_ray import schema as S
 
 class MentionOccurrences:
     """map_batches stage: flatten each turn's numeric mentions to one
-    (conv_id, turn_idx, surface_key) row per occurrence."""
-
-    def __init__(self):
-        self.num_re = re.compile(S.NUM_RE)
+    (conv_id, turn_idx, surface_key) row per occurrence.  Fully
+    vectorized (kernels.digit_runs — no per-row findall loop)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        conv, idx, key = [], [], []
-        for c, i, t in zip(
-            batch["conv_id"].to_pylist(),
-            batch["turn_idx"].to_pylist(),
-            batch["text"].to_pylist(),
-        ):
-            if not t:
-                continue
-            for m in self.num_re.findall(t):
-                conv.append(c)
-                idx.append(i)
-                key.append(m)
+        import pyarrow.compute as pc
+
+        from ifctordf_ray.functions.kernels import digit_runs
+
+        parents, runs = digit_runs(batch["text"])
         return pa.table(
             {
-                "conv_id": pa.array(conv, pa.string()),
-                "turn_idx": pa.array(idx, pa.int32()),
-                "surface_key": pa.array(key, pa.string()),
+                "conv_id": pc.take(batch["conv_id"], parents),
+                "turn_idx": pc.take(batch["turn_idx"], parents).cast(pa.int32()),
+                "surface_key": runs,
             }
         )
 

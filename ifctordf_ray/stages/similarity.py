@@ -100,6 +100,7 @@ def knn_brute_force(
     scored = ds.map_batches(
         CosineScorer,
         fn_constructor_kwargs={"queries_ref": q_ref},
+        max_restarts=0,  # constructor args hold ObjectRefs (ray#53727 warning)
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, 8),
@@ -187,6 +188,7 @@ def knn_lsh(
     bucketed = ds.map_batches(
         LshBucketer,
         fn_constructor_kwargs={"planes_ref": planes_ref},
+        max_restarts=0,  # constructor args hold ObjectRefs (ray#53727 warning)
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
@@ -200,6 +202,7 @@ def knn_lsh(
     scored = candidates.map_batches(
         CosineScorer,
         fn_constructor_kwargs={"queries_ref": q_ref},
+        max_restarts=0,  # constructor args hold ObjectRefs (ray#53727 warning)
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, 4),
@@ -471,6 +474,7 @@ def knn_ivf(
     assigned = ds.map_batches(
         IvfAssigner,
         fn_constructor_kwargs={"centroids_ref": cent_ref},
+        max_restarts=0,  # constructor args hold ObjectRefs (ray#53727 warning)
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
@@ -486,6 +490,7 @@ def knn_ivf(
     scored = candidates.map_batches(
         CosineScorer,
         fn_constructor_kwargs={"queries_ref": q_ref},
+        max_restarts=0,  # constructor args hold ObjectRefs (ray#53727 warning)
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, 4),

@@ -334,3 +334,18 @@ def test_f26_cross_sublist_sharing():
     assert len(heads) == 3
     # and the inner chain exists exactly once (set semantics)
     assert (i78, S.P_HAS_CONTENTS, "inst:num/7", "uri") in got
+
+
+def test_f27_hexbinary_literal():
+    """The last P5 dispatch branch (xsd:hexBinary, RDFWriter.java:678-686):
+    even-length hex runs after '0x' become verbatim-case hexBinary
+    wrappers; odd-length runs emit nothing (outside the lexical space)."""
+    got, _ = run_both(
+        [{"conv_id": "c", "turn_idx": 0, "role": "user",
+          "text": "blob 0xDEADbeef and bad 0xabc end"}]
+    )
+    assert ("inst:turn/c/0", S.P_MENTIONS_HEX, "inst:hex/DEADbeef", "uri") in got
+    assert ("inst:hex/DEADbeef", S.P_HAS_HEXBINARY,
+            "DEADbeef^^xsd:hexBinary", "literal") in got
+    # odd-length run: no hex triples at all for it
+    assert not any("abc" in t[2] and t[1] == S.P_HAS_HEXBINARY for t in got)

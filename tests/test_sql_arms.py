@@ -16,7 +16,7 @@ TS = dt.datetime(2024, 1, 2, 3, 4, 5, 123456)
 
 ROWS = [
     {"conv_id": "c", "turn_idx": 0, "role": "user", "tool": None,
-     "text": "args ((1,2),(3,4)) and ((7,8)) v 12. plus 0012 and #1"},
+     "text": "args ((1,2),(3,4)) and ((7,8)) v 12. plus 0012 and #1 0xAb12 0xabc"},
     {"conv_id": "c", "turn_idx": 1, "role": "tool", "tool": "search",
      "text": "((7,8),(9)) café 3.14"},
     {"conv_id": "c", "turn_idx": 2, "role": "assistant", "tool": None,
