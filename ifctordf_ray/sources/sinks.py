@@ -53,21 +53,44 @@ import pyarrow.compute as _pc
 
 
 def _expand_curies_vec(arr) -> pa.Array:
-    """Vectorized CURIE -> <IRI>: one ANCHORED regex replace per known
-    prefix, then angle-bracket wrap.  Anchoring (^pfx: with
-    max_replacements=1) matches expand_curie's first-colon-only
+    """Vectorized CURIE -> <IRI>: per known prefix, an ANCHORED
+    starts_with mask + head slice + join (all cheap non-regex kernels;
+    the r3 profile showed the regex variant at ~3x the cost in the sink's
+    hot path).  Anchoring preserves expand_curie's first-colon-only
     semantics — an IRI whose LOCAL part happens to contain 'inst:' /
-    'rdf:' etc. (possible with arbitrary conv_id input) must not be
-    rewritten mid-string."""
+    'rdf:' etc. must not be rewritten mid-string.  No prefix is a prefix
+    of another, so the passes are independent."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     for pfx, base in S.PREFIXES.items():
-        arr = _pc.replace_substring_regex(
-            arr, pattern=f"^{pfx}:", replacement=base, max_replacements=1
-        )
+        p = pfx + ":"
+        m = _pc.starts_with(arr, pattern=p)
+        if _pc.any(m).as_py():
+            repl = _pc.binary_join_element_wise(
+                base, _pc.utf8_slice_codeunits(arr, len(p), 1 << 30), ""
+            )
+            arr = _pc.if_else(m, repl, arr)
     return _pc.binary_join_element_wise(
         pa.nulls(len(arr), pa.string()).fill_null("<"), arr, ">", ""
     )
+
+
+# closed predicate vocabulary: expansion = one hash lookup + dictionary
+# take against these precomputed terms (S.PRED_NAMES is the whole domain)
+_PRED_NAMES_ARR = pa.array(list(S.PRED_NAMES))
+_PRED_FULL_NT = pa.array([f"<{S.expand_curie(p)}>" for p in S.PRED_NAMES])
+
+
+def _expand_pred_vec(arr) -> pa.Array:
+    """Predicate CURIE -> <IRI> via index_in + take (predicates come from
+    the closed PRED_TABLE; falls back to the generic path for any term
+    outside it, e.g. in user-authored triple tables)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    idx = _pc.index_in(arr, _PRED_NAMES_ARR)
+    if _pc.any(_pc.is_null(idx)).as_py():
+        return _expand_curies_vec(arr)
+    return _pc.take(_PRED_FULL_NT, idx)
 
 
 def _escape_literals_vec(arr) -> pa.Array:
@@ -88,15 +111,15 @@ def format_ntriples(batch: pa.Table) -> str:
     if n == 0:
         return ""
     subj = _expand_curies_vec(batch["subj"])
-    pred = _expand_curies_vec(batch["pred"])
+    pred = _expand_pred_vec(batch["pred"])
     obj = batch["obj"].combine_chunks() if isinstance(batch["obj"], pa.ChunkedArray) else batch["obj"]
     kind = batch["obj_kind"]
     is_uri = _pc.equal(kind, "uri")
 
     # literal rendering: strip the FINAL '^^<known dtype>' suffix only
-    # (a lexical may itself contain '^^xsd:string'): reverse the string,
-    # replace the now-FIRST occurrence with max_replacements=1, reverse
-    # back — all C kernels, exact match of rpartition('^^') semantics.
+    # (a lexical may itself contain '^^xsd:string'): the suffix length is
+    # known per dtype, so the strip is one negative-stop slice — exact
+    # rpartition('^^') semantics, no reverse passes.
     # The ends_with mask is computed on the ORIGINAL obj AND masked with
     # is_null(dtype_tag) so at most ONE suffix is ever removed — testing
     # the already-stripped lex would double-strip a string literal whose
@@ -109,11 +132,7 @@ def format_ntriples(batch: pa.Table) -> str:
             _pc.ends_with(obj, pattern=sfx), _pc.is_null(dtype_tag)
         )
         if _pc.any(has).as_py():
-            rev = _pc.utf8_reverse(lex_all)
-            rev_stripped = _pc.replace_substring(
-                rev, pattern=sfx[::-1], replacement="", max_replacements=1
-            )
-            stripped = _pc.utf8_reverse(rev_stripped)
+            stripped = _pc.utf8_slice_codeunits(obj, 0, -len(sfx))
             lex_all = _pc.if_else(has, stripped, lex_all)
             dtype_tag = _pc.if_else(has, pa.scalar(S.expand_curie(dt)), dtype_tag)
     esc = _escape_literals_vec(lex_all)
@@ -268,18 +287,15 @@ def format_turtle(batch: pa.Table) -> str:
     is_uri = pc.equal(kind, "uri")
 
     # same single-strip discipline as format_ntriples: mask on the
-    # ORIGINAL obj + untagged rows only (ADVICE r2 double-strip fix)
+    # ORIGINAL obj + untagged rows only (ADVICE r2 double-strip fix);
+    # known suffix length -> one negative-stop slice
     lex_all = obj
     dtype_tag = pa.nulls(n, pa.string())
     for dt in _KNOWN_DTYPES:
         sfx = "^^" + dt
         has = pc.and_(pc.ends_with(obj, pattern=sfx), pc.is_null(dtype_tag))
         if pc.any(has).as_py():
-            rev = pc.utf8_reverse(lex_all)
-            stripped = pc.utf8_reverse(
-                pc.replace_substring(rev, pattern=sfx[::-1], replacement="",
-                                     max_replacements=1)
-            )
+            stripped = pc.utf8_slice_codeunits(obj, 0, -len(sfx))
             lex_all = pc.if_else(has, stripped, lex_all)
             dtype_tag = pc.if_else(has, pa.scalar(dt), dtype_tag)
     esc = _escape_literals_vec(lex_all)
