@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_deduped_ids": _stage("dedup", "deduped_doc_ids"),
         "doc_minhash_near_dups": _stage("dedup", "near_dup_pairs_minhash"),
         "doc_simhash": _stage("dedup", "simhash_fingerprints"),
+        "doc_simhash_near_dups": _stage("dedup", "near_dup_pairs_simhash"),
         "doc_verified_near_dups": _stage("dedup", "verified_near_dups"),
         # --- similarity search ---
         "emb_knn_brute_force": _stage("similarity", "knn_brute_force"),
@@ -205,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
         # minhash/LSH/simhash pipelines have exact SQL replicas:
         "doc_minhash_near_dups": D.near_dup_pairs_minhash_sql(),
         "doc_simhash": D.simhash_fingerprints_sql(),
+        "doc_simhash_near_dups": D.near_dup_pairs_simhash_sql(),
         "doc_verified_near_dups": D.verified_near_dups_sql(),
         "emb_knn_brute_force": SIM.knn_brute_force_sql(),
         "emb_knn_lsh": SIM.knn_lsh_sql(),

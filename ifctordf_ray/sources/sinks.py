@@ -445,3 +445,90 @@ def iter_triples(triples: ray.data.Dataset, batch_size: int = 65536):
     """StreamRDF-analog consumer (parseModelToStreamRdf,
     IfcSpfReader.java:357-365): yields pyarrow batches incrementally."""
     yield from triples.iter_batches(batch_size=batch_size, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# N-Triples source (completes the sink/source pair for .nt, as
+# read_graph_parquet does for Parquet; the readModel/S5 analog for the
+# engine's own text output)
+# --------------------------------------------------------------------------
+_NT_LINE_RE = (
+    r'^<(?P<s>[^>]*)> <(?P<p>[^>]*)> (?P<o><[^>]*>|"(?:[^"\\]|\\.)*"'
+    r"(?:\^\^<[^>]*>)?) \.$"
+)
+
+
+def _compact_iri_vec(arr) -> pa.Array:
+    """Full IRI -> engine CURIE (reverse of _expand_curies_vec)."""
+    for pfx, base in S.PREFIXES.items():
+        m = _pc.starts_with(arr, pattern=base)
+        if _pc.any(m).as_py():
+            repl = _pc.binary_join_element_wise(
+                pfx + ":", _pc.utf8_slice_codeunits(arr, len(base), 1 << 30), ""
+            )
+            arr = _pc.if_else(m, repl, arr)
+    return arr
+
+
+def _unescape_literals_vec(arr) -> pa.Array:
+    """Reverse of _escape_literals_vec.  '\\\\' goes through a sentinel
+    first so an escaped backslash never merges with a following n/r/t."""
+    arr = _pc.replace_substring(arr, pattern="\\\\", replacement="\x00")
+    for esc, raw in (('\\"', '"'), ("\\n", "\n"), ("\\r", "\r"), ("\\t", "\t")):
+        arr = _pc.replace_substring(arr, pattern=esc, replacement=raw)
+    return _pc.replace_substring(arr, pattern="\x00", replacement="\\")
+
+
+def parse_ntriples_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized N-Triples line parse (this engine's writer subset: one
+    statement per line, URIs or typed/plain literals, no blank nodes):
+    one extract_regex pass + Arrow string kernels, no per-row Python."""
+    lines = batch["text"]
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    parts = _pc.extract_regex(lines, pattern=_NT_LINE_RE)
+    if _pc.any(_pc.is_null(parts)).as_py():
+        bad = lines.filter(_pc.is_null(parts)).slice(0, 3).to_pylist()
+        raise ValueError(f"unparseable N-Triples line(s): {bad!r}")
+    s = _compact_iri_vec(_pc.struct_field(parts, "s"))
+    p = _compact_iri_vec(_pc.struct_field(parts, "p"))
+    o = _pc.struct_field(parts, "o")
+    is_uri = _pc.starts_with(o, pattern="<")
+    # uri objects: strip <>
+    o_uri = _compact_iri_vec(_pc.utf8_slice_codeunits(o, 1, -1))
+    # literal objects: '"lex"' or '"lex"^^<dtype>' -> engine lex^^curie
+    # (plain literals are written by this engine only for unknown dtypes;
+    # its own output always carries ^^<dtype> for typed and plain quotes
+    # for untyped, which compacts to the bare lexical)
+    has_dt = _pc.ends_with(o, pattern=">")
+    # find the closing quote of the lexical: for typed form the suffix is
+    # '"^^<dtype>', for plain it is the final '"'
+    lex_typed = _pc.replace_substring_regex(
+        o, pattern=r'^"((?:[^"\\]|\\.)*)"\^\^<([^>]*)>$', replacement=r"\1"
+    )
+    dt_typed = _pc.replace_substring_regex(
+        o, pattern=r'^"((?:[^"\\]|\\.)*)"\^\^<([^>]*)>$', replacement=r"\2"
+    )
+    lex_plain = _pc.replace_substring_regex(
+        o, pattern=r'^"((?:[^"\\]|\\.)*)"$', replacement=r"\1"
+    )
+    lex = _pc.if_else(has_dt, lex_typed, lex_plain)
+    lex = _unescape_literals_vec(lex)
+    o_lit = _pc.if_else(
+        has_dt,
+        _pc.binary_join_element_wise(lex, _compact_iri_vec(dt_typed), "^^"),
+        lex,
+    )
+    obj = _pc.if_else(is_uri, o_uri, o_lit)
+    kind = _pc.if_else(is_uri, pa.scalar("uri"), pa.scalar("literal"))
+    return pa.table({"subj": s, "pred": p, "obj": obj, "obj_kind": kind})
+
+
+def read_ntriples(paths: str | list[str]) -> ray.data.Dataset:
+    """Load .nt partitions written by write_ntriples back as a triples
+    Dataset — the text half of the sink/source pair (the Parquet half is
+    read_graph_parquet).  Distributed text read, vectorized parse."""
+    import ray.data as rd
+
+    ds = rd.read_text(paths, file_extensions=["nt"])
+    return ds.map_batches(parse_ntriples_batch, batch_format="pyarrow")

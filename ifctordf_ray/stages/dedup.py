@@ -366,6 +366,122 @@ FROM documents d LEFT JOIN simh s USING (doc_id)"""
 
 
 # ---------------------------------------------------------------------------
+# SimHash near-dup pairs: band the 64-bit fingerprint, verify Hamming
+# ---------------------------------------------------------------------------
+SIMHASH_BANDS = 4                 # 4 bands x 16 bits
+SIMHASH_BAND_BITS = 64 // SIMHASH_BANDS
+SIMHASH_MAX_HAMMING = 3           # pigeonhole: hamming <= BANDS-1 always
+                                  # shares at least one identical band
+
+
+def _simhash_bucket_pairs(group: pa.Table) -> pa.Table:
+    """One band bucket -> pairs with exact Hamming distance <=
+    SIMHASH_MAX_HAMMING.  Same MAX_BUCKET skew cap as the minhash path
+    (lowest doc_ids kept)."""
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+        }
+    )
+    if group.num_rows < 2:
+        return empty
+    docs = group["doc_id"].to_pylist()
+    hashes = group["simhash"].to_pylist()
+    order = sorted(range(len(docs)), key=lambda i: docs[i])[:MAX_BUCKET]
+    a_l, b_l, h_l = [], [], []
+    for x, y in combinations(order, 2):
+        da, db = docs[x], docs[y]
+        if da == db:
+            continue
+        ham = (hashes[x] ^ hashes[y]).bit_count()
+        if ham <= SIMHASH_MAX_HAMMING:
+            a_l.append(min(da, db))
+            b_l.append(max(da, db))
+            h_l.append(ham)
+    if not a_l:
+        return empty
+    return pa.table(
+        {
+            "doc_a": pa.array(a_l, pa.int64()),
+            "doc_b": pa.array(b_l, pa.int64()),
+            "hamming": pa.array(h_l, pa.int64()),
+        }
+    )
+
+
+def near_dup_pairs_simhash(sf_dir: str) -> ray.data.Dataset:
+    """Banded SimHash near-dup pairs: explode each fingerprint into
+    SIMHASH_BANDS (band_id, band_key) rows, group same-key buckets, emit
+    pairs with exact Hamming <= SIMHASH_MAX_HAMMING, dedup across bands.
+    Guarantee: banding is LOSSLESS for this radius (a pair with <= 3
+    differing bits cannot differ in all 4 bands), so this equals the
+    all-pairs O(n^2) scan at sub-quadratic cost — the scale path for
+    simhash dedup, one bucket shuffle."""
+    fps = simhash_fingerprints(sf_dir)
+
+    def explode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        parts = []
+        for b in range(SIMHASH_BANDS):
+            shifted = pc.bit_wise_and(
+                pc.shift_right(
+                    t["simhash"], pa.scalar(b * SIMHASH_BAND_BITS, pa.uint64())
+                ),
+                pa.scalar((1 << SIMHASH_BAND_BITS) - 1, pa.uint64()),
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "band_id": pa.nulls(t.num_rows, pa.int32()).fill_null(b),
+                        "band_key": shifted.cast(pa.uint64()),
+                        "doc_id": t["doc_id"],
+                        "simhash": t["simhash"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    pairs = fps.map_batches(explode, batch_format="pyarrow").groupby(
+        ["band_id", "band_key"]
+    ).map_groups(_simhash_bucket_pairs, batch_format="pyarrow")
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
+
+
+def near_dup_pairs_simhash_sql() -> str:
+    """Exact replica: simhash CTE (shared spec), band explode via bit
+    ops, per-bucket MAX_BUCKET rank cap, xor-popcount Hamming verify."""
+    simhash_body = simhash_fingerprints_sql()
+    return f"""WITH fps AS ({simhash_body}),
+bands AS (
+    SELECT doc_id, simhash, CAST(b.b AS INTEGER) AS band_id,
+           (simhash >> CAST({SIMHASH_BAND_BITS} * b.b AS INTEGER))
+               & {(1 << SIMHASH_BAND_BITS) - 1} AS band_key
+    FROM fps CROSS JOIN (SELECT unnest(range({SIMHASH_BANDS})) AS b) b
+),
+ranked AS (
+    SELECT doc_id, simhash, band_id, band_key,
+           row_number() OVER (PARTITION BY band_id, band_key
+                              ORDER BY doc_id) AS rk
+    FROM bands
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM ranked a JOIN ranked b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+     AND a.rk <= {MAX_BUCKET} AND b.rk <= {MAX_BUCKET}
+)
+SELECT doc_a, doc_b, hamming FROM cand
+WHERE hamming <= {SIMHASH_MAX_HAMMING}"""
+
+
+# ---------------------------------------------------------------------------
 # exact Jaccard verify: distributed hash join against the shingle dataset
 # ---------------------------------------------------------------------------
 SHINGLE_SEP = "\x1f"  # unit separator: can't appear in [a-z0-9 ] shingles

@@ -124,3 +124,32 @@ def test_minhash_bucket_cap_matches_sql(tmp_path):
         ).fetchall()
     }
     assert got == exp
+
+
+def test_simhash_near_dup_pairs(tmp_path):
+    """Banded simhash pairs == all-pairs Hamming scan (banding is
+    lossless at radius BANDS-1), and == the SQL oracle."""
+    import duckdb
+
+    base = "spark group query row data slow small filter customer line batch value " * 4
+    texts = [f"doc {i} totally different words {i * 11} content body {i * 7} " * 4 for i in range(15)]
+    texts += [base, base + " tweak", base + " other tweak"]
+    sf = _docs_ds(tmp_path, texts)
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.near_dup_pairs_simhash(sf).take_all()
+    }
+    # brute-force oracle
+    sh = dedup.SimHasher()
+    hashes = [sh.simhash(t) for t in texts]
+    exp = set()
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            ham = (hashes[a] ^ hashes[b]).bit_count()
+            if ham <= dedup.SIMHASH_MAX_HAMMING:
+                exp.add((a, b, ham))
+    assert got == exp and len(exp) > 0
+    con = duckdb.connect()
+    con.sql(f"create view documents as select * from '{sf}/documents.parquet'")
+    sql = {(a, b, h) for a, b, h in con.sql(dedup.near_dup_pairs_simhash_sql()).fetchall()}
+    assert got == sql

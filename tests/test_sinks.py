@@ -148,3 +148,46 @@ def test_expand_curies_anchored():
     out = sinks._expand_curies_vec(arr).to_pylist()
     assert out[0] == "<https://w3id.org/conv/inst/conv/weird rdf:stuff inst:tail>"
     assert out[1] == "<https://w3id.org/conv/ont#Turn>"
+
+
+def test_ntriples_round_trip(tmp_path):
+    """write_ntriples -> read_ntriples is the identity on the triple set
+    (the .nt sink/source pair; escapes, typed + plain literals, CURIEs)."""
+    t = pa.table(
+        {
+            "subj": ["inst:turn/c/0", "inst:text/ab", "inst:turn/c/0",
+                     "inst:hex/DEAD"],
+            "pred": ["rdf:type", "ont:hasString", "ont:turnIndex",
+                     "ont:hasHexBinary"],
+            "obj": ["ont:Turn", 'he said "hi"\n\t\\^^xsd:string',
+                    "0^^xsd:integer", "DEAD^^xsd:hexBinary"],
+            "obj_kind": ["uri", "literal", "literal", "literal"],
+        }
+    )
+    out = str(tmp_path / "nt")
+    sinks.write_ntriples(ray.data.from_arrow(t), out, sort=True)
+    back = sinks.read_ntriples(out).take_all()
+    got = {(r["subj"], r["pred"], r["obj"], r["obj_kind"]) for r in back}
+    exp = {tuple(r.values()) for r in t.to_pylist()}
+    assert got == exp
+
+
+def test_ntriples_round_trip_flagship(tmp_path):
+    """Full-pipeline .nt round trip at sf0.001: the triple SET survives
+    write_ntriples -> read_ntriples exactly (10.7k triples)."""
+    from ifctordf_ray.pipelines import kg
+
+    triples = kg.kg_from_events("/root/testdata/sf0.001", mode="fast")
+    exp = {
+        (r["subj"], r["pred"], r["obj"], r["obj_kind"])
+        for r in triples.take_all()
+    }
+    out = str(tmp_path / "nt")
+    sinks.write_ntriples(
+        kg.kg_from_events("/root/testdata/sf0.001", mode="fast"), out
+    )
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["obj_kind"])
+        for r in sinks.read_ntriples(out).take_all()
+    }
+    assert got == exp
