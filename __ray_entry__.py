@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_scores": _stage("textstats", "quality_scores"),
         "doc_lang_id": _stage("textstats", "lang_id"),
         "doc_fingerprints": _stage("textstats", "fingerprints"),
+        "doc_winnow_fingerprints": _stage("textstats", "winnow_fingerprints"),
         "doc_sample": _stage("textstats", "sample_docs"),
         # --- dedup ---
         "doc_exact_duplicates": _stage("dedup", "exact_duplicates"),
@@ -199,6 +200,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_scores": T.quality_scores_sql(),
         "doc_lang_id": T.lang_id_sql(),
         "doc_fingerprints": T.fingerprints_sql(),
+        "doc_winnow_fingerprints": T.winnow_fingerprints_sql(),
         "doc_sample": T.sample_docs_sql(),
         "doc_exact_duplicates": D.exact_duplicates_sql(),
         "doc_deduped_ids": D.deduped_doc_ids_sql(),

@@ -13,6 +13,7 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 from ifctordf_ray.sources.transcripts import clean_read_parquet as _clean_read_parquet
@@ -238,3 +239,92 @@ def sample_docs_sql(pct: int = SAMPLE_PCT) -> str:
     SELECT doc_id, n_chars FROM documents
     WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < {pct}
     """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al. rolling-hash document
+# fingerprinting): word k-gram hashes -> sliding-window minima set.
+# Local-document computation (narrow map, no shuffle); the md5 hash spec
+# makes it exactly SQL-replicable like the minhash family.
+# ---------------------------------------------------------------------------
+WINNOW_K = 3   # word k-grams
+WINNOW_W = 4   # window width (guarantee: any match >= K+W-1 words shares a fp)
+_WINNOW_WORD_RE = r"[a-z0-9]+"
+
+
+class WinnowFingerprinter:
+    """map_batches stage: one (doc_id, fp) row per selected window-min
+    k-gram hash.  Spec shared with the SQL oracle: grams are word
+    K-grams (a single whole-text gram for docs shorter than K words),
+    fp set = distinct minima of all width-W windows (full windows only;
+    one whole-list window when fewer than W grams)."""
+
+    def __init__(self):
+        self.word_re = re.compile(_WINNOW_WORD_RE)
+
+    def fingerprints(self, text: str) -> list[int]:
+        from ifctordf_ray.functions.kernels import stable_hash64
+
+        words = self.word_re.findall((text or "").lower())
+        if not words:
+            return []
+        if len(words) < WINNOW_K:
+            grams = [" ".join(words)]
+        else:
+            grams = [
+                " ".join(words[i : i + WINNOW_K])
+                for i in range(len(words) - WINNOW_K + 1)
+            ]
+        h = np.array([stable_hash64(g) for g in grams], dtype=np.uint64)
+        if len(h) <= WINNOW_W:
+            sel = {int(h.min())}
+        else:
+            win = np.lib.stride_tricks.sliding_window_view(h, WINNOW_W)
+            sel = set(int(x) for x in win.min(axis=1))
+        return sorted(sel)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, fps = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for fp in self.fingerprints(t):
+                doc_ids.append(d)
+                fps.append(fp)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "fp": pa.array(fps, pa.uint64()),
+            }
+        )
+
+
+def winnow_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        WinnowFingerprinter, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+def winnow_fingerprints_sql() -> str:
+    k, w = WINNOW_K, WINNOW_W
+    return f"""
+WITH wl AS (
+    SELECT doc_id,
+           regexp_extract_all(lower(coalesce(text, '')), '{_WINNOW_WORD_RE}') AS ws
+    FROM documents
+),
+g AS (
+    SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+           md5_number_upper(array_to_string(ws[t.i + 1 : t.i + {k}], ' ')) AS h
+    FROM wl CROSS JOIN UNNEST(range(greatest(len(ws) - {k - 1}, 1))) AS t(i)
+    WHERE len(ws) > 0
+),
+win AS (
+    SELECT doc_id, i,
+           min(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS m,
+           count(*) OVER (PARTITION BY doc_id) AS n
+    FROM g
+)
+SELECT DISTINCT doc_id, m AS fp
+FROM win WHERE i <= greatest(n - {w}, 0)
+"""
