@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash": _stage("dedup", "simhash_fingerprints"),
         "doc_simhash_near_dups": _stage("dedup", "near_dup_pairs_simhash"),
         "doc_verified_near_dups": _stage("dedup", "verified_near_dups"),
+        "doc_near_dup_clusters": _stage("dedup", "near_dup_clusters"),
+        "doc_near_dedup_ids": _stage("dedup", "near_dedup_doc_ids"),
         # --- similarity search ---
         "emb_knn_brute_force": _stage("similarity", "knn_brute_force"),
         "emb_knn_lsh": _stage("similarity", "knn_lsh"),
@@ -210,6 +212,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash": D.simhash_fingerprints_sql(),
         "doc_simhash_near_dups": D.near_dup_pairs_simhash_sql(),
         "doc_verified_near_dups": D.verified_near_dups_sql(),
+        "doc_near_dup_clusters": D.near_dup_clusters_sql(),
+        "doc_near_dedup_ids": D.near_dedup_doc_ids_sql(),
         "emb_knn_brute_force": SIM.knn_brute_force_sql(),
         "emb_knn_lsh": SIM.knn_lsh_sql(),
         "emb_knn_ivf": SIM.knn_ivf_sql(),

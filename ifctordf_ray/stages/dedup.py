@@ -696,3 +696,150 @@ def exact_duplicates_sql() -> str:
     FROM documents
     GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the verified pair graph
+# (distributed min-label propagation — the iterative operator Ray Data
+# has no primitive for), plus the APPLIED cluster-keeper dedup.
+# ---------------------------------------------------------------------------
+_LAB_SCHEMA = pa.schema([("doc", pa.int64()), ("label", pa.int64())])
+
+
+def near_dup_clusters(
+    sf_dir: str,
+    threshold: float = 0.5,
+    max_iters: int = 25,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """(doc_id, cluster_id) for every document; cluster_id = min doc_id
+    of the doc's connected component in the verified-near-dup graph
+    (singletons map to themselves).
+
+    Physical shape: iterative min-label propagation — per round one
+    hash join (edges x labels) + a groupby(min) — until the label sum is
+    a fixed point (labels only decrease, so an unchanged exact integer
+    sum IS convergence).  Rounds needed = graph diameter; near-dup
+    components are tiny cliques in practice, so 2-4 rounds.
+
+    Scale notes: the edge list and label table are O(near-dup
+    endpoints), not corpus-sized — materializing them between rounds is
+    the legitimate iterative-algorithm state (unlike a corpus
+    materialize); every per-round op is a partitioned exchange.  The
+    full-corpus table is touched exactly once, by the final left join
+    that fills in singletons."""
+    from ifctordf_ray.functions.kernels import join_ready
+    from ifctordf_ray.tuning import join_kwargs
+
+    jk = join_kwargs(num_partitions)
+    pairs = verified_near_dups(sf_dir, threshold=threshold)
+
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [t["doc_a"].combine_chunks().cast(pa.int64()),
+                     t["doc_b"].combine_chunks().cast(pa.int64())]
+                ),
+                "dst": pa.concat_arrays(
+                    [t["doc_b"].combine_chunks().cast(pa.int64()),
+                     t["doc_a"].combine_chunks().cast(pa.int64())]
+                ),
+            }
+        )
+
+    edges = join_ready(
+        pairs.map_batches(sym, batch_format="pyarrow"),
+        pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+        sentinel_row={"src": -1, "dst": -1},
+    ).materialize()  # O(pairs), reused every round
+
+    labels = join_ready(
+        edges.map_batches(
+            lambda t: pa.table({"doc": t["src"], "label": t["src"]}),
+            batch_format="pyarrow",
+        )
+        .groupby("doc")
+        .aggregate(Min("label", alias_name="label")),
+        _LAB_SCHEMA,
+        sentinel_row={"doc": -1, "label": -1},
+    ).materialize()
+
+    prev_sum: int | None = None
+    for _ in range(max_iters):
+        cand = edges.join(
+            labels, join_type="inner", on=("src",), right_on=("doc",), **jk
+        ).map_batches(
+            lambda t: pa.table({"doc": t["dst"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        new_labels = join_ready(
+            labels.union(cand).groupby("doc").aggregate(
+                Min("label", alias_name="label")
+            ),
+            _LAB_SCHEMA,
+            sentinel_row={"doc": -1, "label": -1},
+        ).materialize()
+        s = new_labels.sum("label")
+        labels = new_labels
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    docs = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    joined = docs.join(
+        labels, join_type="left_outer", on=("doc_id",), right_on=("doc",), **jk
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cid = pc.coalesce(t["label"], t["doc_id"]).cast(pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "cluster_id": cid})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def near_dup_clusters_sql(threshold: float = 0.5) -> str:
+    """Oracle: transitive closure via WITH RECURSIVE (min reachable
+    label per node), singletons filled by a left join."""
+    return f"""WITH RECURSIVE v AS ({verified_near_dups_sql(threshold)}),
+e AS (
+    SELECT doc_a AS a, doc_b AS b FROM v
+    UNION ALL
+    SELECT doc_b, doc_a FROM v
+),
+reach(doc, lbl) AS (
+    SELECT a, a FROM e
+    UNION
+    SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.doc
+),
+comp AS (SELECT doc, min(lbl) AS cluster_id FROM reach GROUP BY doc)
+SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id"""
+
+
+def near_dedup_doc_ids(
+    sf_dir: str, threshold: float = 0.5
+) -> ray.data.Dataset:
+    """APPLIED near-dup dedup: the surviving doc ids — one keeper (the
+    min doc_id) per near-dup cluster, all singletons kept."""
+    clusters = near_dup_clusters(sf_dir, threshold=threshold)
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["doc_id"], t["cluster_id"])).select(["doc_id"])
+
+    return clusters.map_batches(keep, batch_format="pyarrow")
+
+
+def near_dedup_doc_ids_sql(threshold: float = 0.5) -> str:
+    return (
+        near_dup_clusters_sql(threshold)
+        .replace(
+            "SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id",
+            "SELECT d.doc_id",
+        )
+        + "\nWHERE coalesce(c.cluster_id, d.doc_id) = d.doc_id"
+    )

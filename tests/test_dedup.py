@@ -153,3 +153,24 @@ def test_simhash_near_dup_pairs(tmp_path):
     con.sql(f"create view documents as select * from '{sf}/documents.parquet'")
     sql = {(a, b, h) for a, b, h in con.sql(dedup.near_dup_pairs_simhash_sql()).fetchall()}
     assert got == sql
+
+
+def test_near_dup_clusters_transitive(tmp_path):
+    """Connected components must close over CHAINS: A~B and B~C place
+    A, B, C in one cluster even when A and C are not a verified pair."""
+    mid = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    texts = [f"filler document {i} with its own unrelated words {i * 9} " * 4 for i in range(10)]
+    a = len(texts); texts.append(mid + "tail one two three four five six seven eight nine")
+    b = len(texts); texts.append(mid)  # similar to both neighbors
+    c = len(texts); texts.append("head one two three four five six seven eight nine " + mid)
+    sf = _docs_ds(tmp_path, texts)
+    rows = dedup.near_dup_clusters(sf, threshold=0.4).take_all()
+    by_doc = {r["doc_id"]: r["cluster_id"] for r in rows}
+    assert len(rows) == len(texts)
+    assert by_doc[a] == by_doc[b] == by_doc[c] == a  # min-id labeling
+    # singletons label themselves
+    assert by_doc[0] == 0
+    # applied dedup keeps exactly one of the chain
+    kept = {r["doc_id"] for r in dedup.near_dedup_doc_ids(sf, threshold=0.4).take_all()}
+    assert kept & {a, b, c} == {a}
+    assert 0 in kept
