@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_orders": _rel("top_orders"),
         "rel_events_daily_window": _rel("events_daily_window"),
         "rel_sessionize": _rel("sessionize"),
+        "rel_events_asof_order": _rel("events_asof_orders"),
         "rel_orders_without_lineitem": _rel("orders_without_lineitem"),
         "rel_top_orders_per_customer": _rel("top_orders_per_customer"),
         "rel_active_entity_keys": _rel("active_entity_keys"),
@@ -193,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_top_orders": R.top_orders_sql(),
         "rel_events_daily_window": R.events_daily_window_sql(),
         "rel_sessionize": R.sessionize_sql(),
+        "rel_events_asof_order": R.events_asof_orders_sql(),
         "rel_orders_without_lineitem": R.orders_without_lineitem_sql(),
         "rel_top_orders_per_customer": R.top_orders_per_customer_sql(),
         "rel_active_entity_keys": R.active_entity_keys_sql(),

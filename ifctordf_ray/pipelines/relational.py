@@ -659,3 +659,87 @@ def value_quantiles_sql() -> str:
           FROM events)
     GROUP BY event_type
     """
+
+
+# ---------------------------------------------------------------------------
+# As-of join (the classic custom operator Ray Data lacks): for every
+# event, the customer's most recent order at-or-before the event time.
+# Composition: union-tag both streams -> groupby(key) -> in-group time
+# sort -> forward fill.  ONE shuffle on the join key; no per-event probe.
+# ---------------------------------------------------------------------------
+def _asof_group(g: pa.Table) -> pa.Table:
+    import numpy as np
+
+    g = g.sort_by(
+        [("ts", "ascending"), ("kind", "ascending"), ("okey", "ascending")]
+    )
+    kind = g["kind"].to_numpy()          # 0 = order, 1 = event
+    okey = g["okey"].to_numpy()
+    n = len(kind)
+    idx = np.arange(n)
+    last_order = np.maximum.accumulate(np.where(kind == 0, idx, -1))
+    matched = np.where(last_order >= 0, okey[np.maximum(last_order, 0)], -1)
+    ev = kind == 1
+    return pa.table(
+        {
+            "event_id": pc.filter(g["okey"], pa.array(ev)),  # events carry event_id in okey
+            "user_id": pc.filter(g["user_id"], pa.array(ev)),
+            "ts": pc.filter(g["ts"], pa.array(ev)),
+            "o_orderkey": pa.array(matched[ev], pa.int64()),
+        }
+    )
+
+
+def events_asof_orders(sf_dir: str) -> ray.data.Dataset:
+    """As-of join events->orders on (user_id ~ o_custkey, ts >=
+    o_orderdate); match = the order with the greatest o_orderdate <= ts,
+    greatest o_orderkey breaking date ties; -1 when no prior order.
+
+    Tie discipline: the in-group sort is (ts, kind, okey) with orders
+    (kind 0) before events (kind 1) at equal ts — so a same-instant
+    order matches (>= semantics) — and forward fill takes the LAST order
+    row, i.e. max orderkey at the winning date, matching the SQL
+    `ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1`."""
+    events = _clean_read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "kind": pa.nulls(t.num_rows, pa.int8()).fill_null(1),
+                "okey": t["event_id"],   # events carry event_id here
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _clean_read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["o_custkey"],
+                "ts": t["o_orderdate"],
+                "kind": pa.nulls(t.num_rows, pa.int8()).fill_null(0),
+                "okey": t["o_orderkey"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    tagged = events.union(orders)
+    return tagged.groupby("user_id").map_groups(
+        _asof_group, batch_format="pyarrow"
+    )
+
+
+def events_asof_orders_sql() -> str:
+    return """
+    SELECT e.event_id, e.user_id, e.ts,
+           CAST(coalesce(
+               (SELECT o.o_orderkey FROM orders o
+                WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1),
+               -1) AS BIGINT) AS o_orderkey
+    FROM events e
+    """
