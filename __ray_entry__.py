@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing ---
         "mm_media_features": _stage("multimodal", "media_features"),
         "mm_media_stats": _stage("multimodal", "media_stats"),
+        "mm_media_thumbnails": _stage("multimodal", "media_thumbnails"),
     }
 
 
@@ -226,4 +227,5 @@ def oracle_sql() -> dict[str, str]:
         # reconstructs the payload byte streams from the text and
         # aggregates the same integer statistics.
         "mm_media_features": MM.media_features_sql(),
+        "mm_media_thumbnails": MM.media_thumbnails_sql(),
     }

@@ -442,3 +442,134 @@ UNION ALL
 SELECT doc_id, 'audio', CAST({_WAV_PAYLOAD_BYTES} AS BIGINT), payload_md5
 FROM wav
 """
+
+
+# ---------------------------------------------------------------------------
+# Media transforms (resize / sample): REAL transformations over decoded
+# containers, re-encoded to real containers.  Actor-pool map stage.
+# ---------------------------------------------------------------------------
+RESIZE_FACTOR = 2
+
+
+def resize_image_nn(img: np.ndarray, factor: int = RESIZE_FACTOR) -> np.ndarray:
+    """Nearest-neighbor downsample (keep every `factor`-th row/col)."""
+    return img[::factor, ::factor, :]
+
+
+def downsample_audio(samples: np.ndarray, factor: int = RESIZE_FACTOR) -> np.ndarray:
+    """Frame-sample: keep every `factor`-th sample."""
+    return samples[::factor]
+
+
+class MediaTransformer:
+    """Actor-pool stage: decode -> transform (thumbnail / frame-sample)
+    -> re-encode to a REAL container; emits byte count + content digest
+    (md5 of lowercase hex, the SQL-checkable digest of MediaStats)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        items, kinds, nbytes, digests = [], [], [], []
+        for item, mtype, payload in zip(
+            batch["item_id"].to_pylist(),
+            batch["media_type"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if mtype == "image":
+                out = encode_ppm(resize_image_nn(decode_ppm(payload)))
+            elif mtype == "audio":
+                sr, s = decode_wav(payload)
+                out = encode_wav(downsample_audio(s), sr)
+            else:
+                raise ValueError(f"unknown media_type {mtype!r}")
+            items.append(item)
+            kinds.append(mtype)
+            nbytes.append(len(out))
+            digests.append(hashlib.md5(out.hex().encode()).hexdigest())
+        return pa.table(
+            {
+                "item_id": pa.array(items, pa.int64()),
+                "media_type": pa.array(kinds, pa.string()),
+                "out_bytes": pa.array(nbytes, pa.int64()),
+                "out_md5": pa.array(digests, pa.string()),
+            }
+        )
+
+
+def media_thumbnails(sf_dir: str, batch_size: int = 64) -> ray.data.Dataset:
+    """queries() entry: decode -> nearest-neighbor thumbnail (images) /
+    2x frame-sample (audio) -> re-encode, over the derived media table."""
+    return media_from_documents(sf_dir).map_batches(
+        MediaTransformer, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, 4),
+    )
+
+
+def media_thumbnails_sql() -> str:
+    """Oracle: rebuild the TRANSFORMED container bytes from the text.
+    Image: thumbnail pixel j (of 4x4x3=48 bytes, row-major) comes from
+    source pixel (2*(j//12), 2*((j%12)//3)) channel j%3 -> source byte
+    position p = (2*(j//12)*{PPM_W} + 2*((j%12)//3))*3 + j%3 + 1.
+    Audio: output sample t' (of {WAV_N}//2) = source byte at p = 2*t'+1.
+    """
+    f = RESIZE_FACTOR
+    tw, th = PPM_W // f, PPM_H // f           # 4x4 thumb
+    n_out_pix = tw * th * 3                   # 48 bytes
+    thumb_hdr = (b"P6\n%d %d\n255\n" % (tw, th)).hex()
+    n_out_samp = WAV_N // f
+    wav_hdr = encode_wav(np.zeros(n_out_samp, np.int16))[:44].hex()
+    img_bytes = len(b"P6\n%d %d\n255\n" % (tw, th)) + n_out_pix
+    wav_bytes = 44 + 2 * n_out_samp
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           regexp_replace(coalesce(text, ''), '[^ -~]', ' ', 'g') AS txt
+    FROM documents
+),
+ij AS (
+    SELECT doc_id, j,
+           ({f} * (j // {tw * 3}) * {PPM_W} + {f} * ((j % {tw * 3}) // 3)) * 3
+               + (j % 3) + 1 AS p
+    FROM t CROSS JOIN (SELECT unnest(range({n_out_pix})) AS j)
+    WHERE doc_id % 2 = 0
+),
+ih AS (
+    SELECT doc_id, j,
+           lpad(lower(to_hex(CASE WHEN p <= length(txt)
+                                  THEN unicode(substr(txt, CAST(p AS INTEGER), 1))
+                                  ELSE {PAD_BYTE} END)), 2, '0') AS hx
+    FROM ij JOIN t USING (doc_id)
+),
+img AS (
+    SELECT doc_id,
+           md5('{thumb_hdr}' || string_agg(hx, '' ORDER BY j)) AS out_md5
+    FROM ih GROUP BY doc_id
+),
+aj AS (
+    SELECT doc_id, j, {f} * j + 1 AS p
+    FROM t CROSS JOIN (SELECT unnest(range({n_out_samp})) AS j)
+    WHERE doc_id % 2 = 1
+),
+ah AS (
+    SELECT doc_id, j,
+           ((CASE WHEN p <= length(txt)
+                  THEN unicode(substr(txt, CAST(p AS INTEGER), 1))
+                  ELSE {PAD_BYTE} END - {0x61}) * 256) AS s
+    FROM aj JOIN t USING (doc_id)
+),
+awb AS (
+    SELECT doc_id, j,
+           lpad(lower(to_hex(((s + 65536) % 65536) % 256)), 2, '0') ||
+           lpad(lower(to_hex(((s + 65536) % 65536) // 256)), 2, '0') AS hx
+    FROM ah
+),
+wav AS (
+    SELECT doc_id,
+           md5('{wav_hdr}' || string_agg(hx, '' ORDER BY j)) AS out_md5
+    FROM awb GROUP BY doc_id
+)
+SELECT doc_id AS item_id, 'image' AS media_type,
+       CAST({img_bytes} AS BIGINT) AS out_bytes, out_md5
+FROM img
+UNION ALL
+SELECT doc_id, 'audio', CAST({wav_bytes} AS BIGINT), out_md5
+FROM wav
+"""

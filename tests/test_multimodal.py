@@ -79,3 +79,35 @@ def test_text_payload_builders_are_real_containers():
     # 'a' - 0x61 == 0, 'b' -> 256, 'c' -> 512, padding ' ' -> (32-97)*256
     assert s[0] == 0 and s[1] == 256 and s[2] == 512
     assert s[3] == (0x20 - 0x61) * 256
+
+
+def test_media_transform_real_containers():
+    """Thumbnail / frame-sample produce REAL re-encoded containers with
+    the expected content."""
+    import hashlib
+
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    thumb = multimodal.resize_image_nn(img)
+    assert thumb.shape == (4, 4, 3)
+    assert np.array_equal(thumb, img[::2, ::2, :])
+    ppm = multimodal.encode_ppm(thumb)
+    assert multimodal.decode_ppm(ppm).shape == (4, 4, 3)
+
+    s = np.arange(128, dtype=np.int16)
+    down = multimodal.downsample_audio(s)
+    assert np.array_equal(down, s[::2])
+
+    t = multimodal.synthetic_media_table(4)
+    import ray.data
+
+    out = {r["item_id"]: r
+           for r in ray.data.from_arrow(t).map_batches(
+               multimodal.MediaTransformer(), batch_format="pyarrow"
+           ).take_all()}
+    # image 0: digest matches a direct recompute
+    payload = t.to_pylist()[0]["payload"]
+    exp = multimodal.encode_ppm(
+        multimodal.resize_image_nn(multimodal.decode_ppm(payload))
+    )
+    assert out[0]["out_bytes"] == len(exp)
+    assert out[0]["out_md5"] == hashlib.md5(exp.hex().encode()).hexdigest()
