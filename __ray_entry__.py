@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_daily_window": _rel("events_daily_window"),
         "rel_sessionize": _rel("sessionize"),
         "rel_events_asof_order": _rel("events_asof_orders"),
+        "rel_events_value_bands": _rel("events_value_band_join"),
         "rel_orders_without_lineitem": _rel("orders_without_lineitem"),
         "rel_top_orders_per_customer": _rel("top_orders_per_customer"),
         "rel_active_entity_keys": _rel("active_entity_keys"),
@@ -146,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _stage("textstats", "fingerprints"),
         "doc_winnow_fingerprints": _stage("textstats", "winnow_fingerprints"),
         "doc_sample": _stage("textstats", "sample_docs"),
+        "doc_training_funnel": _stage("textstats", "training_funnel"),
         # --- dedup ---
         "doc_exact_duplicates": _stage("dedup", "exact_duplicates"),
         "doc_deduped_ids": _stage("dedup", "deduped_doc_ids"),
@@ -196,6 +198,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_events_daily_window": R.events_daily_window_sql(),
         "rel_sessionize": R.sessionize_sql(),
         "rel_events_asof_order": R.events_asof_orders_sql(),
+        "rel_events_value_bands": R.events_value_band_join_sql(),
         "rel_orders_without_lineitem": R.orders_without_lineitem_sql(),
         "rel_top_orders_per_customer": R.top_orders_per_customer_sql(),
         "rel_active_entity_keys": R.active_entity_keys_sql(),
@@ -207,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": T.fingerprints_sql(),
         "doc_winnow_fingerprints": T.winnow_fingerprints_sql(),
         "doc_sample": T.sample_docs_sql(),
+        "doc_training_funnel": T.training_funnel_sql(),
         "doc_exact_duplicates": D.exact_duplicates_sql(),
         "doc_deduped_ids": D.deduped_doc_ids_sql(),
         # md5-derived hash spec == DuckDB md5_number_upper, so the full

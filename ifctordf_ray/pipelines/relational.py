@@ -743,3 +743,71 @@ def events_asof_orders_sql() -> str:
                -1) AS BIGINT) AS o_orderkey
     FROM events e
     """
+
+
+# ---------------------------------------------------------------------------
+# Range join: events matched to value bands by interval containment.
+# Small banded side broadcast; probe = one vectorized searchsorted per
+# batch (no shuffle of the fact side) — the banded-range pattern that
+# generalizes to any static interval dimension.
+# ---------------------------------------------------------------------------
+VALUE_BANDS: tuple[tuple[str, float, float], ...] = (
+    # (band, lo inclusive, hi exclusive); contiguous so searchsorted works
+    ("micro", 0.0, 10.0),
+    ("small", 10.0, 50.0),
+    ("mid", 50.0, 150.0),
+    ("large", 150.0, 400.0),
+    ("jumbo", 400.0, float("inf")),
+)
+
+
+def events_value_band_join(sf_dir: str) -> ray.data.Dataset:
+    """Range join events.value -> band via containment, then a grouped
+    rollup per (band, event_type).  Bands are a static broadcast side;
+    each batch probes with one np.searchsorted — a range join without
+    any inequality-join shuffle."""
+    import numpy as np
+
+    lows = np.array([b[1] for b in VALUE_BANDS], dtype=np.float64)
+    names = pa.array([b[0] for b in VALUE_BANDS], pa.string())
+
+    ds = _clean_read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def band(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        idx = np.searchsorted(lows, v, side="right") - 1
+        idx = np.clip(idx, 0, len(lows) - 1)
+        return pa.table(
+            {
+                "band": pc.take(names, pa.array(idx, pa.int32())),
+                "event_type": t["event_type"],
+                "value_cents": _cents(t["value"]),
+            }
+        )
+
+    return (
+        ds.map_batches(band, batch_format="pyarrow")
+        .groupby(["band", "event_type"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_cents", alias_name="sum_value_cents"),
+        )
+    )
+
+
+def events_value_band_join_sql() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT '{n}' AS band, CAST({lo} AS DOUBLE) AS lo, "
+        + (f"CAST({hi} AS DOUBLE) AS hi" if hi != float("inf") else "CAST('inf' AS DOUBLE) AS hi")
+        for n, lo, hi in VALUE_BANDS
+    )
+    return f"""
+    WITH bands AS ({bands})
+    SELECT b.band, e.event_type, count(*) AS n_events,
+           CAST(sum(CAST(floor(e.value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band, e.event_type
+    """

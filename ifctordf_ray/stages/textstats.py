@@ -328,3 +328,147 @@ win AS (
 SELECT DISTINCT doc_id, m AS fp
 FROM win WHERE i <= greatest(n - {w}, 0)
 """
+
+
+# ---------------------------------------------------------------------------
+# Training-data funnel: the composed pipeline a pretraining corpus build
+# actually runs — quality filter -> language filter -> exact dedup of
+# the survivors — fused into ONE text pass + one keeper groupby/join.
+# ---------------------------------------------------------------------------
+FUNNEL_MIN_TOKENS = 20
+FUNNEL_MIN_STOP_RATIO = 0.02
+FUNNEL_LANG = "en"
+
+
+class FunnelScorer:
+    """One fused pass over text: token count, stopword ratio, language
+    id and the canonical fingerprint — four operators' worth of state
+    compiled once per worker, one traversal per batch."""
+
+    def __init__(self):
+        self.token_re = re.compile(TOKEN_RE)
+        self.stop_re = re.compile(STOP_RE)
+        self.ws_re = re.compile(r"\s+")
+        self.lang_res = {
+            lang: re.compile(r"\b(?:" + "|".join(ws) + r")\b")
+            for lang, ws in LANG_MARKERS.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch["text"].to_pylist()]
+        n_tok, ratios, langs, fps = [], [], [], []
+        for t in texts:
+            low = t.lower()
+            nt = len(self.token_re.findall(t))
+            ns = len(self.stop_re.findall(low))
+            n_tok.append(nt)
+            ratios.append(ns / nt if nt else 0.0)
+            scores = {l: len(r.findall(low)) for l, r in self.lang_res.items()}
+            best = max(scores.values())
+            langs.append(
+                FALLBACK_LANG if best == 0
+                else min(l for l, s in scores.items() if s == best)
+            )
+            fps.append(
+                hashlib.md5(self.ws_re.sub(" ", low).encode("utf-8")).hexdigest()
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "stop_ratio": pa.array(ratios, pa.float64()),
+                "pred_lang": pa.array(langs, pa.string()),
+                "fingerprint": pa.array(fps, pa.string()),
+            }
+        )
+
+
+def training_funnel(
+    sf_dir: str,
+    min_tokens: int = FUNNEL_MIN_TOKENS,
+    min_stop_ratio: float = FUNNEL_MIN_STOP_RATIO,
+    lang: str = FUNNEL_LANG,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """(doc_id, n_tokens) of the docs that survive the funnel: quality
+    (token count + stopword ratio) AND language AND exact dedup among
+    the filtered survivors (keeper = min doc_id per fingerprint —
+    dedup runs AFTER filtering, as a real corpus build orders it).
+    Physical shape: fused scoring map -> filter -> keeper groupby ->
+    join back (join_ready-armored; the groupby side can emit
+    empty-schema partitions)."""
+    from ifctordf_ray.functions.kernels import join_ready
+    from ifctordf_ray.tuning import join_kwargs
+    from ray.data.aggregate import Min as _Min
+
+    ds = _clean_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    scored = ds.map_batches(FunnelScorer, batch_format="pyarrow", concurrency=(1, 4))
+
+    def flt(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["n_tokens"], min_tokens),
+                pc.greater_equal(t["stop_ratio"], min_stop_ratio),
+            ),
+            pc.equal(t["pred_lang"], lang),
+        )
+        return t.filter(keep).select(["doc_id", "n_tokens", "fingerprint"])
+
+    survivors = scored.map_batches(flt, batch_format="pyarrow")
+    keepers = join_ready(
+        survivors.groupby("fingerprint").aggregate(
+            _Min("doc_id", alias_name="keep_doc_id")
+        ).map_batches(
+            lambda t: pa.table(
+                {"fp": t["fingerprint"], "keep_doc_id": t["keep_doc_id"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("fp", pa.string()), ("keep_doc_id", pa.int64())]),
+        sentinel_row={"fp": "\x00", "keep_doc_id": -1},
+    )
+    joined = survivors.join(
+        keepers, join_type="inner", on=("fingerprint",), right_on=("fp",),
+        **join_kwargs(num_partitions),
+    )
+
+    def keep_first(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["doc_id"], t["keep_doc_id"])).select(
+            ["doc_id", "n_tokens"]
+        )
+
+    return joined.map_batches(keep_first, batch_format="pyarrow")
+
+
+def training_funnel_sql(
+    min_tokens: int = FUNNEL_MIN_TOKENS,
+    min_stop_ratio: float = FUNNEL_MIN_STOP_RATIO,
+    lang: str = FUNNEL_LANG,
+) -> str:
+    return rf"""
+    WITH q AS ({quality_scores_sql()}),
+    l AS ({lang_id_sql()}),
+    f AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS fingerprint
+        FROM documents
+    ),
+    surv AS (
+        SELECT q.doc_id, q.n_tokens, f.fingerprint
+        FROM q JOIN l USING (doc_id) JOIN f USING (doc_id)
+        WHERE q.n_tokens >= {min_tokens}
+          AND q.stop_ratio >= {min_stop_ratio}
+          AND l.pred_lang = '{lang}'
+    )
+    SELECT doc_id, n_tokens FROM (
+        SELECT doc_id, n_tokens,
+               min(doc_id) OVER (PARTITION BY fingerprint) AS keep
+        FROM surv
+    ) WHERE doc_id = keep
+    """
