@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivf": _stage("similarity", "knn_ivf"),
         "emb_near_dup_pairs": _stage("similarity", "near_dup_pairs_cosine"),
         "emb_near_dup_pairs_lsh": _stage("similarity", "near_dup_pairs_lsh"),
+        "emb_near_dup_clusters": _stage("similarity", "near_dup_clusters_emb"),
         # --- multimodal plumbing ---
         "mm_media_features": _stage("multimodal", "media_features"),
         "mm_media_stats": _stage("multimodal", "media_stats"),
@@ -226,6 +227,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_knn_ivf": SIM.knn_ivf_sql(),
         "emb_near_dup_pairs": SIM.near_dup_pairs_cosine_sql(),
         "emb_near_dup_pairs_lsh": SIM.near_dup_pairs_lsh_sql(),
+        "emb_near_dup_clusters": SIM.near_dup_clusters_emb_sql(),
         "mm_media_stats": MM.media_stats_sql(),
         # real PPM/WAV decode with integer-exact features: the oracle
         # reconstructs the payload byte streams from the text and

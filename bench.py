@@ -122,6 +122,18 @@ def _run_benchmarks() -> dict:
         extract_errors(transcripts_from_events(sf_dir)).count()
         queries["kg_errors"] = round(time.time() - t0, 3)
 
+        # representative beyond-reference pipelines (documents table)
+        from ifctordf_ray.stages.dedup import near_dup_pairs_minhash
+        from ifctordf_ray.stages.textstats import training_funnel
+
+        t0 = time.time()
+        near_dup_pairs_minhash(sf_dir).count()
+        queries["doc_minhash_near_dups"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        training_funnel(sf_dir).count()
+        queries["doc_training_funnel"] = round(time.time() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "kg_construct_sec",

@@ -441,6 +441,26 @@ def read_graph_parquet(out_dir: str) -> ray.data.Dataset:
     )
 
 
+def subject_triples(out_dir: str, subj: str) -> ray.data.Dataset:
+    """Point lookup on a materialized graph: only the ONE
+    `bucket=<first-md5-hex-digit>` hive partition the subject hashes to
+    is read (15/16 of the graph never leaves storage), then an exact
+    subject filter.  The prune-at-the-read access path the bucketed
+    layout exists for."""
+    from ifctordf_ray.sources.transcripts import clean_read_parquet
+
+    bucket = hashlib.md5(subj.encode("utf-8")).hexdigest()[0]
+    ds = clean_read_parquet(f"{out_dir}/bucket={bucket}")
+    s = subj
+
+    def flt(t: pa.Table) -> pa.Table:
+        return t.filter(_pc.equal(t["subj"], s)).select(
+            ["subj", "pred", "obj", "obj_kind"]
+        )
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
 def iter_triples(triples: ray.data.Dataset, batch_size: int = 65536):
     """StreamRDF-analog consumer (parseModelToStreamRdf,
     IfcSpfReader.java:357-365): yields pyarrow batches incrementally."""

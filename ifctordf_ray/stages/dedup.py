@@ -706,44 +706,37 @@ def exact_duplicates_sql() -> str:
 _LAB_SCHEMA = pa.schema([("doc", pa.int64()), ("label", pa.int64())])
 
 
-def near_dup_clusters(
-    sf_dir: str,
-    threshold: float = 0.5,
+def min_label_components(
+    pairs: ray.data.Dataset,
+    a_col: str,
+    b_col: str,
+    ids: ray.data.Dataset,
+    id_col: str,
     max_iters: int = 25,
     num_partitions: int | None = None,
 ) -> ray.data.Dataset:
-    """(doc_id, cluster_id) for every document; cluster_id = min doc_id
-    of the doc's connected component in the verified-near-dup graph
-    (singletons map to themselves).
-
-    Physical shape: iterative min-label propagation — per round one
-    hash join (edges x labels) + a groupby(min) — until the label sum is
-    a fixed point (labels only decrease, so an unchanged exact integer
-    sum IS convergence).  Rounds needed = graph diameter; near-dup
-    components are tiny cliques in practice, so 2-4 rounds.
-
-    Scale notes: the edge list and label table are O(near-dup
-    endpoints), not corpus-sized — materializing them between rounds is
-    the legitimate iterative-algorithm state (unlike a corpus
-    materialize); every per-round op is a partitioned exchange.  The
-    full-corpus table is touched exactly once, by the final left join
-    that fills in singletons."""
+    """Generic distributed connected components over an undirected pair
+    graph: -> (id_col, cluster_id) for EVERY row of `ids` (singletons
+    label themselves).  Iterative min-label propagation; per round one
+    edges-x-labels hash join + a groupby(min); converged when the exact
+    integer label sum is unchanged (labels only decrease).  Edge/label
+    state is O(pair endpoints) — legitimate iterative state, never
+    corpus-sized; `ids` is touched once by the final left join."""
     from ifctordf_ray.functions.kernels import join_ready
     from ifctordf_ray.tuning import join_kwargs
 
     jk = join_kwargs(num_partitions)
-    pairs = verified_near_dups(sf_dir, threshold=threshold)
 
     def sym(t: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "src": pa.concat_arrays(
-                    [t["doc_a"].combine_chunks().cast(pa.int64()),
-                     t["doc_b"].combine_chunks().cast(pa.int64())]
+                    [t[a_col].combine_chunks().cast(pa.int64()),
+                     t[b_col].combine_chunks().cast(pa.int64())]
                 ),
                 "dst": pa.concat_arrays(
-                    [t["doc_b"].combine_chunks().cast(pa.int64()),
-                     t["doc_a"].combine_chunks().cast(pa.int64())]
+                    [t[b_col].combine_chunks().cast(pa.int64()),
+                     t[a_col].combine_chunks().cast(pa.int64())]
                 ),
             }
         )
@@ -786,18 +779,43 @@ def near_dup_clusters(
             break
         prev_sum = s
 
-    docs = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    joined = docs.join(
-        labels, join_type="left_outer", on=("doc_id",), right_on=("doc",), **jk
+    joined = ids.join(
+        labels, join_type="left_outer", on=(id_col,), right_on=("doc",), **jk
     )
 
     def finish(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        cid = pc.coalesce(t["label"], t["doc_id"]).cast(pa.int64())
-        return pa.table({"doc_id": t["doc_id"], "cluster_id": cid})
+        cid = pc.coalesce(t["label"], t[id_col]).cast(pa.int64())
+        return pa.table({id_col: t[id_col], "cluster_id": cid})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def near_dup_clusters(
+    sf_dir: str,
+    threshold: float = 0.5,
+    max_iters: int = 25,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """(doc_id, cluster_id) for every document; cluster_id = min doc_id
+    of the doc's connected component in the verified-near-dup graph
+    (singletons map to themselves).
+
+    Physical shape: iterative min-label propagation — per round one
+    hash join (edges x labels) + a groupby(min) — until the label sum is
+    a fixed point (labels only decrease, so an unchanged exact integer
+    sum IS convergence).  Rounds needed = graph diameter; near-dup
+    components are tiny cliques in practice, so 2-4 rounds.
+
+    Scale notes: see min_label_components (shared with the embedding
+    variant, similarity.near_dup_clusters_emb)."""
+    pairs = verified_near_dups(sf_dir, threshold=threshold)
+    docs = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return min_label_components(
+        pairs, "doc_a", "doc_b", docs, "doc_id",
+        max_iters=max_iters, num_partitions=num_partitions,
+    )
 
 
 def near_dup_clusters_sql(threshold: float = 0.5) -> str:

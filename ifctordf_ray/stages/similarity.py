@@ -650,3 +650,44 @@ def near_dup_pairs_cosine_sql(threshold: float = NEAR_DUP_THRESHOLD) -> str:
         CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), {ROUND_DP})
         >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup clusters: connected components over the banded-LSH
+# cosine pair graph (shared min-label propagation with the doc variant)
+# ---------------------------------------------------------------------------
+def near_dup_clusters_emb(
+    sf_dir: str, threshold: float = 0.45, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """(vec_id, cluster_id) for every embedding; cluster = connected
+    component of the cosine-near-dup pair graph (near_dup_pairs_lsh),
+    cluster_id = min vec_id in the component, singletons label
+    themselves.  Same iterative min-label propagation as the document
+    variant (dedup.min_label_components)."""
+    from ifctordf_ray.stages.dedup import min_label_components
+
+    pairs = near_dup_pairs_lsh(sf_dir, threshold=threshold)
+    ids = _clean_read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    )
+    return min_label_components(
+        pairs, "vec_a", "vec_b", ids, "vec_id",
+        num_partitions=num_partitions,
+    )
+
+
+def near_dup_clusters_emb_sql(threshold: float = 0.45) -> str:
+    return f"""WITH RECURSIVE v AS ({near_dup_pairs_lsh_sql(threshold)}),
+e AS (
+    SELECT vec_a AS a, vec_b AS b FROM v
+    UNION ALL
+    SELECT vec_b, vec_a FROM v
+),
+reach(vec, lbl) AS (
+    SELECT a, a FROM e
+    UNION
+    SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.vec
+),
+comp AS (SELECT vec, min(lbl) AS cluster_id FROM reach GROUP BY vec)
+SELECT m.vec_id, CAST(coalesce(c.cluster_id, m.vec_id) AS BIGINT) AS cluster_id
+FROM embeddings m LEFT JOIN comp c ON c.vec = m.vec_id"""

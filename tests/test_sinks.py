@@ -191,3 +191,19 @@ def test_ntriples_round_trip_flagship(tmp_path):
         for r in sinks.read_ntriples(out).take_all()
     }
     assert got == exp
+
+
+def test_subject_triples_pruned_lookup(tmp_path):
+    """Point lookup reads only the subject's hive bucket and returns
+    exactly that subject's triples."""
+    from ifctordf_ray.pipelines import kg
+
+    triples = kg.kg_from_events("/root/testdata/sf0.001", mode="fast")
+    out = str(tmp_path / "graph")
+    sinks.write_graph_parquet(triples, out)
+    subj = "inst:conv/c0-0"
+    got = sinks.subject_triples(out, subj).take_all()
+    assert got and all(r["subj"] == subj for r in got)
+    exp = [r for r in kg.kg_from_events("/root/testdata/sf0.001", mode="fast")
+           .take_all() if r["subj"] == subj]
+    assert {tuple(r.values()) for r in got} == {tuple(r.values()) for r in exp}
