@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_sessionize": _rel("sessionize"),
         "rel_events_asof_order": _rel("events_asof_orders"),
         "rel_events_value_bands": _rel("events_value_band_join"),
+        "rel_user_rolling_7d": _rel("user_rolling_window"),
         "rel_orders_without_lineitem": _rel("orders_without_lineitem"),
         "rel_top_orders_per_customer": _rel("top_orders_per_customer"),
         "rel_active_entity_keys": _rel("active_entity_keys"),
@@ -142,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_value_quantiles": _rel("value_quantiles"),
         # --- text analysis ---
         "doc_token_counts": _stage("textstats", "token_counts"),
+        "doc_bpe_token_counts": _stage("textstats", "bpe_token_counts"),
         "doc_quality_scores": _stage("textstats", "quality_scores"),
         "doc_lang_id": _stage("textstats", "lang_id"),
         "doc_fingerprints": _stage("textstats", "fingerprints"),
@@ -200,12 +202,14 @@ def oracle_sql() -> dict[str, str]:
         "rel_sessionize": R.sessionize_sql(),
         "rel_events_asof_order": R.events_asof_orders_sql(),
         "rel_events_value_bands": R.events_value_band_join_sql(),
+        "rel_user_rolling_7d": R.user_rolling_window_sql(),
         "rel_orders_without_lineitem": R.orders_without_lineitem_sql(),
         "rel_top_orders_per_customer": R.top_orders_per_customer_sql(),
         "rel_active_entity_keys": R.active_entity_keys_sql(),
         "rel_user_running_totals": R.user_running_totals_sql(),
         "rel_value_quantiles": R.value_quantiles_sql(),
         "doc_token_counts": T.token_counts_sql(),
+        "doc_bpe_token_counts": T.bpe_token_counts_sql(),
         "doc_quality_scores": T.quality_scores_sql(),
         "doc_lang_id": T.lang_id_sql(),
         "doc_fingerprints": T.fingerprints_sql(),

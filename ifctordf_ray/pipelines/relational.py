@@ -811,3 +811,73 @@ def events_value_band_join_sql() -> str:
     FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
     GROUP BY b.band, e.event_type
     """
+
+
+# ---------------------------------------------------------------------------
+# Sliding time window (the windowed-aggregate custom operator): per
+# event, the rolling 7-day event count + value sum for its user.
+# groupby(user) + in-group sort + vectorized two-pointer window — no
+# per-event scan, no self-join explosion.
+# ---------------------------------------------------------------------------
+ROLLING_WINDOW_DAYS = 7
+
+
+def _rolling_group(g: pa.Table) -> pa.Table:
+    import numpy as np
+
+    g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    cents = g["value_cents"].to_numpy()
+    win = ROLLING_WINDOW_DAYS * 86_400_000_000
+    # RANGE semantics, both bounds closed: window = [ts_i - 7d, ts_i],
+    # INCLUDING peer rows with ts == ts_i that sort after row i (SQL's
+    # RANGE ... AND CURRENT ROW counts all ties, not just predecessors)
+    left = np.searchsorted(ts, ts - win, side="left")
+    right = np.searchsorted(ts, ts, side="right")  # ties included
+    csum = np.concatenate(([0], np.cumsum(cents)))
+    n_in_win = right - left
+    sum_in_win = csum[right] - csum[left]
+    return pa.table(
+        {
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "ts": g["ts"],
+            "n_7d": pa.array(n_in_win, pa.int64()),
+            "sum_value_cents_7d": pa.array(sum_in_win, pa.int64()),
+        }
+    )
+
+
+def user_rolling_window(sf_dir: str) -> ray.data.Dataset:
+    """Rolling [ts-7d, ts] window per user: event count + integer-cents
+    value sum.  ONE groupby(user) shuffle; the window itself is a
+    cumulative-sum difference between two searchsorted pointers."""
+    ds = _clean_read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "value_cents": _cents(t["value"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("user_id").map_groups(_rolling_group, batch_format="pyarrow")
+
+
+def user_rolling_window_sql() -> str:
+    return f"""
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER w AS BIGINT) AS n_7d,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+               AS sum_value_cents_7d
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL {ROLLING_WINDOW_DAYS} DAYS PRECEDING
+                  AND CURRENT ROW
+    )
+    """

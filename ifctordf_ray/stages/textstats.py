@@ -472,3 +472,49 @@ def training_funnel_sql(
         FROM surv
     ) WHERE doc_id = keep
     """
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting: a GPT-2-style pre-tokenizer regex (ASCII
+# variant — contractions, letter runs, digit runs, punctuation runs),
+# RE2-compatible so Python re and DuckDB produce identical splits.
+# ---------------------------------------------------------------------------
+BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+
+
+class BpeTokenCounter:
+    """map_batches stage: whitespace tokens AND BPE-ish pre-tokens per
+    doc (the two token-count flavors a data pipeline budgets with)."""
+
+    def __init__(self):
+        self.ws_re = re.compile(TOKEN_RE)
+        self.bpe_re = re.compile(BPE_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_ws_tokens": pa.array(
+                    [len(self.ws_re.findall(t)) for t in texts], pa.int64()
+                ),
+                "n_bpe_tokens": pa.array(
+                    [len(self.bpe_re.findall(t)) for t in texts], pa.int64()
+                ),
+            }
+        )
+
+
+def bpe_token_counts(sf_dir: str) -> ray.data.Dataset:
+    ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(BpeTokenCounter, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def bpe_token_counts_sql() -> str:
+    bpe = BPE_RE.replace("'", "''")
+    return rf"""
+    SELECT doc_id,
+           len(regexp_extract_all(coalesce(text, ''), '{TOKEN_RE}')) AS n_ws_tokens,
+           len(regexp_extract_all(coalesce(text, ''), '{bpe}')) AS n_bpe_tokens
+    FROM documents
+    """
