@@ -15,7 +15,7 @@ from ifctordf_ray import oracle
 from ifctordf_ray import schema as S
 from ifctordf_ray.stages import extract
 
-ALPHABET = "ab9 #01'\"\\\n(),.Ü→"
+ALPHABET = "ab9 #01'\"\\\n(),.Ü→xF"  # x/F: exercise the 0x hex arm
 
 texts = st.text(alphabet=ALPHABET, min_size=0, max_size=16)
 roles = st.sampled_from(list(S.ROLES) + ["bad", "usre", ""])
