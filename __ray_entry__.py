@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow_fingerprints": _stage("textstats", "winnow_fingerprints"),
         "doc_sample": _stage("textstats", "sample_docs"),
         "doc_training_funnel": _stage("textstats", "training_funnel"),
+        "doc_vocabulary": _stage("textstats", "vocabulary"),
+        "doc_stratified_sample": _stage("textstats", "stratified_sample"),
         # --- dedup ---
         "doc_exact_duplicates": _stage("dedup", "exact_duplicates"),
         "doc_deduped_ids": _stage("dedup", "deduped_doc_ids"),
@@ -216,6 +218,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_winnow_fingerprints": T.winnow_fingerprints_sql(),
         "doc_sample": T.sample_docs_sql(),
         "doc_training_funnel": T.training_funnel_sql(),
+        "doc_vocabulary": T.vocabulary_sql(),
+        "doc_stratified_sample": T.stratified_sample_sql(),
         "doc_exact_duplicates": D.exact_duplicates_sql(),
         "doc_deduped_ids": D.deduped_doc_ids_sql(),
         # md5-derived hash spec == DuckDB md5_number_upper, so the full

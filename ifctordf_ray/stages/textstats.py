@@ -518,3 +518,109 @@ def bpe_token_counts_sql() -> str:
            len(regexp_extract_all(coalesce(text, ''), '{bpe}')) AS n_bpe_tokens
     FROM documents
     """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary building: global word counts -> top-K.  The canonical
+# pre-aggregate pattern: each batch emits one (word, partial count) row
+# per DISTINCT word in the batch, so the wide groupby moves combiner
+# output, never one row per token occurrence.
+# ---------------------------------------------------------------------------
+VOCAB_TOP_K = 100
+
+
+class WordPartialCounts:
+    """map_batches combiner: batch text -> (word, n) partials."""
+
+    def __init__(self):
+        self.word_re = re.compile(WORD_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(self.word_re.findall((t or "").lower()))
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+
+def vocabulary(sf_dir: str, top_k: int = VOCAB_TOP_K) -> ray.data.Dataset:
+    """Top-K corpus vocabulary by total count (count DESC, word ASC
+    deterministic tie-break).  Shuffle volume = distinct words per
+    batch, not token occurrences (the combiner runs inside the map)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    totals = (
+        ds.map_batches(WordPartialCounts, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("word")
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+    # top-K: global sort + limit over the (already small) distinct-word table
+    return totals.sort(["n", "word"], descending=[True, False]).limit(top_k)
+
+
+def vocabulary_sql(top_k: int = VOCAB_TOP_K) -> str:
+    return f"""
+    SELECT word, CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '{WORD_RE}')) AS word
+        FROM documents
+    )
+    GROUP BY word
+    ORDER BY n DESC, word ASC
+    LIMIT {top_k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling: a deterministic per-language quota (the auditable
+# per-group subset a corpus build needs; the group key shuffles once).
+# ---------------------------------------------------------------------------
+STRATA_K = 25
+
+
+def stratified_sample(sf_dir: str, per_group: int = STRATA_K) -> ray.data.Dataset:
+    """Per detected language, the `per_group` docs with the smallest
+    md5-rank (deterministic, reproducible across runs and cluster
+    sizes; rank key = md5 of the doc id, tie-broken by doc_id)."""
+    from ifctordf_ray.functions.kernels import stable_hash64
+
+    ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    langs = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+
+    def with_rank(t: pa.Table) -> pa.Table:
+        rk = pa.array(
+            [stable_hash64(str(d)) for d in t["doc_id"].to_pylist()], pa.uint64()
+        )
+        return t.append_column("rk", rk)
+
+    def head_k(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("rk", "ascending"), ("doc_id", "ascending")])
+        return g.slice(0, per_group).select(["doc_id", "pred_lang"])
+
+    return (
+        langs.map_batches(with_rank, batch_format="pyarrow")
+        .groupby("pred_lang")
+        .map_groups(head_k, batch_format="pyarrow")
+    )
+
+
+def stratified_sample_sql(per_group: int = STRATA_K) -> str:
+    return f"""
+    WITH l AS ({lang_id_sql()}),
+    ranked AS (
+        SELECT doc_id, pred_lang,
+               row_number() OVER (
+                   PARTITION BY pred_lang
+                   ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM l
+    )
+    SELECT doc_id, pred_lang FROM ranked WHERE rn <= {per_group}
+    """
