@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup_pairs": _stage("similarity", "near_dup_pairs_cosine"),
         "emb_near_dup_pairs_lsh": _stage("similarity", "near_dup_pairs_lsh"),
         "emb_near_dup_clusters": _stage("similarity", "near_dup_clusters_emb"),
+        "emb_label_centroids": _stage("similarity", "label_centroids"),
         # --- multimodal plumbing ---
         "mm_media_features": _stage("multimodal", "media_features"),
         "mm_media_stats": _stage("multimodal", "media_stats"),
@@ -236,6 +237,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup_pairs": SIM.near_dup_pairs_cosine_sql(),
         "emb_near_dup_pairs_lsh": SIM.near_dup_pairs_lsh_sql(),
         "emb_near_dup_clusters": SIM.near_dup_clusters_emb_sql(),
+        "emb_label_centroids": SIM.label_centroids_sql(),
         "mm_media_stats": MM.media_stats_sql(),
         # real PPM/WAV decode with integer-exact features: the oracle
         # reconstructs the payload byte streams from the text and

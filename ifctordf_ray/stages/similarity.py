@@ -691,3 +691,82 @@ reach(vec, lbl) AS (
 comp AS (SELECT vec, min(lbl) AS cluster_id FROM reach GROUP BY vec)
 SELECT m.vec_id, CAST(coalesce(c.cluster_id, m.vec_id) AS BIGINT) AS cluster_id
 FROM embeddings m LEFT JOIN comp c ON c.vec = m.vec_id"""
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroids: group-wise vector mean with EXACT cross-engine
+# parity — each vector is quantized to integer micro-units first, so the
+# distributed sum is order-independent (float summation order would
+# never hash-match an oracle).  Combiner pattern: each batch pre-sums
+# per (label, dim) before the groupby.
+# ---------------------------------------------------------------------------
+CENTROID_Q = 1_000_000  # micro-unit quantization
+
+
+def label_centroids(sf_dir: str) -> ray.data.Dataset:
+    """(label, dim, centroid): per-label mean embedding, one row per
+    dimension.  Shuffle volume = (labels x dims) partials per batch."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _clean_read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        embs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        q = np.floor(embs * CENTROID_Q + 0.5).astype(np.int64)  # (n, d)
+        labels = np.asarray(t["label"].to_pylist(), dtype=np.int64)
+        uniq = np.unique(labels)
+        d = q.shape[1]
+        out_label, out_dim, out_sum, out_n = [], [], [], []
+        for lb in uniq:
+            m = labels == lb
+            s = q[m].sum(axis=0)
+            n = int(m.sum())
+            out_label.extend([int(lb)] * d)
+            out_dim.extend(range(d))
+            out_sum.extend(int(x) for x in s)
+            out_n.extend([n] * d)
+        return pa.table(
+            {
+                "label": pa.array(out_label, pa.int64()),
+                "dim": pa.array(out_dim, pa.int64()),
+                "sum_q": pa.array(out_sum, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(_Sum("sum_q", alias_name="sum_q"), _Sum("n", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = pc.divide(
+            pc.divide(
+                pc.cast(t["sum_q"], pa.float64()), pc.cast(t["n"], pa.float64())
+            ),
+            float(CENTROID_Q),
+        )
+        return pa.table(
+            {"label": t["label"], "dim": t["dim"], "centroid": c}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def label_centroids_sql() -> str:
+    return f"""
+    SELECT label, CAST(i AS BIGINT) AS dim,
+           CAST(sum(q) AS DOUBLE) / count(*) / {float(CENTROID_Q)} AS centroid
+    FROM (
+        SELECT CAST(label AS BIGINT) AS label, t.i,
+               CAST(floor(CAST(embedding[CAST(t.i + 1 AS INTEGER)] AS DOUBLE)
+                          * {CENTROID_Q} + 0.5) AS BIGINT) AS q
+        FROM embeddings CROSS JOIN (SELECT unnest(range({EMB_DIM})) AS i) t
+    )
+    GROUP BY label, i
+    """
