@@ -174,3 +174,27 @@ def test_near_dup_clusters_transitive(tmp_path):
     kept = {r["doc_id"] for r in dedup.near_dedup_doc_ids(sf, threshold=0.4).take_all()}
     assert kept & {a, b, c} == {a}
     assert 0 in kept
+
+
+def test_min_label_components_long_chain():
+    """Direct unit for the iterative engine: a 10-node PATH graph
+    (diameter 9 — needs multiple propagation rounds, unlike the tiny
+    cliques real near-dup data produces) collapses to one cluster."""
+    import pyarrow as pa
+    import ray.data
+
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(list(range(9)), pa.int64()),
+                "b": pa.array(list(range(1, 10)), pa.int64()),
+            }
+        )
+    )
+    ids = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(list(range(12)), pa.int64())})
+    )
+    rows = dedup.min_label_components(pairs, "a", "b", ids, "doc_id").take_all()
+    by = {r["doc_id"]: r["cluster_id"] for r in rows}
+    assert all(by[i] == 0 for i in range(10))   # whole path -> min id 0
+    assert by[10] == 10 and by[11] == 11        # singletons untouched
