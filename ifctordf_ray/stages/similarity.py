@@ -160,8 +160,6 @@ def knn_lsh(
     within `nprobe_bits` Hamming distance of the query's code.  Bucketing
     is a narrow map; candidate scoring reuses CosineScorer semantics on
     the filtered corpus."""
-    import pyarrow.parquet as pq_mod
-
     ids, qmat = _load_queries(sf_dir, nq)
     dim = qmat.shape[1]
     planes = _hyperplanes(dim)
