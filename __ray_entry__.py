@@ -152,6 +152,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_training_funnel": _stage("textstats", "training_funnel"),
         "doc_vocabulary": _stage("textstats", "vocabulary"),
         "doc_stratified_sample": _stage("textstats", "stratified_sample"),
+        "doc_chunks": _stage("chunking", "doc_chunks"),
+        "doc_packed_sequences": _stage("chunking", "packed_sequences"),
+        "doc_tfidf_top_terms": _stage("terms", "tfidf_top_terms"),
+        "doc_pii_screen": _stage("terms", "pii_screen"),
         # --- dedup ---
         "doc_exact_duplicates": _stage("dedup", "exact_duplicates"),
         "doc_deduped_ids": _stage("dedup", "deduped_doc_ids"),
@@ -179,10 +183,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from ifctordf_ray import sql_oracle as O
     from ifctordf_ray.pipelines import relational as R
+    from ifctordf_ray.stages import chunking as CH
     from ifctordf_ray.stages import dedup as D
     from ifctordf_ray.stages import link as L
     from ifctordf_ray.stages import multimodal as MM
     from ifctordf_ray.stages import similarity as SIM
+    from ifctordf_ray.stages import terms as TERMS
     from ifctordf_ray.stages import textstats as T
     from ifctordf_ray.stages import turndedup as TD
 
@@ -221,6 +227,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_training_funnel": T.training_funnel_sql(),
         "doc_vocabulary": T.vocabulary_sql(),
         "doc_stratified_sample": T.stratified_sample_sql(),
+        "doc_chunks": CH.doc_chunks_sql(),
+        "doc_packed_sequences": CH.packed_sequences_sql(),
+        "doc_tfidf_top_terms": TERMS.tfidf_top_terms_sql(),
+        "doc_pii_screen": TERMS.pii_screen_sql(),
         "doc_exact_duplicates": D.exact_duplicates_sql(),
         "doc_deduped_ids": D.deduped_doc_ids_sql(),
         # md5-derived hash spec == DuckDB md5_number_upper, so the full

@@ -1,0 +1,221 @@
+r"""Term statistics and PII screening over the documents table.
+
+- ``tfidf_top_terms``: per-document top-K terms by an exact-parity
+  tf-idf score.  The full multi-stage distributed shape: map-side
+  per-doc term counts (combiner — one row per DISTINCT (doc, word)),
+  a document-frequency groupby over the same rows, a distributed join
+  tf⋈df keyed on word, and a per-doc top-K ``map_groups``.
+- ``pii_screen``: vectorized regex detection counts (emails, URLs,
+  phone-like runs) plus the md5 of the redacted text — the audit row a
+  corpus build records before/after scrubbing.  Pure narrow map.
+
+Exact-parity notes: the tf-idf score is ``tf * N / df`` computed as one
+IEEE double division of exactly-representable integers (a transcendental
+``ln`` would not hash-match across libm implementations); regexes are
+RE2-safe and shared verbatim with the SQL oracles (both Python ``re``
+and DuckDB use leftmost-first, non-overlapping scans for these
+alternation-simple patterns).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+import ray.data
+
+from ifctordf_ray.sources.transcripts import clean_read_parquet as _clean_read_parquet
+from ifctordf_ray.stages.textstats import WORD_RE
+
+TFIDF_TOP_K = 5
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+URL_RE = r"https?://[^\s]+"
+PHONE_RE = r"\+?[0-9][0-9() .-]{6,}[0-9]"
+
+
+class TermCounter:
+    """map_batches combiner: one (doc_id, word, tf) row per distinct
+    word per doc — the shuffle moves distinct-term rows, never one row
+    per token occurrence."""
+
+    def __init__(self):
+        self.word_re = re.compile(WORD_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        doc_ids, words, tfs = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            c = Counter(self.word_re.findall((t or "").lower()))
+            for w, n in c.items():
+                doc_ids.append(d)
+                words.append(w)
+                tfs.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "word": pa.array(words, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+
+def tfidf_top_terms(
+    sf_dir: str, top_k: int = TFIDF_TOP_K, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Per doc, the `top_k` terms by score = tf * N / df (ties broken by
+    word ASC).  N (total docs) is the one driver-side scalar — a parquet
+    metadata count, O(#files) not O(rows).
+
+    Scale shape: tf rows are combiner output (distinct terms per doc);
+    df is a word-keyed groupby over those rows (vocab-sized result); the
+    tf⋈df join is a distributed hash join on word (the df side descends
+    from a groupby, so it goes through join_ready — see
+    functions/kernels.py for the empty-block contract); the final top-K
+    is a doc-keyed map_groups, bounded by terms-per-doc."""
+    from ray.data.aggregate import Count as _Count
+
+    from ifctordf_ray.functions.kernels import join_ready
+    from ifctordf_ray.tuning import join_kwargs
+
+    docs = _clean_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n_docs = docs.count()  # parquet metadata count, no scan
+    tf = docs.map_batches(TermCounter, batch_format="pyarrow", concurrency=(1, 4))
+    df = join_ready(
+        tf.groupby("word")
+        .aggregate(_Count(alias_name="df"))
+        .map_batches(
+            lambda t: pa.table({"w": t["word"], "df": t["df"]}),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("w", pa.string()), ("df", pa.int64())]),
+        sentinel_row={"w": "\x00", "df": 1},
+    )
+    joined = tf.join(
+        df,
+        join_type="inner",
+        on=("word",),
+        right_on=("w",),
+        **join_kwargs(num_partitions),
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = pc.divide(
+            pc.cast(pc.multiply(t["tf"], n_docs), pa.float64()),
+            pc.cast(t["df"], pa.float64()),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "word": t["word"],
+                "tf": t["tf"],
+                "df": t["df"],
+                "score": s,
+            }
+        )
+
+    def head_k(g: pa.Table) -> pa.Table:
+        order = [("score", "descending"), ("word", "ascending")]
+        return g.sort_by(order).slice(0, top_k)
+
+    return (
+        joined.map_batches(score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(head_k, batch_format="pyarrow")
+    )
+
+
+def tfidf_top_terms_sql(top_k: int = TFIDF_TOP_K) -> str:
+    return f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(coalesce(text, '')), '{WORD_RE}'))
+                   AS word
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, word
+    ),
+    df AS (
+        SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok GROUP BY word
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word, tf.tf, df.df,
+               CAST(tf.tf * n.n AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+        FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tf, df, score
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rn
+        FROM scored
+    ) WHERE rn <= {top_k}
+    """
+
+
+class PiiScreen:
+    """map_batches stage: detection counts per category + md5 of the
+    text with every match replaced by a fixed tag (email -> url ->
+    phone, in that order, global replace — the order is part of the
+    spec and shared with the SQL oracle)."""
+
+    def __init__(self):
+        self.email_re = re.compile(EMAIL_RE)
+        self.url_re = re.compile(URL_RE)
+        self.phone_re = re.compile(PHONE_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_email, n_url, n_phone, fps = [], [], [], []
+        for t in batch["text"].to_pylist():
+            t = t or ""
+            n_email.append(len(self.email_re.findall(t)))
+            red = self.email_re.sub("<EMAIL>", t)
+            n_url.append(len(self.url_re.findall(red)))
+            red = self.url_re.sub("<URL>", red)
+            n_phone.append(len(self.phone_re.findall(red)))
+            red = self.phone_re.sub("<PHONE>", red)
+            fps.append(hashlib.md5(red.encode("utf-8")).hexdigest())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_emails": pa.array(n_email, pa.int64()),
+                "n_urls": pa.array(n_url, pa.int64()),
+                "n_phones": pa.array(n_phone, pa.int64()),
+                "redacted_fp": pa.array(fps, pa.string()),
+            }
+        )
+
+
+def pii_screen(sf_dir: str) -> ray.data.Dataset:
+    ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(PiiScreen, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def pii_screen_sql() -> str:
+    email = EMAIL_RE.replace("'", "''")
+    url = URL_RE.replace("'", "''")
+    phone = PHONE_RE.replace("'", "''")
+    return rf"""
+    SELECT doc_id,
+           len(regexp_extract_all(coalesce(text, ''), '{email}')) AS n_emails,
+           len(regexp_extract_all(
+               regexp_replace(coalesce(text, ''), '{email}', '<EMAIL>', 'g'),
+               '{url}')) AS n_urls,
+           len(regexp_extract_all(
+               regexp_replace(regexp_replace(coalesce(text, ''),
+                   '{email}', '<EMAIL>', 'g'), '{url}', '<URL>', 'g'),
+               '{phone}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(coalesce(text, ''),
+               '{email}', '<EMAIL>', 'g'), '{url}', '<URL>', 'g'),
+               '{phone}', '<PHONE>', 'g')) AS redacted_fp
+    FROM documents
+    """
