@@ -77,6 +77,27 @@ def _q_kg_predicate_stats(sf_dir: str):
     )
 
 
+def _q_kg_degree_histogram(sf_dir: str):
+    """Two-level aggregation over the graph: per-subject out-degree,
+    then the histogram of degrees (both shuffles move aggregate rows —
+    the second input is one row per SUBJECT, the second output one row
+    per distinct degree)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    from ifctordf_ray.pipelines import kg
+
+    deg = (
+        kg.kg_from_events(sf_dir, mode="fast")
+        .groupby("subj")
+        .aggregate(Count(alias_name="degree"))
+        .map_batches(
+            lambda t: pa.table({"degree": t["degree"]}), batch_format="pyarrow"
+        )
+    )
+    return deg.groupby("degree").aggregate(Count(alias_name="n_subjects"))
+
+
 def _stage_tr(module, name):
     """Stage operating on the derived transcript Dataset.  Multi-consumer
     stages (link_mentions) re-execute the cheap pruned derivation per
@@ -123,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_errors": _q_kg_errors,
         "kg_canonical_mentions": _q_kg_canonical_mentions,
         "kg_predicate_stats": _q_kg_predicate_stats,
+        "kg_degree_histogram": _q_kg_degree_histogram,
         "kg_dedup_turns": _stage_tr("turndedup", "dedup_turns"),
         "kg_turn_redirects": _stage_tr("turndedup", "turn_redirects"),
         "kg_linked_mentions": _stage_tr("link", "link_mentions"),
@@ -156,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_packed_sequences": _stage("chunking", "packed_sequences"),
         "doc_tfidf_top_terms": _stage("terms", "tfidf_top_terms"),
         "doc_pii_screen": _stage("terms", "pii_screen"),
+        "doc_hll_registers": _stage("sketches", "hll_registers"),
         # --- dedup ---
         "doc_exact_duplicates": _stage("dedup", "exact_duplicates"),
         "doc_deduped_ids": _stage("dedup", "deduped_doc_ids"),
@@ -173,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup_pairs_lsh": _stage("similarity", "near_dup_pairs_lsh"),
         "emb_near_dup_clusters": _stage("similarity", "near_dup_clusters_emb"),
         "emb_label_centroids": _stage("similarity", "label_centroids"),
+        "emb_label_token_stats": _stage("similarity", "label_token_stats"),
         # --- multimodal plumbing ---
         "mm_media_features": _stage("multimodal", "media_features"),
         "mm_media_stats": _stage("multimodal", "media_stats"),
@@ -188,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
     from ifctordf_ray.stages import link as L
     from ifctordf_ray.stages import multimodal as MM
     from ifctordf_ray.stages import similarity as SIM
+    from ifctordf_ray.stages import sketches as SK
     from ifctordf_ray.stages import terms as TERMS
     from ifctordf_ray.stages import textstats as T
     from ifctordf_ray.stages import turndedup as TD
@@ -200,6 +225,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_errors": O.kg_errors_sql(),
         "kg_canonical_mentions": O.kg_canonical_mentions_sql(),
         "kg_predicate_stats": O.kg_predicate_stats_sql(),
+        "kg_degree_histogram": O.kg_degree_histogram_sql(),
         "kg_dedup_turns": TD.dedup_turns_sql(),
         "kg_turn_redirects": TD.turn_redirects_sql(),
         "kg_linked_mentions": L.link_mentions_sql(),
@@ -231,6 +257,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_packed_sequences": CH.packed_sequences_sql(),
         "doc_tfidf_top_terms": TERMS.tfidf_top_terms_sql(),
         "doc_pii_screen": TERMS.pii_screen_sql(),
+        "doc_hll_registers": SK.hll_registers_sql(),
         "doc_exact_duplicates": D.exact_duplicates_sql(),
         "doc_deduped_ids": D.deduped_doc_ids_sql(),
         # md5-derived hash spec == DuckDB md5_number_upper, so the full
@@ -248,6 +275,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup_pairs_lsh": SIM.near_dup_pairs_lsh_sql(),
         "emb_near_dup_clusters": SIM.near_dup_clusters_emb_sql(),
         "emb_label_centroids": SIM.label_centroids_sql(),
+        "emb_label_token_stats": SIM.label_token_stats_sql(),
         "mm_media_stats": MM.media_stats_sql(),
         # real PPM/WAV decode with integer-exact features: the oracle
         # reconstructs the payload byte streams from the text and

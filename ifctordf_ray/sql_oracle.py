@@ -276,3 +276,11 @@ def kg_predicate_stats_sql() -> str:
     """Per-predicate triple counts over the deduplicated graph."""
     return f"""WITH t AS ({kg_triples_sql()})
 SELECT pred, count(*) AS n_triples FROM t GROUP BY pred"""
+
+
+def kg_degree_histogram_sql() -> str:
+    """Degree distribution of the deduplicated graph: two-level
+    aggregation (per-subject out-degree, then subjects-per-degree)."""
+    return f"""WITH t AS ({kg_triples_sql()}),
+deg AS (SELECT subj, CAST(count(*) AS BIGINT) AS degree FROM t GROUP BY subj)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_subjects FROM deg GROUP BY degree"""

@@ -768,3 +768,85 @@ def label_centroids_sql() -> str:
     )
     GROUP BY label, i
     """
+
+
+# ---------------------------------------------------------------------------
+# Cross-table join: documents ⋈ embeddings (doc_id = vec_id) -> per-label
+# token statistics.  The multimodal-metadata join shape: a text-derived
+# feature table joined to the embedding table's typed metadata on the
+# shared row id, then a label-keyed aggregate.
+# ---------------------------------------------------------------------------
+def label_token_stats(sf_dir: str, num_partitions: int | None = None):
+    """(label, n_docs, sum_tokens, sum_chars, avg_tokens): per embedding
+    label, token/char totals of the joined documents.  Distributed hash
+    join on the row id (both sides are plain reads — no groupby ancestry,
+    so no join_ready armor needed), then a label groupby over integer
+    partials; avg is one exact IEEE division of the gated integers."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    from ifctordf_ray.stages.textstats import TokenCounter
+    from ifctordf_ray.tuning import join_kwargs
+
+    docs = _clean_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    tokens = docs.map_batches(TokenCounter, batch_format="pyarrow", concurrency=(1, 4))
+    labels = _clean_read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "vec_id": pc.cast(t["vec_id"], pa.int64()),
+                "label": pc.cast(t["label"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = tokens.join(
+        labels,
+        join_type="inner",
+        on=("doc_id",),
+        right_on=("vec_id",),
+        **join_kwargs(num_partitions),
+    )
+    agg = joined.groupby("label").aggregate(
+        _Count(alias_name="n_docs"),
+        _Sum("n_tokens", alias_name="sum_tokens"),
+        _Sum("n_chars", alias_name="sum_chars"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        avg = pc.divide(
+            pc.cast(t["sum_tokens"], pa.float64()),
+            pc.cast(t["n_docs"], pa.float64()),
+        )
+        return pa.table(
+            {
+                "label": t["label"],
+                "n_docs": t["n_docs"],
+                "sum_tokens": t["sum_tokens"],
+                "sum_chars": t["sum_chars"],
+                "avg_tokens": avg,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def label_token_stats_sql() -> str:
+    from ifctordf_ray.stages.textstats import token_counts_sql
+
+    return f"""
+    WITH tc AS ({token_counts_sql()}),
+    e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS BIGINT) AS label
+          FROM embeddings)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE) / count(*) AS avg_tokens
+    FROM tc JOIN e ON tc.doc_id = e.vec_id
+    GROUP BY label
+    """

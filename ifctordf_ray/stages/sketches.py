@@ -1,0 +1,115 @@
+r"""Distributed sketches: HyperLogLog registers for approximate
+distinct-word counting over the corpus.
+
+The register table IS the sketch: one (bucket, max_rank) row per
+non-empty bucket, built with the canonical map-side-combine shape —
+each batch emits at most 2^P partial-register rows regardless of batch
+token count, so the groupby moves combiner output.  Registers are pure
+integers (md5-derived hashes shared with DuckDB's ``md5_number_upper``),
+so the sketch has an exact SQL oracle; the float estimator is kept OUT
+of the gated row set (``hll_estimate`` computes it from the registers
+with a fixed summation order, tested against the true distinct count in
+pytest, not hash-gated — cross-libm float parity is the one thing md5
+can't buy).
+
+At 100 TB: registers are mergeable state — per-batch partials merge by
+MAX under any partitioning, the classic reaggregation-safe sketch; the
+final table is <= 2^P rows however large the corpus.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import ray.data
+
+from ifctordf_ray.sources.transcripts import clean_read_parquet as _clean_read_parquet
+from ifctordf_ray.stages.textstats import WORD_RE
+
+HLL_P = 8  # 2^8 = 256 buckets
+_REM_BITS = 64 - HLL_P
+_REM_MASK = (1 << _REM_BITS) - 1
+
+
+def _rank(h: int) -> tuple[int, int]:
+    """hash -> (bucket, rank): bucket = top P bits; rank = leading-zero
+    count of the remaining 56 bits + 1 (57 when the remainder is 0)."""
+    bucket = h >> _REM_BITS
+    rem = h & _REM_MASK
+    return bucket, (_REM_BITS + 1) if rem == 0 else (_REM_BITS + 1 - rem.bit_length())
+
+
+class _RegisterPartials:
+    """map_batches combiner: batch text -> per-bucket max rank."""
+
+    def __init__(self):
+        self.word_re = re.compile(WORD_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ifctordf_ray.functions.kernels import stable_hash64
+
+        regs: dict[int, int] = {}
+        for t in batch["text"].to_pylist():
+            for w in set(self.word_re.findall((t or "").lower())):
+                b, r = _rank(stable_hash64(w))
+                if r > regs.get(b, 0):
+                    regs[b] = r
+        return pa.table(
+            {
+                "bucket": pa.array(list(regs.keys()), pa.int64()),
+                "max_rank": pa.array(list(regs.values()), pa.int64()),
+            }
+        )
+
+
+def hll_registers(sf_dir: str) -> ray.data.Dataset:
+    """(bucket, max_rank) HLL registers over the corpus's word stream."""
+    from ray.data.aggregate import Max as _Max
+
+    ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return (
+        ds.map_batches(_RegisterPartials, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("bucket")
+        .aggregate(_Max("max_rank", alias_name="max_rank"))
+    )
+
+
+def hll_registers_sql() -> str:
+    rem_bits, mask = _REM_BITS, _REM_MASK
+    return f"""
+    WITH w AS (
+        SELECT DISTINCT
+               unnest(regexp_extract_all(lower(coalesce(text, '')), '{WORD_RE}'))
+                   AS word
+        FROM documents
+    ),
+    h AS (SELECT md5_number_upper(word) AS h FROM w),
+    r AS (
+        SELECT CAST(h >> {rem_bits} AS BIGINT) AS bucket,
+               CASE WHEN (h & {mask}) = 0 THEN {rem_bits + 1}
+                    ELSE {rem_bits + 1} - length(bin(h & {mask}))
+               END AS rank
+        FROM h
+    )
+    SELECT bucket, CAST(max(rank) AS BIGINT) AS max_rank
+    FROM r GROUP BY bucket
+    """
+
+
+def hll_estimate(registers: list[tuple[int, int]], p: int = HLL_P) -> float:
+    """Standard HLL estimator (Flajolet et al. 2007) with small-range
+    linear-counting correction, summed in bucket order (deterministic)."""
+    import math
+
+    m = 1 << p
+    regs = dict(registers)
+    zeros = m - len(regs)
+    s = 0.0
+    for b in range(m):
+        s += 2.0 ** -regs.get(b, 0)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / s
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return est
