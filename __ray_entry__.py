@@ -163,6 +163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_active_entity_keys": _rel("active_entity_keys"),
         "rel_user_running_totals": _rel("user_running_totals"),
         "rel_value_quantiles": _rel("value_quantiles"),
+        "rel_bloom_semi_join": _rel("bloom_semi_join"),
+        "rel_user_median_value": _rel("user_median_value"),
         # --- text analysis ---
         "doc_token_counts": _stage("textstats", "token_counts"),
         "doc_bpe_token_counts": _stage("textstats", "bpe_token_counts"),
@@ -179,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_top_terms": _stage("terms", "tfidf_top_terms"),
         "doc_pii_screen": _stage("terms", "pii_screen"),
         "doc_hll_registers": _stage("sketches", "hll_registers"),
+        "doc_posting_lists": _stage("terms", "posting_lists"),
         # --- dedup ---
         "doc_exact_duplicates": _stage("dedup", "exact_duplicates"),
         "doc_deduped_ids": _stage("dedup", "deduped_doc_ids"),
@@ -243,6 +246,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_active_entity_keys": R.active_entity_keys_sql(),
         "rel_user_running_totals": R.user_running_totals_sql(),
         "rel_value_quantiles": R.value_quantiles_sql(),
+        "rel_bloom_semi_join": R.bloom_semi_join_sql(),
+        "rel_user_median_value": R.user_median_value_sql(),
         "doc_token_counts": T.token_counts_sql(),
         "doc_bpe_token_counts": T.bpe_token_counts_sql(),
         "doc_quality_scores": T.quality_scores_sql(),
@@ -258,6 +263,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_tfidf_top_terms": TERMS.tfidf_top_terms_sql(),
         "doc_pii_screen": TERMS.pii_screen_sql(),
         "doc_hll_registers": SK.hll_registers_sql(),
+        "doc_posting_lists": TERMS.posting_lists_sql(),
         "doc_exact_duplicates": D.exact_duplicates_sql(),
         "doc_deduped_ids": D.deduped_doc_ids_sql(),
         # md5-derived hash spec == DuckDB md5_number_upper, so the full

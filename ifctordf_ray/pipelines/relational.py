@@ -881,3 +881,134 @@ def user_rolling_window_sql() -> str:
                   AND CURRENT ROW
     )
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi join: the broadcast-filter pattern for a selective
+# build side.  The Bloom bitmap is built distributed (per-block bit
+# positions -> global distinct, <= BLOOM_M rows), broadcast once via
+# ray.put, and probed inside map_batches — the fact table never enters
+# a join exchange.  False positives are PART OF THE SPEC (deterministic
+# md5 positions), so the result — semi-join survivors plus the bloom's
+# false positives — is exactly SQL-replicable.
+# ---------------------------------------------------------------------------
+BLOOM_M = 4096  # bits
+BLOOM_K = 3  # hash functions (md5 of key || '|' || seed)
+
+
+def _bloom_positions(keys, seed: int) -> "pa.Array":
+    from ifctordf_ray.functions.kernels import stable_hash64
+
+    return pa.array(
+        [stable_hash64(f"{k}|{seed}") % BLOOM_M for k in keys], pa.int64()
+    )
+
+
+def bloom_semi_join(sf_dir: str) -> ray.data.Dataset:
+    """Distinct lineitem order keys that pass a Bloom filter built from
+    finished orders ('F' status): (l_orderkey, n_lines).  At 100 TB the
+    bitmap is BLOOM_M bits however large the build side — the broadcast
+    is O(1) — and the probe is a narrow map; only the surviving keys
+    (build selectivity x fact keys + false positives) reach the final
+    groupby."""
+    import numpy as np
+
+    build = _clean_read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    )
+
+    def build_bits(t: pa.Table) -> pa.Table:
+        keys = t.filter(pc.equal(t["o_orderstatus"], "F"))["o_orderkey"].to_pylist()
+        pos = set()
+        for s in range(BLOOM_K):
+            pos.update(_bloom_positions(keys, s).to_pylist())
+        return pa.table({"p": pa.array(sorted(pos), pa.int64())})
+
+    # per-block positions -> global distinct (<= BLOOM_M rows) -> driver
+    pos_rows = (
+        build.map_batches(build_bits, batch_format="pyarrow")
+        .groupby("p")
+        .aggregate(Count(alias_name="_n"))
+        .take_all()
+    )
+    bits = np.zeros(BLOOM_M, dtype=bool)
+    bits[[r["p"] for r in pos_rows]] = True
+    bits_ref = ray.put(bits)
+
+    class Probe:
+        def __init__(self, ref):
+            self.bits = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["l_orderkey"].to_pylist()
+            ok = np.ones(len(keys), dtype=bool)
+            for s in range(BLOOM_K):
+                ok &= self.bits[_bloom_positions(keys, s).to_numpy()]
+            return t.filter(pa.array(ok))
+
+    probe = _clean_read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    ).map_batches(
+        Probe,
+        fn_constructor_args=(bits_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return probe.groupby("l_orderkey").aggregate(Count(alias_name="n_lines"))
+
+
+def bloom_semi_join_sql() -> str:
+    seeds = ", ".join(str(s) for s in range(BLOOM_K))
+    return f"""
+    WITH pos AS (
+        SELECT DISTINCT
+               md5_number_upper(CAST(o_orderkey AS VARCHAR) || '|' || s) % {BLOOM_M}
+                   AS p
+        FROM orders CROSS JOIN (SELECT unnest([{seeds}]) AS s)
+        WHERE o_orderstatus = 'F'
+    )
+    SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    WHERE NOT EXISTS (
+        SELECT 1 FROM (SELECT unnest([{seeds}]) AS s) sd
+        WHERE md5_number_upper(CAST(l.l_orderkey AS VARCHAR) || '|' || sd.s)
+                  % {BLOOM_M}
+              NOT IN (SELECT p FROM pos)
+    )
+    GROUP BY l_orderkey
+    """
+
+
+# ---------------------------------------------------------------------------
+# Per-group discrete median (group-wise quantile)
+# ---------------------------------------------------------------------------
+def _median_group(g: pa.Table) -> pa.Table:
+    vals = sorted(g["value"].to_pylist())
+    return pa.table(
+        {
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "n_events": pa.array([len(vals)], pa.int64()),
+            "median_value": pa.array([vals[(len(vals) - 1) // 2]], pa.float64()),
+        }
+    )
+
+
+def user_median_value(sf_dir: str) -> ray.data.Dataset:
+    """(user_id, n_events, median_value): per-user discrete median event
+    value — the lower-middle element, DuckDB quantile_disc(0.5)
+    semantics, so the gated value is an EXISTING double from the data
+    (no interpolation, no float-parity risk).  Group-keyed map_groups;
+    group size is a user's event count."""
+    ds = _clean_read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+    return ds.groupby("user_id").map_groups(_median_group, batch_format="pyarrow")
+
+
+def user_median_value_sql() -> str:
+    return """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           quantile_disc(value, 0.5) AS median_value
+    FROM events GROUP BY user_id
+    """

@@ -219,3 +219,60 @@ def pii_screen_sql() -> str:
                '{phone}', '<PHONE>', 'g')) AS redacted_fp
     FROM documents
     """
+
+
+# ---------------------------------------------------------------------------
+# Inverted index: word -> document-frequency + a bounded posting list.
+# The postings string carries the first POSTINGS_CAP doc_ids in doc_id
+# order — bounded per word BY DESIGN (a stopword's full posting list is
+# corpus-sized at 100 TB; df still counts every doc).  Hot-key safety:
+# the per-word group the map_groups sees is one row per (doc, word)
+# DISTINCT pair (combiner output), and the emitted row is O(cap).
+# ---------------------------------------------------------------------------
+POSTINGS_CAP = 50
+
+
+def posting_lists(sf_dir: str, cap: int = POSTINGS_CAP) -> ray.data.Dataset:
+    """(word, df, postings): document frequency and the comma-joined
+    first `cap` doc_ids per word."""
+    docs = _clean_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    pairs = docs.map_batches(TermCounter, batch_format="pyarrow", concurrency=(1, 4))
+
+    def to_postings(g: pa.Table) -> pa.Table:
+        ids = sorted(g["doc_id"].to_pylist())
+        return pa.table(
+            {
+                "word": pa.array([g["word"][0].as_py()], pa.string()),
+                "df": pa.array([len(ids)], pa.int64()),
+                "postings": pa.array(
+                    [",".join(str(i) for i in ids[:cap])], pa.string()
+                ),
+            }
+        )
+
+    return pairs.groupby("word").map_groups(to_postings, batch_format="pyarrow")
+
+
+def posting_lists_sql(cap: int = POSTINGS_CAP) -> str:
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT doc_id, word FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(coalesce(text, '')), '{WORD_RE}'))
+                       AS word
+            FROM documents
+        )
+    ),
+    ranked AS (
+        SELECT word, doc_id,
+               row_number() OVER (PARTITION BY word ORDER BY doc_id) AS rn,
+               count(*) OVER (PARTITION BY word) AS df
+        FROM pairs
+    )
+    SELECT word, CAST(any_value(df) AS BIGINT) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM ranked WHERE rn <= {cap}
+    GROUP BY word
+    """
