@@ -226,33 +226,44 @@ def pii_screen_sql() -> str:
 # The postings string carries the first POSTINGS_CAP doc_ids in doc_id
 # order — bounded per word BY DESIGN (a stopword's full posting list is
 # corpus-sized at 100 TB; df still counts every doc).  Hot-key safety:
-# the per-word group the map_groups sees is one row per (doc, word)
-# DISTINCT pair (combiner output), and the emitted row is O(cap).
+# the posting list is built by a CUSTOM bounded AggregateFn, so the
+# accumulator is O(cap) at every stage — per-block partials, cross-block
+# merges, and the final row — even when a stopword's df is corpus-sized.
+# (A map_groups formulation would funnel one row per matching doc into a
+# single group for hot words; the aggregate keeps hot keys flat.)
 # ---------------------------------------------------------------------------
 POSTINGS_CAP = 50
+
+
+def _postings_agg(cap: int):
+    """AggregateFn: capped sorted set of the smallest doc_ids per word."""
+    from ray.data.aggregate import AggregateFn
+
+    def acc_block(acc: list, block: pa.Table) -> list:
+        merged = sorted(set(acc) | set(block["doc_id"].to_pylist()))
+        return merged[:cap]
+
+    return AggregateFn(
+        init=lambda k: [],
+        merge=lambda a, b: sorted(set(a) | set(b))[:cap],
+        accumulate_block=acc_block,
+        finalize=lambda ids: ",".join(str(i) for i in ids),
+        name="postings",
+    )
 
 
 def posting_lists(sf_dir: str, cap: int = POSTINGS_CAP) -> ray.data.Dataset:
     """(word, df, postings): document frequency and the comma-joined
     first `cap` doc_ids per word."""
+    from ray.data.aggregate import Count as _Count
+
     docs = _clean_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     pairs = docs.map_batches(TermCounter, batch_format="pyarrow", concurrency=(1, 4))
-
-    def to_postings(g: pa.Table) -> pa.Table:
-        ids = sorted(g["doc_id"].to_pylist())
-        return pa.table(
-            {
-                "word": pa.array([g["word"][0].as_py()], pa.string()),
-                "df": pa.array([len(ids)], pa.int64()),
-                "postings": pa.array(
-                    [",".join(str(i) for i in ids[:cap])], pa.string()
-                ),
-            }
-        )
-
-    return pairs.groupby("word").map_groups(to_postings, batch_format="pyarrow")
+    return pairs.groupby("word").aggregate(
+        _Count(alias_name="df"), _postings_agg(cap)
+    )
 
 
 def posting_lists_sql(cap: int = POSTINGS_CAP) -> str:
