@@ -165,6 +165,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_value_quantiles": _rel("value_quantiles"),
         "rel_bloom_semi_join": _rel("bloom_semi_join"),
         "rel_user_median_value": _rel("user_median_value"),
+        "rel_customer_order_counts": _rel("customer_order_counts"),
+        "rel_daily_active_users": _rel("daily_active_users"),
+        "rel_event_transitions": _rel("event_transitions"),
         # --- text analysis ---
         "doc_token_counts": _stage("textstats", "token_counts"),
         "doc_bpe_token_counts": _stage("textstats", "bpe_token_counts"),
@@ -248,6 +251,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_value_quantiles": R.value_quantiles_sql(),
         "rel_bloom_semi_join": R.bloom_semi_join_sql(),
         "rel_user_median_value": R.user_median_value_sql(),
+        "rel_customer_order_counts": R.customer_order_counts_sql(),
+        "rel_daily_active_users": R.daily_active_users_sql(),
+        "rel_event_transitions": R.event_transitions_sql(),
         "doc_token_counts": T.token_counts_sql(),
         "doc_bpe_token_counts": T.bpe_token_counts_sql(),
         "doc_quality_scores": T.quality_scores_sql(),

@@ -1012,3 +1012,182 @@ def user_median_value_sql() -> str:
            quantile_disc(value, 0.5) AS median_value
     FROM events GROUP BY user_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Left-outer dimension join: every customer with their order count and
+# total (zero-order customers kept — the join_type="left_outer" path of
+# Dataset.join, complementing the inner/anti variants above).
+# ---------------------------------------------------------------------------
+def customer_order_counts(sf_dir: str) -> ray.data.Dataset:
+    """(c_custkey, c_mktsegment, n_orders, total_cents): per customer,
+    order count and cents total; customers without orders appear with
+    zeros.  The fact side is PRE-AGGREGATED per custkey before the join
+    (combiner discipline), so the left-outer exchange moves one row per
+    customer-with-orders, not the raw orders table."""
+    from ifctordf_ray.functions.kernels import join_ready
+    from ifctordf_ray.tuning import join_kwargs
+
+    cust = _clean_read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    per_cust = (
+        _clean_read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {"o_custkey": t["o_custkey"], "cents": _cents(t["o_totalprice"])}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(
+            Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents")
+        )
+    )
+    per_cust = join_ready(
+        per_cust,
+        pa.schema(
+            [
+                ("o_custkey", pa.int64()),
+                ("n_orders", pa.int64()),
+                ("total_cents", pa.int64()),
+            ]
+        ),
+        sentinel_row={"o_custkey": -1, "n_orders": 0, "total_cents": 0},
+    )
+    joined = cust.join(
+        per_cust,
+        join_type="left_outer",
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+        **join_kwargs(),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_mktsegment": t["c_mktsegment"],
+                "n_orders": pc.fill_null(t["n_orders"], 0),
+                "total_cents": pc.fill_null(t["total_cents"], 0),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def customer_order_counts_sql() -> str:
+    return """
+    SELECT c.c_custkey, c.c_mktsegment,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(coalesce(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)), 0)
+                AS BIGINT) AS total_cents
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """
+
+
+# ---------------------------------------------------------------------------
+# Daily active users: two-level distinct aggregation — (day, user)
+# distinct first (pre-aggregate, so the second shuffle moves one row per
+# ACTIVE (day, user), not per event), then per-day counts.
+# ---------------------------------------------------------------------------
+def daily_active_users(sf_dir: str) -> ray.data.Dataset:
+    ds = _clean_read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("us"))
+        # per-block (day, user) dedup: shrink the first exchange
+        tb = pa.table({"day": day, "user_id": t["user_id"]})
+        return tb.group_by(["day", "user_id"]).aggregate([])
+
+    dau = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(
+            lambda t: pa.table({"day": pc.cast(t["day"], pa.timestamp("us")),
+                                "user_id": t["user_id"]}),
+            batch_format="pyarrow",
+        )
+        .groupby("day")
+        .aggregate(Count(alias_name="n_active_users"))
+    )
+    return dau.map_batches(
+        lambda t: pa.table(
+            {
+                "day": pc.cast(t["day"], pa.timestamp("us")),
+                "n_active_users": t["n_active_users"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def daily_active_users_sql() -> str:
+    return """
+    SELECT date_trunc('day', ts) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
+    FROM events
+    GROUP BY date_trunc('day', ts)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Per-user event-type transitions (ordered in-group state: the lag/lead
+# window — a first-order Markov transition count table).
+# ---------------------------------------------------------------------------
+def _transitions_group(g: pa.Table) -> pa.Table:
+    g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    et = g["event_type"].to_pylist()
+    if len(et) < 2:
+        return pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "from_type": pa.array([], pa.string()),
+                "to_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    from collections import Counter
+
+    c = Counter(zip(et[:-1], et[1:]))
+    uid = g["user_id"][0].as_py()
+    return pa.table(
+        {
+            "user_id": pa.array([uid] * len(c), pa.int64()),
+            "from_type": pa.array([k[0] for k in c], pa.string()),
+            "to_type": pa.array([k[1] for k in c], pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        }
+    )
+
+
+def event_transitions(sf_dir: str) -> ray.data.Dataset:
+    """(user_id, from_type, to_type, n): counts of consecutive
+    event-type pairs per user, ordered by (ts, event_id).  Group size is
+    one user's event count — the same per-entity-ordered-state contract
+    as sessionize/running totals."""
+    ds = _clean_read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    return ds.groupby("user_id").map_groups(
+        _transitions_group, batch_format="pyarrow"
+    )
+
+
+def event_transitions_sql() -> str:
+    return """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT user_id, prev_type AS from_type, event_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY user_id, prev_type, event_type
+    """
