@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_customer_order_counts": _rel("customer_order_counts"),
         "rel_daily_active_users": _rel("daily_active_users"),
         "rel_event_transitions": _rel("event_transitions"),
+        "rel_user_type_pivot": _rel("user_type_pivot"),
         # --- text analysis ---
         "doc_token_counts": _stage("textstats", "token_counts"),
         "doc_bpe_token_counts": _stage("textstats", "bpe_token_counts"),
@@ -203,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup_clusters": _stage("similarity", "near_dup_clusters_emb"),
         "emb_label_centroids": _stage("similarity", "label_centroids"),
         "emb_label_token_stats": _stage("similarity", "label_token_stats"),
+        "emb_quantized_codes": _stage("similarity", "quantized_codes"),
         # --- multimodal plumbing ---
         "mm_media_features": _stage("multimodal", "media_features"),
         "mm_media_stats": _stage("multimodal", "media_stats"),
@@ -254,6 +256,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_customer_order_counts": R.customer_order_counts_sql(),
         "rel_daily_active_users": R.daily_active_users_sql(),
         "rel_event_transitions": R.event_transitions_sql(),
+        "rel_user_type_pivot": R.user_type_pivot_sql(),
         "doc_token_counts": T.token_counts_sql(),
         "doc_bpe_token_counts": T.bpe_token_counts_sql(),
         "doc_quality_scores": T.quality_scores_sql(),
@@ -288,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup_clusters": SIM.near_dup_clusters_emb_sql(),
         "emb_label_centroids": SIM.label_centroids_sql(),
         "emb_label_token_stats": SIM.label_token_stats_sql(),
+        "emb_quantized_codes": SIM.quantized_codes_sql(),
         "mm_media_stats": MM.media_stats_sql(),
         # real PPM/WAV decode with integer-exact features: the oracle
         # reconstructs the payload byte streams from the text and

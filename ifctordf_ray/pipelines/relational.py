@@ -1191,3 +1191,60 @@ def event_transitions_sql() -> str:
     FROM seq WHERE prev_type IS NOT NULL
     GROUP BY user_id, prev_type, event_type
     """
+
+
+# ---------------------------------------------------------------------------
+# Pivot (wide aggregation): per-user event counts as one column per
+# event type.  The type vocabulary is CLOSED by spec (the five types the
+# generator emits, TESTDATA.md); unseen types land in n_other so the
+# operator is total.  Map-side partial pivot (block group_by -> one row
+# per (user, block)), then a Sum-per-column groupby — the exchange moves
+# pivoted partials, never raw events.
+# ---------------------------------------------------------------------------
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_type_pivot(sf_dir: str) -> ray.data.Dataset:
+    ds = _clean_read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partial_pivot(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        known = pa.array([False] * t.num_rows)
+        for et in EVENT_TYPES:
+            m = pc.equal(t["event_type"], et)
+            cols[f"n_{et}"] = pc.cast(m, pa.int64())
+            known = pc.or_(known, m)
+        cols["n_other"] = pc.cast(pc.invert(known), pa.int64())
+        return (
+            pa.table(cols)
+            .group_by(["user_id"])
+            .aggregate([(f"n_{et}", "sum") for et in EVENT_TYPES] + [("n_other", "sum")])
+            .rename_columns(
+                ["user_id"] + [f"n_{et}" for et in EVENT_TYPES] + ["n_other"]
+            )
+        )
+
+    aggs = [Sum(f"n_{et}", alias_name=f"n_{et}") for et in EVENT_TYPES]
+    aggs.append(Sum("n_other", alias_name="n_other"))
+    return (
+        ds.map_batches(partial_pivot, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*aggs)
+    )
+
+
+def user_type_pivot_sql() -> str:
+    cols = ",\n           ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{et}') AS BIGINT) AS n_{et}"
+        for et in EVENT_TYPES
+    )
+    types_in = ", ".join(f"'{et}'" for et in EVENT_TYPES)
+    return f"""
+    SELECT user_id,
+           {cols},
+           CAST(count(*) FILTER (WHERE event_type NOT IN ({types_in})) AS BIGINT)
+               AS n_other
+    FROM events GROUP BY user_id
+    """

@@ -850,3 +850,105 @@ def label_token_stats_sql() -> str:
     FROM tc JOIN e ON tc.doc_id = e.vec_id
     GROUP BY label
     """
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization: per-dimension global min/max scaling to uint8
+# codes — the int8-style compression step a vector store applies before
+# indexing.  Two-phase: per-block (dim, min, max) partials -> tiny
+# groupby (EMB_DIM rows) -> driver collect + broadcast -> vectorized
+# quantize map.  All quantize arithmetic is elementwise IEEE double
+# (sub/div/mul/floor — no summation), so codes are bit-identical in
+# numpy and DuckDB.
+# ---------------------------------------------------------------------------
+def quantized_codes(sf_dir: str) -> ray.data.Dataset:
+    """(vec_id, sum_code, code_fp): per vector, the sum of its uint8
+    codes and the md5 of the comma-joined code string (dim order).
+    q_d(x) = floor((x - min_d) / (max_d - min_d) * 255 + 0.5); a
+    degenerate dimension (max == min) codes to 0."""
+    import hashlib
+
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Min as _Min
+
+    ds = _clean_read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def ranges(t: pa.Table) -> pa.Table:
+        m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                "dim": pa.array(range(m.shape[1]), pa.int64()),
+                "lo": pa.array(m.min(axis=0), pa.float64()),
+                "hi": pa.array(m.max(axis=0), pa.float64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(ranges, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(_Min("lo", alias_name="lo"), _Max("hi", alias_name="hi"))
+        .take_all()
+    )  # EMB_DIM rows — driver-safe by construction
+    lo = np.empty(EMB_DIM)
+    hi = np.empty(EMB_DIM)
+    for r in rows:
+        lo[r["dim"]] = r["lo"]
+        hi[r["dim"]] = r["hi"]
+    span = hi - lo
+    degenerate = span == 0.0
+    span[degenerate] = 1.0  # avoid div-by-zero; those dims code to 0
+    lo_ref, span_ref, degen_ref = ray.put(lo), ray.put(span), ray.put(degenerate)
+
+    class Quantize:
+        def __init__(self, lo_r, span_r, degen_r):
+            self.lo = ray.get(lo_r)
+            self.span = ray.get(span_r)
+            self.degen = ray.get(degen_r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+            q = np.floor((m - self.lo) / self.span * 255.0 + 0.5).astype(np.int64)
+            q[:, self.degen] = 0
+            fps = [
+                hashlib.md5(",".join(str(c) for c in row).encode()).hexdigest()
+                for row in q
+            ]
+            return pa.table(
+                {
+                    "vec_id": t["vec_id"],
+                    "sum_code": pa.array(q.sum(axis=1), pa.int64()),
+                    "code_fp": pa.array(fps, pa.string()),
+                }
+            )
+
+    return ds.map_batches(
+        Quantize,
+        fn_constructor_args=(lo_ref, span_ref, degen_ref),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+def quantized_codes_sql() -> str:
+    return f"""
+    WITH x AS (
+        SELECT vec_id, CAST(t.i AS BIGINT) AS dim,
+               CAST(embedding[CAST(t.i + 1 AS INTEGER)] AS DOUBLE) AS v
+        FROM embeddings CROSS JOIN (SELECT unnest(range({EMB_DIM})) AS i) t
+    ),
+    r AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM x GROUP BY dim),
+    q AS (
+        SELECT x.vec_id, x.dim,
+               CASE WHEN r.hi = r.lo THEN 0
+                    ELSE CAST(floor((x.v - r.lo) / (r.hi - r.lo) * 255.0 + 0.5)
+                              AS BIGINT)
+               END AS code
+        FROM x JOIN r USING (dim)
+    )
+    SELECT vec_id,
+           CAST(sum(code) AS BIGINT) AS sum_code,
+           md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim)) AS code_fp
+    FROM q GROUP BY vec_id
+    """
