@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_canonical_mentions": _q_kg_canonical_mentions,
         "kg_predicate_stats": _q_kg_predicate_stats,
         "kg_degree_histogram": _q_kg_degree_histogram,
+        "kg_mention_next_hop": _stage("graphq", "mention_next_hop"),
         "kg_dedup_turns": _stage_tr("turndedup", "dedup_turns"),
         "kg_turn_redirects": _stage_tr("turndedup", "turn_redirects"),
         "kg_linked_mentions": _stage_tr("link", "link_mentions"),
@@ -186,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_screen": _stage("terms", "pii_screen"),
         "doc_hll_registers": _stage("sketches", "hll_registers"),
         "doc_posting_lists": _stage("terms", "posting_lists"),
+        "doc_bigram_counts": _stage("terms", "bigram_counts"),
         # --- dedup ---
         "doc_exact_duplicates": _stage("dedup", "exact_duplicates"),
         "doc_deduped_ids": _stage("dedup", "deduped_doc_ids"),
@@ -217,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
     from ifctordf_ray.pipelines import relational as R
     from ifctordf_ray.stages import chunking as CH
     from ifctordf_ray.stages import dedup as D
+    from ifctordf_ray.stages import graphq as GQ
     from ifctordf_ray.stages import link as L
     from ifctordf_ray.stages import multimodal as MM
     from ifctordf_ray.stages import similarity as SIM
@@ -234,6 +237,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_canonical_mentions": O.kg_canonical_mentions_sql(),
         "kg_predicate_stats": O.kg_predicate_stats_sql(),
         "kg_degree_histogram": O.kg_degree_histogram_sql(),
+        "kg_mention_next_hop": GQ.mention_next_hop_sql(),
         "kg_dedup_turns": TD.dedup_turns_sql(),
         "kg_turn_redirects": TD.turn_redirects_sql(),
         "kg_linked_mentions": L.link_mentions_sql(),
@@ -273,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_screen": TERMS.pii_screen_sql(),
         "doc_hll_registers": SK.hll_registers_sql(),
         "doc_posting_lists": TERMS.posting_lists_sql(),
+        "doc_bigram_counts": TERMS.bigram_counts_sql(),
         "doc_exact_duplicates": D.exact_duplicates_sql(),
         "doc_deduped_ids": D.deduped_doc_ids_sql(),
         # md5-derived hash spec == DuckDB md5_number_upper, so the full

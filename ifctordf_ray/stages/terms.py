@@ -287,3 +287,55 @@ def posting_lists_sql(cap: int = POSTINGS_CAP) -> str:
     FROM ranked WHERE rn <= {cap}
     GROUP BY word
     """
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model counts: corpus-wide (w1, w2) -> n over
+# consecutive word pairs within each document.  Same combiner discipline
+# as vocabulary(): each batch ships one row per DISTINCT bigram in the
+# batch, so the exchange moves combiner output, never per-token rows.
+# ---------------------------------------------------------------------------
+class _BigramPartials:
+    def __init__(self):
+        self.word_re = re.compile(WORD_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            ws = self.word_re.findall((t or "").lower())
+            c.update(zip(ws[:-1], ws[1:]))
+        return pa.table(
+            {
+                "w1": pa.array([k[0] for k in c], pa.string()),
+                "w2": pa.array([k[1] for k in c], pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+
+def bigram_counts(sf_dir: str) -> ray.data.Dataset:
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return (
+        ds.map_batches(_BigramPartials, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby(["w1", "w2"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+
+
+def bigram_counts_sql() -> str:
+    return f"""
+    WITH wl AS (
+        SELECT regexp_extract_all(lower(coalesce(text, '')), '{WORD_RE}') AS ws
+        FROM documents
+    ),
+    b AS (
+        SELECT ws[CAST(t.i + 1 AS INTEGER)] AS w1,
+               ws[CAST(t.i + 2 AS INTEGER)] AS w2
+        FROM wl CROSS JOIN UNNEST(range(greatest(len(ws) - 1, 0))) AS t(i)
+    )
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY w1, w2
+    """
