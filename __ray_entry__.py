@@ -124,6 +124,15 @@ def _rel(name):
     return q
 
 
+def _mj(name):
+    def q(sf_dir: str):
+        from ifctordf_ray.pipelines import multijoin
+
+        return getattr(multijoin, name)(sf_dir)
+
+    return q
+
+
 def _stage(module, name):
     def q(sf_dir: str):
         import importlib
@@ -170,6 +179,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_daily_active_users": _rel("daily_active_users"),
         "rel_event_transitions": _rel("event_transitions"),
         "rel_user_type_pivot": _rel("user_type_pivot"),
+        "rel_promo_revenue": _mj("promo_revenue"),
+        "rel_local_supplier_volume": _mj("local_supplier_volume"),
+        "rel_revenue_rollup": _mj("revenue_rollup"),
         # --- text analysis ---
         "doc_token_counts": _stage("textstats", "token_counts"),
         "doc_bpe_token_counts": _stage("textstats", "bpe_token_counts"),
@@ -188,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hll_registers": _stage("sketches", "hll_registers"),
         "doc_posting_lists": _stage("terms", "posting_lists"),
         "doc_bigram_counts": _stage("terms", "bigram_counts"),
+        "doc_pmi_collocations": _stage("terms", "pmi_collocations"),
+        "kg_cooccurring_mentions": _stage("graphq", "cooccurring_mentions"),
         # --- dedup ---
         "doc_exact_duplicates": _stage("dedup", "exact_duplicates"),
         "doc_deduped_ids": _stage("dedup", "deduped_doc_ids"),
@@ -207,6 +221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_label_centroids": _stage("similarity", "label_centroids"),
         "emb_label_token_stats": _stage("similarity", "label_token_stats"),
         "emb_quantized_codes": _stage("similarity", "quantized_codes"),
+        "emb_dim_covariance": _stage("similarity", "dim_covariance"),
+        "emb_kmeans_assign": _stage("similarity", "kmeans_assign"),
         # --- multimodal plumbing ---
         "mm_media_features": _stage("multimodal", "media_features"),
         "mm_media_stats": _stage("multimodal", "media_stats"),
@@ -216,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from ifctordf_ray import sql_oracle as O
+    from ifctordf_ray.pipelines import multijoin as MJ
     from ifctordf_ray.pipelines import relational as R
     from ifctordf_ray.stages import chunking as CH
     from ifctordf_ray.stages import dedup as D
@@ -261,6 +278,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_daily_active_users": R.daily_active_users_sql(),
         "rel_event_transitions": R.event_transitions_sql(),
         "rel_user_type_pivot": R.user_type_pivot_sql(),
+        "rel_promo_revenue": MJ.promo_revenue_sql(),
+        "rel_local_supplier_volume": MJ.local_supplier_volume_sql(),
+        "rel_revenue_rollup": MJ.revenue_rollup_sql(),
         "doc_token_counts": T.token_counts_sql(),
         "doc_bpe_token_counts": T.bpe_token_counts_sql(),
         "doc_quality_scores": T.quality_scores_sql(),
@@ -278,6 +298,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_hll_registers": SK.hll_registers_sql(),
         "doc_posting_lists": TERMS.posting_lists_sql(),
         "doc_bigram_counts": TERMS.bigram_counts_sql(),
+        "doc_pmi_collocations": TERMS.pmi_collocations_sql(),
+        "kg_cooccurring_mentions": GQ.cooccurring_mentions_sql(),
         "doc_exact_duplicates": D.exact_duplicates_sql(),
         "doc_deduped_ids": D.deduped_doc_ids_sql(),
         # md5-derived hash spec == DuckDB md5_number_upper, so the full
@@ -297,6 +319,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_label_centroids": SIM.label_centroids_sql(),
         "emb_label_token_stats": SIM.label_token_stats_sql(),
         "emb_quantized_codes": SIM.quantized_codes_sql(),
+        "emb_dim_covariance": SIM.dim_covariance_sql(),
+        "emb_kmeans_assign": SIM.kmeans_assign_sql(),
         "mm_media_stats": MM.media_stats_sql(),
         # real PPM/WAV decode with integer-exact features: the oracle
         # reconstructs the payload byte streams from the text and

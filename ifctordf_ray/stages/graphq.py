@@ -63,3 +63,81 @@ SELECT m.subj, m.obj AS via_turn, n.obj AS next_turn
 FROM t m JOIN t n ON m.obj = n.subj
 WHERE m.pred = '{S.P_MENTIONS_TURN}' AND n.pred = '{S.P_NEXT_TURN}'
 """
+
+
+# ---------------------------------------------------------------------------
+# Mention co-occurrence: unordered pairs of distinct numeric mentions in
+# the same turn, counted corpus-wide — the turn-bounded self-join that
+# feeds entity-relatedness scoring.  Pair expansion happens INSIDE the
+# map (quadratic only in per-turn mentions, capped), so the shuffle moves
+# per-batch combiner partials, never per-pair raw rows.
+# ---------------------------------------------------------------------------
+COOC_CAP = 32  # per-turn distinct-mention cap (skew guard, lexical order)
+
+
+class _CoocPartials:
+    def __init__(self, cap: int):
+        import re
+
+        from ifctordf_ray import schema as S
+
+        self.num_re = re.compile(S.NUM_RE)
+        self.cap = cap
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        from itertools import combinations
+
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            ms = sorted(set(self.num_re.findall(t or "")))[: self.cap]
+            c.update(combinations(ms, 2))
+        return pa.table(
+            {
+                "m1": pa.array([k[0] for k in c], pa.string()),
+                "m2": pa.array([k[1] for k in c], pa.string()),
+                "n_turns": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+
+def cooccurring_mentions(sf_dir: str, cap: int = COOC_CAP) -> ray.data.Dataset:
+    """(m1, m2, n_turns): number pairs co-mentioned in a turn (m1 < m2
+    lexically), with per-turn mentions deduplicated and capped at ``cap``
+    in lexical order (replicated in the SQL oracle via row_number)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ifctordf_ray.sources.transcripts import transcripts_from_events
+
+    tr = transcripts_from_events(sf_dir)
+    return (
+        tr.map_batches(
+            _CoocPartials,
+            fn_constructor_kwargs={"cap": cap},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .groupby(["m1", "m2"])
+        .aggregate(_Sum("n_turns", alias_name="n_turns"))
+    )
+
+
+def cooccurring_mentions_sql(cap: int = COOC_CAP) -> str:
+    from ifctordf_ray.sql_oracle import transcripts_cte
+
+    return f"""WITH {transcripts_cte()},
+m AS (
+    SELECT DISTINCT conv_id, turn_idx, u.m
+    FROM transcripts, UNNEST(regexp_extract_all(coalesce(text, ''), '{S.NUM_RE}')) AS u(m)
+),
+k AS (
+    SELECT * FROM (
+        SELECT conv_id, turn_idx, m,
+               row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY m) AS rn
+        FROM m
+    ) WHERE rn <= {cap}
+)
+SELECT a.m AS m1, b.m AS m2, CAST(count(*) AS BIGINT) AS n_turns
+FROM k a JOIN k b
+  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx AND a.m < b.m
+GROUP BY a.m, b.m"""

@@ -952,3 +952,151 @@ def quantized_codes_sql() -> str:
            md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim)) AS code_fp
     FROM q GROUP BY vec_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Dimension Gram/covariance matrix: X^T X over quantized embeddings via
+# map-side partial matmuls.  The canonical "small-output, huge-input"
+# linear-algebra reduction: each block contributes one d x d int64 matrix
+# (d*(d+1)/2 upper-triangle rows), so the shuffle moves O(blocks * d^2)
+# partials regardless of corpus size.
+# ---------------------------------------------------------------------------
+COV_Q = 1024  # quantization for exact int64 sums: products <= ~2^20,
+              # so overflow needs > ~2^43 rows — safe past 100 TB
+
+
+def dim_covariance(sf_dir: str) -> ray.data.Dataset:
+    """(dim_i, dim_j, sum_prod, n, gram) for i <= j: exact int64 Gram
+    sums of COV_Q-quantized embeddings plus the float Gram value
+    (sum/n)/Q^2 (same IEEE expression tree as the SQL oracle)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _clean_read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    iu = np.triu_indices(EMB_DIM)
+
+    def partials(t: pa.Table) -> pa.Table:
+        embs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        q = np.floor(embs * COV_Q + 0.5).astype(np.int64)
+        g = q.T @ q  # (d, d) int64 — one BLAS-like reduction per block
+        return pa.table(
+            {
+                "dim_i": pa.array(iu[0], pa.int64()),
+                "dim_j": pa.array(iu[1], pa.int64()),
+                "sum_prod": pa.array(g[iu], pa.int64()),
+                "n": pa.array(np.full(len(iu[0]), len(q), np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["dim_i", "dim_j"])
+        .aggregate(
+            _Sum("sum_prod", alias_name="sum_prod"), _Sum("n", alias_name="n")
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        gram = pc.divide(
+            pc.divide(
+                pc.cast(t["sum_prod"], pa.float64()), pc.cast(t["n"], pa.float64())
+            ),
+            float(COV_Q) * float(COV_Q),
+        )
+        return t.append_column("gram", gram)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def dim_covariance_sql() -> str:
+    return f"""
+    WITH q AS (
+        SELECT vec_id, CAST(t.i AS BIGINT) AS i,
+               CAST(floor(CAST(embedding[CAST(t.i + 1 AS INTEGER)] AS DOUBLE)
+                          * {COV_Q} + 0.5) AS BIGINT) AS qv
+        FROM embeddings CROSS JOIN (SELECT unnest(range({EMB_DIM})) AS i) t
+    )
+    SELECT a.i AS dim_i, b.i AS dim_j,
+           CAST(sum(a.qv * b.qv) AS BIGINT) AS sum_prod,
+           CAST(count(*) AS BIGINT) AS n,
+           (CAST(sum(a.qv * b.qv) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+             / {float(COV_Q) * float(COV_Q)} AS gram
+    FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+    """
+
+
+# ---------------------------------------------------------------------------
+# One Lloyd (k-means) assignment step from deterministic seeds: the K
+# lowest vec_ids are the centroids; every vector is assigned to its
+# nearest centroid in exact quantized-integer squared distance.  The
+# iterative-ML shape: broadcast centroids, narrow assignment map; the
+# update step is label_centroids() keyed on `cluster`.
+# ---------------------------------------------------------------------------
+KMEANS_K = 8
+
+
+class _KmeansAssign:
+    def __init__(self, cent_ref):
+        ids, mat = ray.get(cent_ref)
+        self.cent_q = np.floor(mat * COV_Q + 0.5).astype(np.int64)  # (K, d)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        embs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        q = np.floor(embs * COV_Q + 0.5).astype(np.int64)  # (n, d)
+        # exact int64 distances; argmin ties -> lowest cluster index
+        d = ((q[:, None, :] - self.cent_q[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cluster": pa.array(assign.astype(np.int64), pa.int64()),
+                "dist": pa.array(d[np.arange(len(q)), assign], pa.int64()),
+            }
+        )
+
+
+def kmeans_assign(sf_dir: str, k: int = KMEANS_K) -> ray.data.Dataset:
+    """(vec_id, cluster, dist): nearest-seed assignment; seeds are the K
+    lowest vec_ids (cluster = rank of seed id)."""
+    ids, mat = _load_queries(sf_dir, k)
+    ref = ray.put((ids, mat))
+    ds = _clean_read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ds.map_batches(
+        _KmeansAssign,
+        fn_constructor_kwargs={"cent_ref": ref},
+        max_restarts=0,  # ObjectRef constructor arg (ray#53727 warning)
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+def kmeans_assign_sql(k: int = KMEANS_K) -> str:
+    return f"""
+    WITH q AS (
+        SELECT vec_id, CAST(t.i AS BIGINT) AS i,
+               CAST(floor(CAST(embedding[CAST(t.i + 1 AS INTEGER)] AS DOUBLE)
+                          * {COV_Q} + 0.5) AS BIGINT) AS qv
+        FROM embeddings CROSS JOIN (SELECT unnest(range({EMB_DIM})) AS i) t
+    ),
+    seeds AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+    ),
+    cent AS (
+        SELECT s.cluster, q.i, q.qv FROM seeds s JOIN q ON q.vec_id = s.vec_id
+    ),
+    d AS (
+        SELECT q.vec_id, c.cluster,
+               CAST(sum((q.qv - c.qv) * (q.qv - c.qv)) AS BIGINT) AS dist
+        FROM q JOIN cent c ON q.i = c.i
+        GROUP BY q.vec_id, c.cluster
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        FROM d
+    )
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist FROM r WHERE rn = 1
+    """

@@ -339,3 +339,179 @@ def bigram_counts_sql() -> str:
     )
     SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY w1, w2
     """
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: bigram lift vs independent unigrams.  The classic
+# aggregate-join-aggregate composition: two combiner-style corpus
+# aggregates (bigram and unigram counts) joined on BOTH bigram slots,
+# scored against corpus totals from a third streaming pass.
+# ---------------------------------------------------------------------------
+PMI_MIN_PAIR = 3
+
+
+class _TokenTotals:
+    """One (nu, nb) partial row per batch: corpus token and bigram
+    position totals (the PMI denominators)."""
+
+    def __init__(self):
+        self.word_re = re.compile(WORD_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nu = nb = 0
+        for t in batch["text"].to_pylist():
+            k = len(self.word_re.findall((t or "").lower()))
+            nu += k
+            nb += max(k - 1, 0)
+        return pa.table(
+            {"nu": pa.array([nu], pa.int64()), "nb": pa.array([nb], pa.int64())}
+        )
+
+
+def pmi_collocations(
+    sf_dir: str, min_pair: int = PMI_MIN_PAIR
+) -> ray.data.Dataset:
+    """(w1, w2, n, c1, c2, lift): bigrams seen >= ``min_pair`` times with
+    their unigram counts and the PMI lift ratio
+    ``(n/Nb) / ((c1/Nu)*(c2/Nu))`` (the log is monotone in it, and a
+    ratio of exactly-representable values hash-matches across engines
+    where a transcendental would not).
+
+    Scale shape: unigram counts are vocab-sized (sub-linear in corpus)
+    and materialized because they are consumed by BOTH slot joins; the
+    bigram table streams through two hash joins.  All three join inputs
+    descend from groupbys, so each goes through ``join_ready``
+    (empty-partition schema pinning — see functions/kernels.py)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum as _Sum
+
+    from ifctordf_ray.functions.kernels import join_ready
+    from ifctordf_ray.stages.textstats import WordPartialCounts
+    from ifctordf_ray.tuning import join_kwargs
+
+    docs = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    tot = docs.map_batches(
+        _TokenTotals, batch_format="pyarrow", concurrency=(1, 4)
+    ).aggregate(_Sum("nu", alias_name="nu"), _Sum("nb", alias_name="nb"))
+    nu = float(tot["nu"])
+    nb = float(tot["nb"])
+
+    uni = (
+        docs.map_batches(WordPartialCounts, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("word")
+        .aggregate(_Sum("n", alias_name="c"))
+        .materialize()  # vocab-sized (not corpus-sized); consumed twice
+    )
+
+    big = (
+        docs.map_batches(_BigramPartials, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby(["w1", "w2"])
+        .aggregate(_Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n"], min_pair)),
+            batch_format="pyarrow",
+        )
+    )
+
+    big = join_ready(
+        big,
+        pa.schema([("w1", pa.string()), ("w2", pa.string()), ("n", pa.int64())]),
+        sentinel_row={"w1": "\x00big", "w2": "\x00big", "n": 0},
+    )
+    uni1 = join_ready(
+        uni.map_batches(
+            lambda t: pa.table({"word": t["word"], "c1": t["c"]}),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("word", pa.string()), ("c1", pa.int64())]),
+        sentinel_row={"word": "\x00uni", "c1": 0},
+    )
+    uni2 = join_ready(
+        uni.map_batches(
+            lambda t: pa.table({"word": t["word"], "c2": t["c"]}),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("word", pa.string()), ("c2", pa.int64())]),
+        sentinel_row={"word": "\x00uni", "c2": 0},
+    )
+
+    # Ray's hash join coalesces the right key into the left key column,
+    # so no 'word' column survives the join.
+    j1 = big.join(
+        uni1, join_type="inner", on=("w1",), right_on=("word",), **join_kwargs()
+    )
+    j1 = join_ready(
+        j1,
+        pa.schema(
+            [
+                ("w1", pa.string()),
+                ("w2", pa.string()),
+                ("n", pa.int64()),
+                ("c1", pa.int64()),
+            ]
+        ),
+        sentinel_row={"w1": "\x00big", "w2": "\x00big", "n": 0, "c1": 0},
+    )
+    j2 = j1.join(
+        uni2, join_type="inner", on=("w2",), right_on=("word",), **join_kwargs()
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        n_d = pc.cast(t["n"], pa.float64())
+        num = pc.multiply(pc.multiply(n_d, nu), nu)
+        den = pc.multiply(
+            pc.multiply(nb, pc.cast(t["c1"], pa.float64())),
+            pc.cast(t["c2"], pa.float64()),
+        )
+        lift = pc.divide(num, den)
+        return pa.table(
+            {
+                "w1": t["w1"],
+                "w2": t["w2"],
+                "n": t["n"],
+                "c1": t["c1"],
+                "c2": t["c2"],
+                "lift": lift,
+            }
+        )
+
+    return j2.map_batches(score, batch_format="pyarrow")
+
+
+def pmi_collocations_sql(min_pair: int = PMI_MIN_PAIR) -> str:
+    # lift mirrors the engine's exact IEEE expression tree:
+    # ((n*Nu)*Nu) / ((Nb*c1)*c2) with every operand cast to DOUBLE first.
+    return f"""
+    WITH wl AS (
+        SELECT regexp_extract_all(lower(coalesce(text, '')), '{WORD_RE}') AS ws
+        FROM documents
+    ),
+    tot AS (
+        SELECT CAST(sum(len(ws)) AS BIGINT) AS nu,
+               CAST(sum(greatest(len(ws) - 1, 0)) AS BIGINT) AS nb
+        FROM wl
+    ),
+    uc AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(ws) AS word FROM wl)
+        GROUP BY word
+    ),
+    bc AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+        FROM (
+            SELECT ws[CAST(t.i + 1 AS INTEGER)] AS w1,
+                   ws[CAST(t.i + 2 AS INTEGER)] AS w2
+            FROM wl CROSS JOIN UNNEST(range(greatest(len(ws) - 1, 0))) AS t(i)
+        )
+        GROUP BY w1, w2
+        HAVING count(*) >= {min_pair}
+    )
+    SELECT bc.w1, bc.w2, bc.n, u1.c AS c1, u2.c AS c2,
+           ((CAST(bc.n AS DOUBLE) * CAST(t.nu AS DOUBLE)) * CAST(t.nu AS DOUBLE))
+           / ((CAST(t.nb AS DOUBLE) * CAST(u1.c AS DOUBLE)) * CAST(u2.c AS DOUBLE)) AS lift
+    FROM bc
+    CROSS JOIN tot t
+    JOIN uc u1 ON bc.w1 = u1.word
+    JOIN uc u2 ON bc.w2 = u2.word
+    """
