@@ -211,6 +211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_verified_near_dups": _stage("dedup", "verified_near_dups"),
         "doc_near_dup_clusters": _stage("dedup", "near_dup_clusters"),
         "doc_near_dedup_ids": _stage("dedup", "near_dedup_doc_ids"),
+        "doc_dup_rate_by_lang": _stage("dedup", "dup_rate_by_lang"),
+        "doc_keyword_search": _stage("terms", "keyword_search"),
         # --- similarity search ---
         "emb_knn_brute_force": _stage("similarity", "knn_brute_force"),
         "emb_knn_lsh": _stage("similarity", "knn_lsh"),
@@ -223,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_quantized_codes": _stage("similarity", "quantized_codes"),
         "emb_dim_covariance": _stage("similarity", "dim_covariance"),
         "emb_kmeans_assign": _stage("similarity", "kmeans_assign"),
+        "emb_pq_codes": _stage("similarity", "pq_codes"),
         # --- multimodal plumbing ---
         "mm_media_features": _stage("multimodal", "media_features"),
         "mm_media_stats": _stage("multimodal", "media_stats"),
@@ -310,6 +313,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_verified_near_dups": D.verified_near_dups_sql(),
         "doc_near_dup_clusters": D.near_dup_clusters_sql(),
         "doc_near_dedup_ids": D.near_dedup_doc_ids_sql(),
+        "doc_dup_rate_by_lang": D.dup_rate_by_lang_sql(),
+        "doc_keyword_search": TERMS.keyword_search_sql(),
         "emb_knn_brute_force": SIM.knn_brute_force_sql(),
         "emb_knn_lsh": SIM.knn_lsh_sql(),
         "emb_knn_ivf": SIM.knn_ivf_sql(),
@@ -321,6 +326,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_quantized_codes": SIM.quantized_codes_sql(),
         "emb_dim_covariance": SIM.dim_covariance_sql(),
         "emb_kmeans_assign": SIM.kmeans_assign_sql(),
+        "emb_pq_codes": SIM.pq_codes_sql(),
         "mm_media_stats": MM.media_stats_sql(),
         # real PPM/WAV decode with integer-exact features: the oracle
         # reconstructs the payload byte streams from the text and

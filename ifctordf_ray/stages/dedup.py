@@ -861,3 +861,100 @@ def near_dedup_doc_ids_sql(threshold: float = 0.5) -> str:
         )
         + "\nWHERE coalesce(c.cluster_id, d.doc_id) = d.doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-rate report by language: the corpus-quality dashboard number
+# a dedup pass is judged by.  Two chained aggregations — (lang, fp)
+# group sizes, then per-lang totals — no join: the second groupby runs
+# over the (already aggregated) distinct-fingerprint table.
+# ---------------------------------------------------------------------------
+class _LangFingerprint:
+    """(lang, fingerprint) per doc — same canonical form as
+    textstats.Fingerprinter (md5 of lowercased, whitespace-collapsed)."""
+
+    def __init__(self):
+        import re as _re
+
+        self.ws_re = _re.compile(r"\s+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib as _hl
+
+        fps = [
+            _hl.md5(self.ws_re.sub(" ", (t or "").lower()).encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {"lang": batch["lang"], "fingerprint": pa.array(fps, pa.string())}
+        )
+
+
+def dup_rate_by_lang(sf_dir: str) -> ray.data.Dataset:
+    """(lang, n_docs, dup_docs, dup_excess, dup_rate): within-language
+    exact-duplicate statistics.  dup_docs counts every member of a
+    multi-doc fingerprint group; dup_excess counts the removable copies;
+    dup_rate = dup_docs / n_docs (single IEEE division)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _clean_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    groups = (
+        ds.map_batches(_LangFingerprint, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
+        .groupby(["lang", "fingerprint"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def widen(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.int64())
+        is_dup = pc.greater(n, 1)
+        zero = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_docs": n,
+                "dup_docs": pc.if_else(is_dup, n, zero),
+                "dup_excess": pc.if_else(is_dup, pc.subtract(n, 1), zero),
+            }
+        )
+
+    agg = (
+        groups.map_batches(widen, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            _Sum("n_docs", alias_name="n_docs"),
+            _Sum("dup_docs", alias_name="dup_docs"),
+            _Sum("dup_excess", alias_name="dup_excess"),
+        )
+    )
+
+    def rate(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "dup_rate",
+            pc.divide(
+                pc.cast(t["dup_docs"], pa.float64()),
+                pc.cast(t["n_docs"], pa.float64()),
+            ),
+        )
+
+    return agg.map_batches(rate, batch_format="pyarrow")
+
+
+def dup_rate_by_lang_sql() -> str:
+    return r"""
+    WITH g AS (
+        SELECT lang,
+               md5(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS fp,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang, fp
+    )
+    SELECT lang,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_docs,
+           CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS dup_excess,
+           CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE)
+             / CAST(sum(n) AS DOUBLE) AS dup_rate
+    FROM g GROUP BY lang
+    """

@@ -116,6 +116,7 @@ def cooccurring_mentions(sf_dir: str, cap: int = COOC_CAP) -> ray.data.Dataset:
             fn_constructor_kwargs={"cap": cap},
             batch_format="pyarrow",
             concurrency=(1, 4),
+            max_restarts=0,
         )
         .groupby(["m1", "m2"])
         .aggregate(_Sum("n_turns", alias_name="n_turns"))

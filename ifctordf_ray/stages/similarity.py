@@ -1100,3 +1100,91 @@ def kmeans_assign_sql(k: int = KMEANS_K) -> str:
     )
     SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist FROM r WHERE rn = 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: the vector-compression scale path (PQ codes are
+# what a 100-TB ANN index stores instead of raw floats).  M subspaces,
+# K deterministic seed centroids each (sub-vectors of the K lowest
+# vec_ids); assignment in exact quantized-integer distance.
+# ---------------------------------------------------------------------------
+PQ_M = 8    # subspaces (EMB_DIM / PQ_M dims each)
+PQ_K = 16   # codebook size per subspace
+
+
+class _PQAssign:
+    def __init__(self, cent_ref):
+        ids, mat = ray.get(cent_ref)
+        q = np.floor(mat * COV_Q + 0.5).astype(np.int64)  # (K, d)
+        self.cent = q.reshape(q.shape[0], PQ_M, -1)       # (K, M, d/M)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        embs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        n = len(embs)
+        q = np.floor(embs * COV_Q + 0.5).astype(np.int64).reshape(n, PQ_M, -1)
+        # (n, K, M): exact int64 squared distance per subspace
+        d = ((q[:, None, :, :] - self.cent[None, :, :, :]) ** 2).sum(axis=3)
+        code = d.argmin(axis=1)  # (n, M) — first min = lowest code index
+        dist = d.min(axis=1)
+        vec_ids = batch["vec_id"].to_numpy()
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vec_ids, PQ_M), pa.int64()),
+                "subspace": pa.array(
+                    np.tile(np.arange(PQ_M, dtype=np.int64), n), pa.int64()
+                ),
+                "code": pa.array(code.astype(np.int64).ravel(), pa.int64()),
+                "dist": pa.array(dist.ravel(), pa.int64()),
+            }
+        )
+
+
+def pq_codes(sf_dir: str, k: int = PQ_K) -> ray.data.Dataset:
+    """(vec_id, subspace, code, dist): per-subspace nearest-centroid code
+    (M codes per vector — the compressed representation)."""
+    ids, mat = _load_queries(sf_dir, k)
+    ref = ray.put((ids, mat))
+    ds = _clean_read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ds.map_batches(
+        _PQAssign,
+        fn_constructor_kwargs={"cent_ref": ref},
+        max_restarts=0,  # ObjectRef constructor arg (ray#53727 warning)
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+def pq_codes_sql(k: int = PQ_K) -> str:
+    sub_d = EMB_DIM // PQ_M
+    return f"""
+    WITH q AS (
+        SELECT vec_id, CAST(t.i AS BIGINT) AS i,
+               CAST(t.i AS BIGINT) // {sub_d} AS subspace,
+               CAST(floor(CAST(embedding[CAST(t.i + 1 AS INTEGER)] AS DOUBLE)
+                          * {COV_Q} + 0.5) AS BIGINT) AS qv
+        FROM embeddings CROSS JOIN (SELECT unnest(range({EMB_DIM})) AS i) t
+    ),
+    seeds AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+    ),
+    cent AS (
+        SELECT s.code, q.i, q.subspace, q.qv
+        FROM seeds s JOIN q ON q.vec_id = s.vec_id
+    ),
+    d AS (
+        SELECT q.vec_id, q.subspace, c.code,
+               CAST(sum((q.qv - c.qv) * (q.qv - c.qv)) AS BIGINT) AS dist
+        FROM q JOIN cent c ON q.i = c.i
+        GROUP BY q.vec_id, q.subspace, c.code
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                                     ORDER BY dist, code) AS rn
+        FROM d
+    )
+    SELECT vec_id, subspace, CAST(code AS BIGINT) AS code, dist
+    FROM r WHERE rn = 1
+    """

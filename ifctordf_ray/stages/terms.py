@@ -392,7 +392,7 @@ def pmi_collocations(
     docs = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
     tot = docs.map_batches(
-        _TokenTotals, batch_format="pyarrow", concurrency=(1, 4)
+        _TokenTotals, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0
     ).aggregate(_Sum("nu", alias_name="nu"), _Sum("nb", alias_name="nb"))
     nu = float(tot["nu"])
     nb = float(tot["nb"])
@@ -514,4 +514,89 @@ def pmi_collocations_sql(min_pair: int = PMI_MIN_PAIR) -> str:
     CROSS JOIN tot t
     JOIN uc u1 ON bc.w1 = u1.word
     JOIN uc u2 ON bc.w2 = u2.word
+    """
+
+
+# ---------------------------------------------------------------------------
+# Keyword search over the corpus: rank documents by total term frequency
+# of a fixed query-term set — the inverted-index probe shape, executed
+# as a scatter-gather top-k (per-block bottom-k, then a tiny global
+# sort+limit; the corpus itself never shuffles).
+# ---------------------------------------------------------------------------
+SEARCH_TERMS = ("window", "vector", "batch")
+SEARCH_TOP_K = 20
+
+
+class _SearchScore:
+    def __init__(self, terms: tuple[str, ...]):
+        self.word_re = re.compile(WORD_RE)
+        self.terms = set(terms)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids, scores, matched = [], [], []
+        for doc_id, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            c = Counter(self.word_re.findall((t or "").lower()))
+            s = sum(c[w] for w in self.terms)
+            if s > 0:
+                ids.append(doc_id)
+                scores.append(s)
+                matched.append(sum(1 for w in self.terms if c[w] > 0))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "score": pa.array(scores, pa.int64()),
+                "matched_terms": pa.array(matched, pa.int64()),
+            }
+        )
+
+
+def keyword_search(
+    sf_dir: str,
+    terms: tuple[str, ...] = SEARCH_TERMS,
+    top_k: int = SEARCH_TOP_K,
+) -> ray.data.Dataset:
+    """(doc_id, score, matched_terms): top-K docs by summed term
+    frequency of ``terms`` (ties broken by doc_id ASC — deterministic
+    total order)."""
+    ds = _clean_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    scored = ds.map_batches(
+        _SearchScore,
+        fn_constructor_kwargs={"terms": terms},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        max_restarts=0,
+    )
+    # per-block top-k prune, then the global sort runs over k rows/block
+    pruned = scored.map_batches(
+        lambda t: t.sort_by(
+            [("score", "descending"), ("doc_id", "ascending")]
+        ).slice(0, top_k),
+        batch_format="pyarrow",
+    )
+    return pruned.sort(["score", "doc_id"], descending=[True, False]).limit(top_k)
+
+
+def keyword_search_sql(
+    terms: tuple[str, ...] = SEARCH_TERMS, top_k: int = SEARCH_TOP_K
+) -> str:
+    lits = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '{WORD_RE}')) AS w
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS score,
+               CAST(count(DISTINCT w) AS BIGINT) AS matched_terms
+        FROM tok WHERE w IN ({lits})
+        GROUP BY doc_id
+    )
+    SELECT doc_id, score, matched_terms FROM hits
+    ORDER BY score DESC, doc_id ASC LIMIT {top_k}
     """

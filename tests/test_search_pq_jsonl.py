@@ -1,0 +1,96 @@
+"""Keyword search, per-language dup rates, PQ codes, and the JSONL
+source/sink roundtrip."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from ifctordf_ray.stages import dedup, similarity, terms
+
+
+def _duck(sf_dir, tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _compare(ds, sql, con):
+    a = ds.to_pandas()
+    b = con.execute(sql).df()
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True).astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b)
+    return a
+
+
+def test_keyword_search_parity_and_ranking(sf_small):
+    con = _duck(sf_small, ["documents"])
+    a = _compare(terms.keyword_search(sf_small), terms.keyword_search_sql(), con)
+    assert 0 < len(a) <= terms.SEARCH_TOP_K
+    # ranking is (score DESC, doc_id ASC) — verify on the engine's rows
+    rows = (
+        terms.keyword_search(sf_small)
+        .to_pandas()
+        .itertuples(index=False)
+    )
+    prev = None
+    for r in rows:
+        if prev is not None:
+            assert (-(r.score), r.doc_id) >= (-(prev.score), prev.doc_id)
+        prev = r
+
+
+def test_dup_rate_by_lang_parity(sf_small):
+    con = _duck(sf_small, ["documents"])
+    a = _compare(dedup.dup_rate_by_lang(sf_small), dedup.dup_rate_by_lang_sql(), con)
+    assert len(a) > 0
+    assert ((a.dup_rate >= 0) & (a.dup_rate <= 1)).all()
+    assert (a.dup_excess <= a.dup_docs).all()
+
+
+def test_pq_codes_matches_numpy(sf_small):
+    t = pq.read_table(f"{sf_small}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    embs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    q = np.floor(embs * similarity.COV_Q + 0.5).astype(np.int64)
+    seeds = np.argsort(ids)[: similarity.PQ_K]
+    cent = q[seeds].reshape(similarity.PQ_K, similarity.PQ_M, -1)
+    qs = q.reshape(len(q), similarity.PQ_M, -1)
+    d = ((qs[:, None, :, :] - cent[None, :, :, :]) ** 2).sum(axis=3)  # (n,K,M)
+    rows = similarity.pq_codes(sf_small).take_all()
+    assert len(rows) == len(ids) * similarity.PQ_M
+    by_id = {int(i): k for k, i in enumerate(ids)}
+    for r in rows[:500]:
+        i = by_id[r["vec_id"]]
+        m = r["subspace"]
+        assert r["code"] == int(d[i, :, m].argmin())
+        assert r["dist"] == int(d[i, :, m].min())
+
+
+def test_jsonl_roundtrip(sf_small, tmp_path):
+    import ray.data
+
+    from ifctordf_ray.sources.jsonl import (
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+    from ifctordf_ray.sources.transcripts import clean_read_parquet
+
+    docs = clean_read_parquet(f"{sf_small}/documents.parquet")
+    out = str(tmp_path / "docs_jsonl")
+    write_documents_jsonl(docs, out)
+    back = read_documents_jsonl(out)
+    a = docs.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = back.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    # and a downstream stage runs unchanged on the JSONL-read dataset
+    n = back.map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    ).count()
+    assert n == len(a)
