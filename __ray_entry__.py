@@ -202,6 +202,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_counts": _stage("terms", "bigram_counts"),
         "doc_pmi_collocations": _stage("terms", "pmi_collocations"),
         "kg_cooccurring_mentions": _stage("graphq", "cooccurring_mentions"),
+        "kg_mention_triangles": _stage("graphq", "mention_triangles"),
+        "doc_weighted_sample": _stage("textstats", "weighted_sample"),
+        "rel_events_hopping_window": _rel("events_hopping_window"),
         # --- dedup ---
         "doc_exact_duplicates": _stage("dedup", "exact_duplicates"),
         "doc_deduped_ids": _stage("dedup", "deduped_doc_ids"),
@@ -303,6 +306,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_bigram_counts": TERMS.bigram_counts_sql(),
         "doc_pmi_collocations": TERMS.pmi_collocations_sql(),
         "kg_cooccurring_mentions": GQ.cooccurring_mentions_sql(),
+        "kg_mention_triangles": GQ.mention_triangles_sql(),
+        "doc_weighted_sample": T.weighted_sample_sql(),
+        "rel_events_hopping_window": R.events_hopping_window_sql(),
         "doc_exact_duplicates": D.exact_duplicates_sql(),
         "doc_deduped_ids": D.deduped_doc_ids_sql(),
         # md5-derived hash spec == DuckDB md5_number_upper, so the full

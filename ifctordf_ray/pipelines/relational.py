@@ -1248,3 +1248,63 @@ def user_type_pivot_sql() -> str:
                AS n_other
     FROM events GROUP BY user_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Hopping (overlapping) windows: 7-day windows advancing by 1 day — each
+# event lands in 7 windows.  The overlap is materialized INSIDE the map
+# (bounded 7x row expansion, no self-join), then one grouped aggregate.
+# ---------------------------------------------------------------------------
+HOP_WINDOW_DAYS = 7
+_DAY_US = 86_400_000_000
+
+
+def events_hopping_window(sf_dir: str) -> ray.data.Dataset:
+    """(window_start, n_events, sum_value_cents): 7-day windows hopping
+    daily; window [ws, ws+7d) contains every event whose day is in
+    [ws, ws+7d)."""
+    ds = _clean_read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        cents = _cents(t["value"])
+        parts = [
+            pa.table(
+                {
+                    "window_start": pc.subtract(
+                        day, pa.scalar(i * _DAY_US, pa.duration("us"))
+                    ),
+                    "value_cents": cents,
+                }
+            )
+            for i in range(HOP_WINDOW_DAYS)
+        ]
+        return pa.concat_tables(parts)
+
+    agg = (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_cents", alias_name="sum_value_cents"),
+        )
+    )
+
+    def pin(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("window_start"),
+            "window_start",
+            pc.cast(t["window_start"], pa.timestamp("us")),
+        )
+
+    return agg.map_batches(pin, batch_format="pyarrow")
+
+
+def events_hopping_window_sql() -> str:
+    return f"""
+    SELECT date_trunc('day', ts) - to_days(CAST(t.i AS INTEGER)) AS window_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM events CROSS JOIN (SELECT unnest(range({HOP_WINDOW_DAYS})) AS i) t
+    GROUP BY 1
+    """

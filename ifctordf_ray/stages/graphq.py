@@ -142,3 +142,75 @@ SELECT a.m AS m1, b.m AS m2, CAST(count(*) AS BIGINT) AS n_turns
 FROM k a JOIN k b
   ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx AND a.m < b.m
 GROUP BY a.m, b.m"""
+
+
+# ---------------------------------------------------------------------------
+# Triangle enumeration over the mention co-occurrence graph — the
+# graph-analytics join pattern (two chained distributed joins over the
+# a<b-oriented edge list; orientation means each triangle is emitted
+# exactly once, and the per-turn mention cap bounds vertex degree, the
+# classic triangle-skew guard).
+# ---------------------------------------------------------------------------
+def mention_triangles(sf_dir: str, num_partitions: int | None = None) -> ray.data.Dataset:
+    """(m_a, m_b, m_c), a < b < c lexically: closed mention triangles."""
+    import pyarrow.compute as pc
+
+    from ifctordf_ray.functions.kernels import join_ready
+    from ifctordf_ray.tuning import join_kwargs
+
+    # Materialize ONCE: the edge list is aggregate-sized (bounded by the
+    # per-turn mention cap), and the three join branches below would each
+    # re-execute the whole extraction lineage otherwise (Ray Data plans
+    # are trees — no common-subexpression reuse across branches).
+    edges = cooccurring_mentions(sf_dir).materialize()
+
+    def project(n1: str, n2: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({n1: t["m1"], n2: t["m2"]})
+
+        return f
+
+    e_schema = lambda n1, n2: pa.schema([(n1, pa.string()), (n2, pa.string())])
+    ab = join_ready(
+        edges.map_batches(project("a", "b"), batch_format="pyarrow"),
+        e_schema("a", "b"),
+        sentinel_row={"a": "\x00x", "b": "\x00x"},
+    )
+    bc = join_ready(
+        edges.map_batches(project("b", "c"), batch_format="pyarrow"),
+        e_schema("b", "c"),
+        sentinel_row={"b": "\x00y", "c": "\x00y"},
+    )
+    ac = join_ready(
+        edges.map_batches(project("a2", "c2"), batch_format="pyarrow"),
+        e_schema("a2", "c2"),
+        sentinel_row={"a2": "\x00z", "c2": "\x00z"},
+    )
+
+    wedges = ab.join(
+        bc, join_type="inner", on=("b",), right_on=("b",), **join_kwargs(num_partitions)
+    )
+    wedges = join_ready(
+        wedges,
+        pa.schema([("a", pa.string()), ("b", pa.string()), ("c", pa.string())]),
+        sentinel_row={"a": "\x00w", "b": "\x00w", "c": "\x00w"},
+    )
+    tri = wedges.join(
+        ac,
+        join_type="inner",
+        on=("a", "c"),
+        right_on=("a2", "c2"),
+        **join_kwargs(num_partitions),
+    )
+    return tri.map_batches(
+        lambda t: pa.table({"m_a": t["a"], "m_b": t["b"], "m_c": t["c"]}),
+        batch_format="pyarrow",
+    )
+
+
+def mention_triangles_sql() -> str:
+    return f"""WITH e AS ({cooccurring_mentions_sql()})
+SELECT x.m1 AS m_a, x.m2 AS m_b, y.m2 AS m_c
+FROM e x
+JOIN e y ON x.m2 = y.m1
+JOIN e z ON z.m1 = x.m1 AND z.m2 = y.m2"""

@@ -624,3 +624,61 @@ def stratified_sample_sql(per_group: int = STRATA_K) -> str:
     )
     SELECT doc_id, pred_lang FROM ranked WHERE rn <= {per_group}
     """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic WEIGHTED sampling (A-ES priority sampling): priority =
+# hash(doc_id) / weight; the K smallest priorities win, so heavier docs
+# are proportionally favored — reproducible across runs AND cluster
+# sizes (unlike Dataset.random_sample), and exactly SQL-replicable.
+# Scatter-gather shape: narrow priority map, per-block top-K prune,
+# tiny global sort+limit.
+# ---------------------------------------------------------------------------
+WEIGHTED_SAMPLE_K = 50
+
+
+def weighted_sample(sf_dir: str, k: int = WEIGHTED_SAMPLE_K) -> ray.data.Dataset:
+    """(doc_id, n_chars, priority): the K docs with smallest
+    hash/weight priority (weight = max(n_chars, 1))."""
+    from ifctordf_ray.functions.kernels import stable_hash64
+
+    ds = _clean_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def prio(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        h = pa.array(
+            [float(stable_hash64(str(d))) for d in t["doc_id"].to_pylist()],
+            pa.float64(),
+        )
+        w = pc.cast(
+            pc.max_element_wise(t["n_chars"], pa.scalar(1, pa.int64())),
+            pa.float64(),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+                "priority": pc.divide(h, w),
+            }
+        )
+
+    pruned = ds.map_batches(prio, batch_format="pyarrow").map_batches(
+        lambda t: t.sort_by(
+            [("priority", "ascending"), ("doc_id", "ascending")]
+        ).slice(0, k),
+        batch_format="pyarrow",
+    )
+    return pruned.sort(["priority", "doc_id"]).limit(k)
+
+
+def weighted_sample_sql(k: int = WEIGHTED_SAMPLE_K) -> str:
+    return f"""
+    SELECT doc_id, n_chars,
+           CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS DOUBLE)
+             / CAST(greatest(n_chars, 1) AS DOUBLE) AS priority
+    FROM documents
+    ORDER BY priority ASC, doc_id ASC LIMIT {k}
+    """
