@@ -214,3 +214,106 @@ SELECT x.m1 AS m_a, x.m2 AS m_b, y.m2 AS m_c
 FROM e x
 JOIN e y ON x.m2 = y.m1
 JOIN e z ON z.m1 = x.m1 AND z.m2 = y.m2"""
+
+
+# ---------------------------------------------------------------------------
+# One damped PageRank iteration over the undirected, edge-weighted mention
+# co-occurrence graph — the iterative-graph-algorithm shape (message
+# passing = join contributions to neighbors, re-aggregate).  Per-edge
+# contributions are quantized to integers (floor at 1e-12) BEFORE the
+# distributed sum, so the result is order-independent and integer-exact
+# across engines — the same determinism trick as emb_kmeans_assign /
+# emb_label_centroids.  Scale shape: two aggregate-sized joins over the
+# edge list (never the corpus), degree skew bounded by the upstream
+# per-turn mention cap.
+# ---------------------------------------------------------------------------
+PR_DAMP_NUM = 0.85  # damping; 1-d mass = 0.15 -> 150_000_000_000 quantized
+PR_SCALE = 1e12
+PR_BASE_Q = 150_000_000_000  # floor(0.15 * 1e12), exact
+
+
+def mention_pagerank_step(sf_dir: str, num_partitions: int | None = None) -> ray.data.Dataset:
+    """(m, pr_q): rank after ONE damped iteration from a uniform start
+    (pr0 = 1 per node), quantized at 1e-12: pr_q = 0.15*1e12 +
+    sum_over_in_edges floor(0.85 * w / deg(src) * 1e12)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum as _Sum
+
+    from ifctordf_ray.functions.kernels import join_ready
+    from ifctordf_ray.tuning import join_kwargs
+
+    # aggregate-sized; consumed by two branches (degrees + contributions)
+    edges = cooccurring_mentions(sf_dir).materialize()
+
+    def undirect(t: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [
+                pa.table({"src": t["m1"], "dst": t["m2"], "w": t["n_turns"]}),
+                pa.table({"src": t["m2"], "dst": t["m1"], "w": t["n_turns"]}),
+            ]
+        )
+
+    und = edges.map_batches(undirect, batch_format="pyarrow")
+    deg = (
+        und.groupby("src")
+        .aggregate(_Sum("w", alias_name="deg"))
+        .map_batches(
+            lambda t: pa.table({"dm": t["src"], "deg": t["deg"]}),
+            batch_format="pyarrow",
+        )
+    )
+    und = join_ready(
+        und,
+        pa.schema([("src", pa.string()), ("dst", pa.string()), ("w", pa.int64())]),
+        sentinel_row={"src": "\x00p", "dst": "\x00p", "w": 0},
+    )
+    deg = join_ready(
+        deg,
+        pa.schema([("dm", pa.string()), ("deg", pa.int64())]),
+        sentinel_row={"dm": "\x00q", "deg": 1},
+    )
+    joined = und.join(
+        deg, join_type="inner", on=("src",), right_on=("dm",), **join_kwargs(num_partitions)
+    )
+
+    def contrib(t: pa.Table) -> pa.Table:
+        # expression-tree parity with the SQL arm:
+        # floor(((0.85 * w) / deg) * 1e12), all IEEE double, left-assoc
+        x = pc.multiply(pa.scalar(PR_DAMP_NUM), pc.cast(t["w"], pa.float64()))
+        x = pc.divide(x, pc.cast(t["deg"], pa.float64()))
+        x = pc.multiply(x, pa.scalar(PR_SCALE))
+        return pa.table(
+            {"m": t["dst"], "cq": pc.cast(pc.floor(x), pa.int64())}
+        )
+
+    ranked = (
+        joined.map_batches(contrib, batch_format="pyarrow")
+        .groupby("m")
+        .aggregate(_Sum("cq", alias_name="cq"))
+    )
+    return ranked.map_batches(
+        lambda t: pa.table(
+            {
+                "m": t["m"],
+                "pr_q": pc.add(pa.scalar(PR_BASE_Q, pa.int64()), t["cq"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def mention_pagerank_step_sql() -> str:
+    return f"""WITH e AS ({cooccurring_mentions_sql()}),
+und AS (
+    SELECT m1 AS src, m2 AS dst, n_turns AS w FROM e
+    UNION ALL
+    SELECT m2 AS src, m1 AS dst, n_turns AS w FROM e
+),
+deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg FROM und GROUP BY src),
+c AS (
+    SELECT u.dst AS m,
+           CAST(floor(CAST({PR_DAMP_NUM} AS DOUBLE) * CAST(u.w AS DOUBLE)
+                      / CAST(d.deg AS DOUBLE) * 1e12) AS BIGINT) AS cq
+    FROM und u JOIN deg d ON u.src = d.src
+)
+SELECT m, CAST({PR_BASE_Q} + sum(cq) AS BIGINT) AS pr_q FROM c GROUP BY m"""
