@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mention_pagerank": _stage("graphq", "mention_pagerank_step"),
         "doc_weighted_sample": _stage("textstats", "weighted_sample"),
         "rel_events_hopping_window": _rel("events_hopping_window"),
+        "rel_nation_cust_supp": _rel("nation_customer_supplier"),
         # --- dedup ---
         "doc_exact_duplicates": _stage("dedup", "exact_duplicates"),
         "doc_deduped_ids": _stage("dedup", "deduped_doc_ids"),
@@ -311,6 +312,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mention_pagerank": GQ.mention_pagerank_step_sql(),
         "doc_weighted_sample": T.weighted_sample_sql(),
         "rel_events_hopping_window": R.events_hopping_window_sql(),
+        "rel_nation_cust_supp": R.nation_customer_supplier_sql(),
         "doc_exact_duplicates": D.exact_duplicates_sql(),
         "doc_deduped_ids": D.deduped_doc_ids_sql(),
         # md5-derived hash spec == DuckDB md5_number_upper, so the full

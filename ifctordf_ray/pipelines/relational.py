@@ -1308,3 +1308,102 @@ def events_hopping_window_sql() -> str:
     FROM events CROSS JOIN (SELECT unnest(range({HOP_WINDOW_DAYS})) AS i) t
     GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Full-outer join: per-nation BUILDING-customer counts vs rich-supplier
+# counts — both sides pre-aggregated (one row per nation), so the outer
+# exchange moves aggregate rows only.  Completes the join-type coverage
+# (inner / left-outer / anti / bloom-semi / as-of / range already
+# registered).  full_outer keeps unmatched rows from BOTH sides, so the
+# join_ready sentinels (which an inner join drops for free) are filtered
+# explicitly by their impossible key (-1).
+# ---------------------------------------------------------------------------
+NCS_SEGMENT = "BUILDING"
+NCS_MIN_ACCTBAL = 3500.0
+
+
+def nation_customer_supplier(sf_dir: str) -> ray.data.Dataset:
+    """(nationkey, n_customers, n_suppliers): full-outer of per-nation
+    BUILDING-customer counts and suppliers with acctbal > 3500."""
+    from ifctordf_ray.functions.kernels import join_ready
+    from ifctordf_ray.tuning import join_kwargs
+
+    cust = (
+        _clean_read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_mktsegment"]
+        )
+        .map_batches(
+            lambda t: t.filter(
+                pc.equal(t["c_mktsegment"], NCS_SEGMENT)
+            ).select(["c_nationkey"]),
+            batch_format="pyarrow",
+        )
+        .groupby("c_nationkey")
+        .aggregate(Count(alias_name="n_customers"))
+    )
+    supp = (
+        _clean_read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+        )
+        .map_batches(
+            lambda t: t.filter(
+                pc.greater(t["s_acctbal"], NCS_MIN_ACCTBAL)
+            ).select(["s_nationkey"]),
+            batch_format="pyarrow",
+        )
+        .groupby("s_nationkey")
+        .aggregate(Count(alias_name="n_suppliers"))
+    )
+    cust = join_ready(
+        cust,
+        pa.schema([("c_nationkey", pa.int64()), ("n_customers", pa.int64())]),
+        sentinel_row={"c_nationkey": -1, "n_customers": 0},
+    )
+    supp = join_ready(
+        supp,
+        pa.schema([("s_nationkey", pa.int64()), ("n_suppliers", pa.int64())]),
+        sentinel_row={"s_nationkey": -1, "n_suppliers": 0},
+    )
+    joined = cust.join(
+        supp,
+        join_type="full_outer",
+        on=("c_nationkey",),
+        right_on=("s_nationkey",),
+        **join_kwargs(),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # Ray's full_outer join coalesces right_on into the left key
+        # column when the names differ; fall back if both survive
+        if "s_nationkey" in t.column_names:
+            nk = pc.coalesce(t["c_nationkey"], t["s_nationkey"])
+        else:
+            nk = t["c_nationkey"]
+        out = pa.table(
+            {
+                "nationkey": pc.cast(nk, pa.int64()),
+                "n_customers": pc.fill_null(t["n_customers"], 0),
+                "n_suppliers": pc.fill_null(t["n_suppliers"], 0),
+            }
+        )
+        return out.filter(pc.not_equal(out["nationkey"], -1))
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def nation_customer_supplier_sql() -> str:
+    return f"""
+    WITH c AS (
+        SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_customers
+        FROM customer WHERE c_mktsegment = '{NCS_SEGMENT}' GROUP BY 1
+    ),
+    s AS (
+        SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_suppliers
+        FROM supplier WHERE s_acctbal > {NCS_MIN_ACCTBAL} GROUP BY 1
+    )
+    SELECT CAST(coalesce(c.nk, s.nk) AS BIGINT) AS nationkey,
+           CAST(coalesce(c.n_customers, 0) AS BIGINT) AS n_customers,
+           CAST(coalesce(s.n_suppliers, 0) AS BIGINT) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """
