@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mention_triangles": _stage("graphq", "mention_triangles"),
         "kg_mention_pagerank": _stage("graphq", "mention_pagerank_step"),
         "doc_weighted_sample": _stage("textstats", "weighted_sample"),
+        "doc_unified_corpus_stats": _stage("textstats", "unified_corpus_stats"),
         "rel_events_hopping_window": _rel("events_hopping_window"),
         "rel_nation_cust_supp": _rel("nation_customer_supplier"),
         # --- dedup ---
@@ -311,6 +312,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mention_triangles": GQ.mention_triangles_sql(),
         "kg_mention_pagerank": GQ.mention_pagerank_step_sql(),
         "doc_weighted_sample": T.weighted_sample_sql(),
+        "doc_unified_corpus_stats": T.unified_corpus_stats_sql(),
         "rel_events_hopping_window": R.events_hopping_window_sql(),
         "rel_nation_cust_supp": R.nation_customer_supplier_sql(),
         "doc_exact_duplicates": D.exact_duplicates_sql(),

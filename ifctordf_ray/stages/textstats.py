@@ -682,3 +682,70 @@ def weighted_sample_sql(k: int = WEIGHTED_SAMPLE_K) -> str:
     FROM documents
     ORDER BY priority ASC, doc_id ASC LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Dataset.union across heterogeneous corpora: documents text UNION ALL
+# transcript turn text, tagged by source kind, one grouped aggregate on
+# the tag.  The union is streaming (no barrier — Ray interleaves blocks
+# from both lineages); each side is pre-projected to the narrow shared
+# schema so the combined exchange moves 2 columns.
+# ---------------------------------------------------------------------------
+def unified_corpus_stats(sf_dir: str) -> ray.data.Dataset:
+    """(source_kind, n_rows, total_chars): size stats over the union of
+    the documents corpus and the derived transcript turns."""
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    from ifctordf_ray.sources.transcripts import transcripts_from_events
+
+    def tag(kind: str, col: str):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            n = pc.fill_null(
+                pc.utf8_length(pc.cast(t[col], pa.string())), 0
+            )
+            return pa.table(
+                {
+                    "source_kind": pa.array([kind] * t.num_rows, pa.string()),
+                    "n_chars_row": pc.cast(n, pa.int64()),
+                }
+            )
+
+        return f
+
+    docs = _clean_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    ).map_batches(tag("document", "text"), batch_format="pyarrow")
+    turns = transcripts_from_events(sf_dir).map_batches(
+        tag("turn", "text"), batch_format="pyarrow"
+    )
+    return (
+        docs.union(turns)
+        .groupby("source_kind")
+        .aggregate(
+            _Count(alias_name="n_rows"),
+            _Sum("n_chars_row", alias_name="total_chars"),
+        )
+    )
+
+
+def unified_corpus_stats_sql() -> str:
+    from ifctordf_ray.sql_oracle import transcripts_cte
+
+    return f"""
+    WITH {transcripts_cte()},
+    u AS (
+        SELECT 'document' AS source_kind,
+               CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars_row
+        FROM documents
+        UNION ALL
+        SELECT 'turn' AS source_kind,
+               CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars_row
+        FROM transcripts
+    )
+    SELECT source_kind, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_chars_row) AS BIGINT) AS total_chars
+    FROM u GROUP BY source_kind
+    """

@@ -67,3 +67,15 @@ def test_events_hopping_window_parity_and_coverage(sf_small):
     # every event lands in exactly 7 windows
     n_events = con.execute("SELECT count(*) FROM events").fetchone()[0]
     assert int(a["n_events"].sum()) == 7 * n_events
+
+
+def test_unified_corpus_stats_union(sf_small):
+    from ifctordf_ray.stages.textstats import (
+        unified_corpus_stats,
+        unified_corpus_stats_sql,
+    )
+
+    con = _duck(sf_small, ["documents", "events"])
+    a = _compare(unified_corpus_stats(sf_small), unified_corpus_stats_sql(), con)
+    assert set(a["source_kind"]) == {"document", "turn"}
+    assert (a["n_rows"] > 0).all()
