@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup ---
         "doc_exact_duplicates": _stage("dedup", "exact_duplicates"),
         "doc_deduped_ids": _stage("dedup", "deduped_doc_ids"),
+        "doc_decontaminated": _stage("dedup", "decontaminate"),
         "doc_minhash_near_dups": _stage("dedup", "near_dup_pairs_minhash"),
         "doc_simhash": _stage("dedup", "simhash_fingerprints"),
         "doc_simhash_near_dups": _stage("dedup", "near_dup_pairs_simhash"),
@@ -317,6 +318,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_nation_cust_supp": R.nation_customer_supplier_sql(),
         "doc_exact_duplicates": D.exact_duplicates_sql(),
         "doc_deduped_ids": D.deduped_doc_ids_sql(),
+        "doc_decontaminated": D.decontaminate_sql(),
         # md5-derived hash spec == DuckDB md5_number_upper, so the full
         # minhash/LSH/simhash pipelines have exact SQL replicas:
         "doc_minhash_near_dups": D.near_dup_pairs_minhash_sql(),

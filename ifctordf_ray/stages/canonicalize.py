@@ -56,7 +56,7 @@ def canonicalize_mentions(transcripts: ray.data.Dataset) -> ray.data.Dataset:
     (IfcSpfParser.java:147-165) deterministically under any parallelism.
     """
     forms = transcripts.map_batches(
-        MentionSurfaceForms, batch_format="pyarrow", concurrency=(1, 8)
+        MentionSurfaceForms, batch_format="pyarrow", concurrency=(1, 8), max_restarts=0
     )
     agg = forms.groupby("surface_key").aggregate(
         Min("sk", alias_name="first_seen"),

@@ -958,3 +958,105 @@ def dup_rate_by_lang_sql() -> str:
              / CAST(sum(n) AS DOUBLE) AS dup_rate
     FROM g GROUP BY lang
     """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag corpus docs sharing any word-shingle
+# with a held-out eval set — the contamination screen every training-data
+# pipeline runs before a model sees the corpus.  Eval membership here is
+# deterministic (doc_id % DECON_EVAL_MOD == 0), standing in for an
+# external fixed benchmark; by definition that side is tiny relative to
+# the corpus, but the join is fully distributed anyway (shingle-level
+# inner join, one groupby), so the operator does not depend on the eval
+# set fitting anywhere.  Each side reads + shingles only its own docs
+# (no shared-lineage double execution).
+# ---------------------------------------------------------------------------
+DECON_EVAL_MOD = 50
+
+
+class _ShingleRows:
+    """Actor-pool stage: per-doc DISTINCT word-k-shingles as flat
+    (doc_id, shingle) rows — regex compiled once per actor."""
+
+    def __init__(self):
+        self.k = SHINGLE_K
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, shs = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for s in shingles(t, self.k):
+                ids.append(d)
+                shs.append(s)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "shingle": pa.array(shs, pa.string())}
+        )
+
+
+def decontaminate(sf_dir: str, num_partitions: int | None = None) -> ray.data.Dataset:
+    """(doc_id, n_hits): corpus docs (doc_id % 50 != 0) that share >= 1
+    distinct shingle with the eval set (doc_id % 50 == 0); n_hits =
+    number of distinct shared shingles."""
+    import pyarrow.compute as pc
+
+    from ifctordf_ray.functions.kernels import join_ready
+    from ifctordf_ray.tuning import join_kwargs
+
+    def side(keep_eval: bool):
+        ds = _clean_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+        def filt(t: pa.Table) -> pa.Table:
+            # doc_id % MOD via truncating integer divide (pyarrow has no
+            # modulo kernel); doc_id >= 0 so truncation == floor
+            d = t["doc_id"]
+            q = pc.multiply(pc.divide(d, DECON_EVAL_MOD), DECON_EVAL_MOD)
+            m = pc.equal(pc.subtract(d, q), 0)
+            return t.filter(m if keep_eval else pc.invert(m))
+
+        return ds.map_batches(filt, batch_format="pyarrow").map_batches(
+            _ShingleRows, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0
+        )
+
+    ev = (
+        side(keep_eval=True)
+        .groupby("shingle")
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(
+            lambda t: pa.table({"ev_shingle": t["shingle"]}), batch_format="pyarrow"
+        )
+    )
+    ev = join_ready(
+        ev,
+        pa.schema([("ev_shingle", pa.string())]),
+        sentinel_row={"ev_shingle": "\x00decon"},
+    )
+    co = join_ready(
+        side(keep_eval=False),
+        pa.schema([("doc_id", pa.int64()), ("shingle", pa.string())]),
+        sentinel_row={"doc_id": -1, "shingle": "\x00decon2"},
+    )
+    hits = co.join(
+        ev,
+        join_type="inner",
+        on=("shingle",),
+        right_on=("ev_shingle",),
+        **join_kwargs(num_partitions),
+    )
+    return (
+        hits.groupby("doc_id")
+        .aggregate(Count(alias_name="n_hits"))
+        .map_batches(
+            lambda t: t.filter(pc.not_equal(t["doc_id"], -1)),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def decontaminate_sql() -> str:
+    return f"""WITH {_shingle_cte()},
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECON_EVAL_MOD} = 0),
+co AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {DECON_EVAL_MOD} <> 0)
+SELECT co.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM co JOIN ev USING (shingle)
+GROUP BY co.doc_id"""

@@ -60,7 +60,7 @@ def link_mentions(
 
     jk = join_kwargs(num_partitions)
     occ = transcripts.map_batches(
-        MentionOccurrences, batch_format="pyarrow", concurrency=(1, 8)
+        MentionOccurrences, batch_format="pyarrow", concurrency=(1, 8), max_restarts=0
     )
 
     # ONE extraction pass: the canonical table is DERIVED from the same

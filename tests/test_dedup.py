@@ -198,3 +198,43 @@ def test_min_label_components_long_chain():
     by = {r["doc_id"]: r["cluster_id"] for r in rows}
     assert all(by[i] == 0 for i in range(10))   # whole path -> min id 0
     assert by[10] == 10 and by[11] == 11        # singletons untouched
+
+
+def test_decontaminate_parity_and_membership(sf_small):
+    import duckdb
+    import pandas as pd
+
+    from ifctordf_ray.stages.dedup import (
+        DECON_EVAL_MOD,
+        decontaminate,
+        decontaminate_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_small}/documents.parquet')"
+    )
+    a = decontaminate(sf_small).to_pandas()
+    b = con.execute(decontaminate_sql()).df()
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True).astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b)
+    # only corpus docs are flagged, never eval docs; every hit count >= 1
+    assert (a["doc_id"] % DECON_EVAL_MOD != 0).all()
+    assert (a["n_hits"] >= 1).all()
+
+
+def test_decontaminate_at_driver_partitioning(sf_small):
+    # empty-partition join regression guard at the 32-CPU default
+    import pandas as pd
+
+    from ifctordf_ray.stages.dedup import decontaminate
+
+    a = decontaminate(sf_small, num_partitions=16).to_pandas()
+    b = decontaminate(sf_small).to_pandas()
+    cols = sorted(a.columns)
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
