@@ -113,3 +113,96 @@ def hll_estimate(registers: list[tuple[int, int]], p: int = HLL_P) -> float:
     if est <= 2.5 * m and zeros:
         est = m * math.log(m / zeros)
     return est
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: approximate word-frequency table (the heavy-hitter
+# companion to HLL's distinct count).  Same mergeable-state discipline:
+# each batch emits at most DEPTH x WIDTH partial-counter rows regardless
+# of token volume, partials merge by SUM under any partitioning, and the
+# final sketch is <= DEPTH x WIDTH rows however large the corpus.  Hashes
+# are md5-derived (row-salted), so the sketch has an exact SQL oracle;
+# the point-estimate (min over rows) lives in ``cms_estimate`` and is
+# tested against true counts in pytest.
+# ---------------------------------------------------------------------------
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_bucket(row: int, word: str) -> int:
+    from ifctordf_ray.functions.kernels import stable_hash64
+
+    return stable_hash64(f"{row}:{word}") % CMS_WIDTH
+
+
+class _CmsPartials:
+    """map_batches combiner: batch text -> per-(row, bucket) count sums
+    (word multiplicity INCLUDED — frequency, not distinct)."""
+
+    def __init__(self):
+        self.word_re = re.compile(WORD_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        wc: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            wc.update(self.word_re.findall((t or "").lower()))
+        cells: dict[tuple[int, int], int] = {}
+        for w, n in wc.items():
+            for d in range(CMS_DEPTH):
+                key = (d, _cms_bucket(d, w))
+                cells[key] = cells.get(key, 0) + n
+        return pa.table(
+            {
+                "sketch_row": pa.array([k[0] for k in cells], pa.int64()),
+                "bucket": pa.array([k[1] for k in cells], pa.int64()),
+                "total": pa.array(list(cells.values()), pa.int64()),
+            }
+        )
+
+
+def cms_registers(sf_dir: str) -> ray.data.Dataset:
+    """(sketch_row, bucket, total): count-min sketch of the corpus word
+    stream."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return (
+        ds.map_batches(
+            _CmsPartials, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0
+        )
+        .groupby(["sketch_row", "bucket"])
+        .aggregate(_Sum("total", alias_name="total"))
+    )
+
+
+def cms_registers_sql() -> str:
+    return f"""
+    WITH w AS (
+        SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '{WORD_RE}'))
+                   AS word
+        FROM documents
+    ),
+    c AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+    d AS (SELECT unnest(range({CMS_DEPTH})) AS sketch_row),
+    b AS (
+        SELECT d.sketch_row,
+               CAST(md5_number_upper(CAST(d.sketch_row AS VARCHAR) || ':' || c.word)
+                    % {CMS_WIDTH} AS BIGINT) AS bucket,
+               c.n
+        FROM c CROSS JOIN d
+    )
+    SELECT CAST(sketch_row AS BIGINT) AS sketch_row, bucket,
+           CAST(sum(n) AS BIGINT) AS total
+    FROM b GROUP BY sketch_row, bucket
+    """
+
+
+def cms_estimate(cells: list[tuple[int, int, int]], word: str) -> int:
+    """Point query: min over rows of the word's cell — the classic CMS
+    overestimate-only guarantee."""
+    table = {(r, b): t for r, b, t in cells}
+    return min(
+        table.get((d, _cms_bucket(d, word)), 0) for d in range(CMS_DEPTH)
+    )

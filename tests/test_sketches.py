@@ -98,3 +98,41 @@ def test_degree_histogram_mass_balance(sf_small):
     total = int((h["degree"] * h["n_subjects"]).sum())
     n_triples = E.queries()["kg_triples"](sf_small).count()
     assert total == n_triples
+
+
+def test_cms_parity_and_point_queries(sf_small):
+    import duckdb
+    import pandas as pd
+
+    from ifctordf_ray.stages.sketches import cms_estimate, cms_registers, cms_registers_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_small}/documents.parquet')"
+    )
+    a = cms_registers(sf_small).to_pandas()
+    b = con.execute(cms_registers_sql()).df()
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols
+    a2 = a[cols].sort_values(cols).reset_index(drop=True)
+    b2 = b[cols].sort_values(cols).reset_index(drop=True).astype(a2.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a2, b2)
+
+    # CMS guarantee: estimate >= true count, and per-row mass == corpus mass
+    from ifctordf_ray.stages.textstats import WORD_RE
+
+    true = con.execute(
+        f"""SELECT word, count(*) AS n FROM (
+            SELECT unnest(regexp_extract_all(lower(coalesce(text,'')), '{WORD_RE}')) AS word
+            FROM documents) GROUP BY word ORDER BY n DESC LIMIT 20"""
+    ).df()
+    cells = list(a.itertuples(index=False, name=None))
+    total_mass = int(true_n := con.execute(
+        f"""SELECT count(*) FROM (
+            SELECT unnest(regexp_extract_all(lower(coalesce(text,'')), '{WORD_RE}')) AS word
+            FROM documents)"""
+    ).fetchone()[0])
+    per_row = a.groupby("sketch_row")["total"].sum()
+    assert (per_row == total_mass).all()
+    for _, r in true.iterrows():
+        assert cms_estimate(cells, r["word"]) >= r["n"]
