@@ -133,6 +133,15 @@ def _mj(name):
     return q
 
 
+def _sq(name):
+    def q(sf_dir: str):
+        from ifctordf_ray.pipelines import subqueries
+
+        return getattr(subqueries, name)(sf_dir)
+
+    return q
+
+
 def _stage(module, name):
     def q(sf_dir: str):
         import importlib
@@ -182,6 +191,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_promo_revenue": _mj("promo_revenue"),
         "rel_local_supplier_volume": _mj("local_supplier_volume"),
         "rel_revenue_rollup": _mj("revenue_rollup"),
+        # --- subquery-shaped analytics (Q4/Q10/Q17/Q18 analogs + funnel) ---
+        "rel_returned_item_revenue": _sq("returned_item_revenue"),
+        "rel_large_volume_orders": _sq("large_volume_orders"),
+        "rel_small_quantity_revenue": _sq("small_quantity_revenue"),
+        "rel_priority_semi_orders": _sq("priority_semi_orders"),
+        "rel_event_funnel": _sq("event_funnel"),
         # --- text analysis ---
         "doc_token_counts": _stage("textstats", "token_counts"),
         "doc_bpe_token_counts": _stage("textstats", "bpe_token_counts"),
@@ -245,6 +260,7 @@ def oracle_sql() -> dict[str, str]:
     from ifctordf_ray import sql_oracle as O
     from ifctordf_ray.pipelines import multijoin as MJ
     from ifctordf_ray.pipelines import relational as R
+    from ifctordf_ray.pipelines import subqueries as SQ
     from ifctordf_ray.stages import chunking as CH
     from ifctordf_ray.stages import dedup as D
     from ifctordf_ray.stages import graphq as GQ
@@ -292,6 +308,11 @@ def oracle_sql() -> dict[str, str]:
         "rel_promo_revenue": MJ.promo_revenue_sql(),
         "rel_local_supplier_volume": MJ.local_supplier_volume_sql(),
         "rel_revenue_rollup": MJ.revenue_rollup_sql(),
+        "rel_returned_item_revenue": SQ.returned_item_revenue_sql(),
+        "rel_large_volume_orders": SQ.large_volume_orders_sql(),
+        "rel_small_quantity_revenue": SQ.small_quantity_revenue_sql(),
+        "rel_priority_semi_orders": SQ.priority_semi_orders_sql(),
+        "rel_event_funnel": SQ.event_funnel_sql(),
         "doc_token_counts": T.token_counts_sql(),
         "doc_bpe_token_counts": T.bpe_token_counts_sql(),
         "doc_quality_scores": T.quality_scores_sql(),
