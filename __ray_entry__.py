@@ -249,6 +249,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_dim_covariance": _stage("similarity", "dim_covariance"),
         "emb_kmeans_assign": _stage("similarity", "kmeans_assign"),
         "emb_pq_codes": _stage("similarity", "pq_codes"),
+        "emb_knn_recall": _stage("similarity", "knn_recall"),
+        "kg_conv_role_sequence": _stage("graphq", "conv_role_sequence"),
         # --- multimodal plumbing ---
         "mm_media_features": _stage("multimodal", "media_features"),
         "mm_media_stats": _stage("multimodal", "media_stats"),
@@ -364,6 +366,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_dim_covariance": SIM.dim_covariance_sql(),
         "emb_kmeans_assign": SIM.kmeans_assign_sql(),
         "emb_pq_codes": SIM.pq_codes_sql(),
+        "emb_knn_recall": SIM.knn_recall_sql(),
+        "kg_conv_role_sequence": GQ.conv_role_sequence_sql(),
         "mm_media_stats": MM.media_stats_sql(),
         # real PPM/WAV decode with integer-exact features: the oracle
         # reconstructs the payload byte streams from the text and

@@ -137,3 +137,21 @@ def digit_runs(text_col) -> tuple[pa.Array, pa.Array]:
     parents = pc.list_parent_indices(lists)
     mask = pc.not_equal(flat, "")  # empty rows produce one "" token
     return parents.filter(mask), flat.filter(mask)
+
+
+def word_runs(text_col) -> tuple[pa.Array, pa.Array]:
+    """Vectorized lowercase word tokenizer: returns (parent_row_indices,
+    tokens) — every maximal [a-z0-9]+ run of lower(text) with the row it
+    came from.  The sibling of digit_runs, same all-C-kernel shape;
+    exactly matches re.findall('[a-z0-9]+', text.lower()) and DuckDB's
+    regexp_extract_all(lower(text), '[a-z0-9]+')."""
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    t = pc.utf8_lower(pc.fill_null(text_col, ""))
+    cleaned = pc.replace_substring_regex(t, pattern="[^a-z0-9]+", replacement=" ")
+    trimmed = pc.utf8_trim(cleaned, " ")
+    lists = pc.split_pattern(trimmed, pattern=" ")
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists)
+    mask = pc.not_equal(flat, "")
+    return parents.filter(mask), flat.filter(mask)

@@ -317,3 +317,57 @@ c AS (
     FROM und u JOIN deg d ON u.src = d.src
 )
 SELECT m, CAST({PR_BASE_Q} + sum(cq) AS BIGINT) AS pr_q FROM c GROUP BY m"""
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation: per-conversation role path
+# ---------------------------------------------------------------------------
+def conv_role_sequence(sf_dir: str) -> ray.data.Dataset:
+    """(conv_id, role_path, n_turns): the '>'-joined role sequence of
+    each conversation in turn order — the ordered string_agg operator
+    (SQL: string_agg(role, '>' ORDER BY turn_idx)).  Groups are
+    conversations (bounded length), so the per-group join is O(group);
+    the exchange is one hash groupby on conv_id carrying 3 narrow
+    columns."""
+    import pyarrow.compute as pc
+
+    from ifctordf_ray.sources.transcripts import transcripts_from_events
+
+    tr = transcripts_from_events(sf_dir)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "role": t["role"],
+            }
+        )
+
+    def seq(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("turn_idx", "ascending")])
+        path = ">".join(g["role"].to_pylist())
+        return pa.table(
+            {
+                "conv_id": pa.array([g["conv_id"][0].as_py()], pa.string()),
+                "role_path": pa.array([path], pa.string()),
+                "n_turns": pa.array([g.num_rows], pa.int64()),
+            }
+        )
+
+    return (
+        tr.map_batches(proj, batch_format="pyarrow")
+        .groupby("conv_id")
+        .map_groups(seq, batch_format="pyarrow")
+    )
+
+
+def conv_role_sequence_sql() -> str:
+    from ifctordf_ray.sql_oracle import transcripts_cte
+
+    return f"""WITH {transcripts_cte()}
+    SELECT conv_id,
+           string_agg(role, '>' ORDER BY turn_idx) AS role_path,
+           CAST(count(*) AS BIGINT) AS n_turns
+    FROM transcripts GROUP BY conv_id
+    """

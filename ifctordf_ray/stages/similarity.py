@@ -1188,3 +1188,90 @@ def pq_codes_sql(k: int = PQ_K) -> str:
     SELECT vec_id, subspace, CAST(code AS BIGINT) AS code, dist
     FROM r WHERE rn = 1
     """
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the LSH index vs exact brute force
+# ---------------------------------------------------------------------------
+def knn_recall(
+    sf_dir: str, k: int = DEFAULT_K, nq: int = DEFAULT_NQ
+) -> ray.data.Dataset:
+    """(query_id, k_bf, n_matched, recall): per-query recall@k of the
+    hyperplane-LSH index against the exact cosine top-k — the evaluation
+    operator every ANN deployment needs next to the index itself.
+
+    Join-free plan: tag the two result sets (bf=1, lsh=2), UNION them,
+    and sum tags per (query_id, neighbor_id) — a pair with tag-sum 3 is
+    a hit.  Both inputs are nq*k rows (aggregate-sized), so the two
+    groupbys move trivially small data and there is no join to arm
+    against empty partitions."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def tagged(ds: ray.data.Dataset, tag: int) -> ray.data.Dataset:
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "query_id": pc.cast(t["query_id"], pa.int64()),
+                    "neighbor_id": pc.cast(t["neighbor_id"], pa.int64()),
+                    "tag": pa.array([tag] * t.num_rows, pa.int64()),
+                }
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    # materialize each branch BEFORE the union: both results are nq*k
+    # rows (aggregate-sized, scale-independent), and executing the two
+    # index pipelines sequentially avoids their actor pools coexisting —
+    # under a lazy union both pools plus the map_groups sort sampler
+    # contend for CPU slots and can starve each other on small sessions
+    # (observed livelock at num_cpus=4).
+    pairs = (
+        tagged(knn_brute_force(sf_dir, k, nq), 1)
+        .materialize()
+        .union(tagged(knn_lsh(sf_dir, k, nq), 2).materialize())
+    )
+    per_pair = pairs.groupby(["query_id", "neighbor_id"]).aggregate(
+        Sum("tag", alias_name="t")
+    )
+
+    def split(t: pa.Table) -> pa.Table:
+        in_bf = pc.cast(
+            pc.equal(pc.bit_wise_and(t["t"], 1), 1), pa.int64()
+        )
+        both = pc.cast(pc.equal(t["t"], 3), pa.int64())
+        return pa.table(
+            {"query_id": t["query_id"], "in_bf": in_bf, "both": both}
+        )
+
+    per_q = (
+        per_pair.map_batches(split, batch_format="pyarrow")
+        .groupby("query_id")
+        .aggregate(
+            Sum("in_bf", alias_name="k_bf"), Sum("both", alias_name="n_matched")
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        recall = pc.divide(
+            pc.cast(t["n_matched"], pa.float64()),
+            pc.cast(t["k_bf"], pa.float64()),
+        )
+        return t.append_column("recall", recall)
+
+    return per_q.map_batches(finish, batch_format="pyarrow")
+
+
+def knn_recall_sql(k: int = DEFAULT_K, nq: int = DEFAULT_NQ) -> str:
+    """LEFT-join formulation over the two registered oracles (each a
+    self-contained statement, nested as derived tables)."""
+    return f"""
+    SELECT b.query_id,
+           CAST(count(*) AS BIGINT) AS k_bf,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_matched,
+           CAST(count(a.neighbor_id) AS DOUBLE) / count(*) AS recall
+    FROM ({knn_brute_force_sql(k, nq)}) b
+    LEFT JOIN ({knn_lsh_sql(k, nq)}) a
+      ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+    GROUP BY b.query_id
+    """
