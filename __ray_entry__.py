@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_near_dedup_ids": _stage("dedup", "near_dedup_doc_ids"),
         "doc_dup_rate_by_lang": _stage("dedup", "dup_rate_by_lang"),
         "doc_keyword_search": _stage("terms", "keyword_search"),
+        "doc_bm25_search": _stage("terms", "bm25_search"),
         # --- similarity search ---
         "emb_knn_brute_force": _stage("similarity", "knn_brute_force"),
         "emb_knn_lsh": _stage("similarity", "knn_lsh"),
@@ -354,6 +355,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_near_dedup_ids": D.near_dedup_doc_ids_sql(),
         "doc_dup_rate_by_lang": D.dup_rate_by_lang_sql(),
         "doc_keyword_search": TERMS.keyword_search_sql(),
+        "doc_bm25_search": TERMS.bm25_search_sql(),
         "emb_knn_brute_force": SIM.knn_brute_force_sql(),
         "emb_knn_lsh": SIM.knn_lsh_sql(),
         "emb_knn_ivf": SIM.knn_ivf_sql(),

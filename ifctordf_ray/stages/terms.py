@@ -600,3 +600,192 @@ def keyword_search_sql(
     SELECT doc_id, score, matched_terms FROM hits
     ORDER BY score DESC, doc_id ASC LIMIT {top_k}
     """
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Okapi BM25, k1=1.2 b=0.75) over the documents table
+# ---------------------------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+# NOTE on ln: unlike tf-idf above (which avoids transcendentals), BM25's
+# idf keeps the real ln — pyarrow, CPython math.log and DuckDB ln all
+# resolve to the same libm in this container (verified bit-identical over
+# the idf domain), and the full score expression tree is written in the
+# SAME order in both engines, so doubles hash-match end to end.
+
+
+def _bm25_stats_partial(t: pa.Table, *, terms) -> pa.Table:
+    """Per-batch partial for the corpus-stats pass: one row with
+    (n_docs, sum_dl, df_<i> per term).  Summed by Dataset.aggregate —
+    the classic map-side combiner, so the driver only ever sees one
+    tiny row per batch."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ifctordf_ray.functions.kernels import word_runs
+
+    parents, flat = word_runs(t["text"])
+    n = t.num_rows
+    par = np.asarray(parents, dtype=np.int64) if len(parents) else np.zeros(0, np.int64)
+    row = {
+        "n_docs": pa.array([n], pa.int64()),
+        "sum_dl": pa.array([int(par.size)], pa.int64()),
+    }
+    for i, term in enumerate(terms):
+        m = pc.equal(flat, term)
+        hit_docs = np.unique(par[np.asarray(m, dtype=bool)]) if len(flat) else []
+        row[f"df_{i}"] = pa.array([int(len(hit_docs))], pa.int64())
+    return pa.table(row)
+
+
+def _bm25_score_batch(
+    t: pa.Table, *, terms, idfs, avgdl, top_k
+) -> pa.Table:
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ifctordf_ray.functions.kernels import word_runs
+
+    k1, b = BM25_K1, BM25_B
+    parents, flat = word_runs(t["text"])
+    n = t.num_rows
+    par = np.asarray(parents, dtype=np.int64) if len(parents) else np.zeros(0, np.int64)
+    dl = np.bincount(par, minlength=n).astype(np.float64)
+    norm = k1 * ((1.0 - b) + b * (dl / avgdl))
+    score = np.zeros(n, np.float64)
+    matched = np.zeros(n, np.int64)
+    for term, idf in zip(terms, idfs):
+        m = np.asarray(pc.equal(flat, term), dtype=bool) if len(flat) else np.zeros(0, bool)
+        tf = np.bincount(par[m], minlength=n).astype(np.float64)
+        sat = (tf * (k1 + 1.0)) / (tf + norm)
+        score = score + idf * sat  # fixed term order == SQL ((e1+e2)+e3)
+        matched += tf > 0
+    keep = matched > 0
+    out = pa.table(
+        {
+            "doc_id": pc.cast(t["doc_id"], pa.int64()).filter(pa.array(keep)),
+            "score": pa.array(score[keep], pa.float64()),
+            "matched_terms": pa.array(matched[keep], pa.int64()),
+        }
+    )
+    # per-block top-k prune: the global sort below runs over k rows/block
+    return out.sort_by(
+        [("score", "descending"), ("doc_id", "ascending")]
+    ).slice(0, top_k)
+
+
+def bm25_search(
+    sf_dir: str,
+    terms: tuple[str, ...] = SEARCH_TERMS,
+    top_k: int = SEARCH_TOP_K,
+) -> ray.data.Dataset:
+    """(doc_id, score, matched_terms): top-K documents by Okapi BM25 for
+    the fixed query ``terms`` — the ranked sibling of keyword_search.
+    Two streaming passes over the pruned (doc_id, text) read: pass 1 is
+    a map-side-combined corpus-stats aggregate (N, total token count,
+    per-term document frequency — a handful of scalars on the driver);
+    pass 2 scores each batch against those broadcast scalars, prunes to
+    top-K per block, and finishes with a k-rows-per-block global sort.
+    Nothing corpus-sized ever leaves the workers."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _clean_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    stats = ds.map_batches(
+        _bm25_stats_partial, fn_kwargs={"terms": tuple(terms)},
+        batch_format="pyarrow",
+    ).aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("sum_dl", alias_name="sum_dl"),
+        *[Sum(f"df_{i}", alias_name=f"df_{i}") for i in range(len(terms))],
+    )
+    n_docs = int(stats["n_docs"] or 0)
+    sum_dl = int(stats["sum_dl"] or 0)
+    avgdl = float(sum_dl) / float(n_docs)
+    idfs = []
+    for i in range(len(terms)):
+        df = int(stats[f"df_{i}"] or 0)
+        idfs.append(
+            math.log(1.0 + (float(n_docs - df) + 0.5) / (float(df) + 0.5))
+        )
+    scored = ds.map_batches(
+        _bm25_score_batch,
+        fn_kwargs={
+            "terms": tuple(terms),
+            "idfs": tuple(idfs),
+            "avgdl": avgdl,
+            "top_k": top_k,
+        },
+        batch_format="pyarrow",
+    )
+    return scored.sort(["score", "doc_id"], descending=[True, False]).limit(top_k)
+
+
+def bm25_search_sql(
+    terms: tuple[str, ...] = SEARCH_TERMS, top_k: int = SEARCH_TOP_K
+) -> str:
+    """Mirrors the engine's exact IEEE expression tree: idf = ln(1 +
+    (N - df + 0.5)/(df + 0.5)), saturation denominator k1*((1-b) +
+    b*(dl/avgdl)), per-term parts summed left to right."""
+    k1, b = BM25_K1, BM25_B
+    tf_cols = ",\n           ".join(
+        f"CAST(count(*) FILTER (WHERE w = '{t}') AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(count(*) FILTER (WHERE tf_{i} > 0) AS BIGINT) AS df_{i}"
+        for i in range(len(terms))
+    )
+    coal = ", ".join(
+        f"coalesce(t.tf_{i}, 0) AS tf_{i}" for i in range(len(terms))
+    )
+    norm = f"{k1} * ((1.0 - {b}) + {b} * (CAST(dl AS DOUBLE) / avgdl))"
+    parts = [
+        f"(ln(1.0 + (CAST(n_docs - df_{i} AS DOUBLE) + 0.5) / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        f" * ((CAST(tf_{i} AS DOUBLE) * ({k1} + 1.0)) / (CAST(tf_{i} AS DOUBLE) + {norm})))"
+        for i in range(len(terms))
+    ]
+    score = parts[0]
+    for p in parts[1:]:
+        score = f"({score} + {p})"
+    matched = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(terms))
+    )
+    any_tf = " + ".join(f"tf_{i}" for i in range(len(terms)))
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '{WORD_RE}')) AS w
+        FROM documents
+    ),
+    dl AS (
+        SELECT d.doc_id, CAST(count(t.w) AS BIGINT) AS dl
+        FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+        GROUP BY d.doc_id
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id,
+           {tf_cols}
+        FROM tok GROUP BY doc_id
+    ),
+    df AS (SELECT {df_cols} FROM tf),
+    scored AS (
+        SELECT l.doc_id, l.dl, s.n_docs, f.*, {coal},
+               CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE) AS avgdl
+        FROM dl l LEFT JOIN tf t ON l.doc_id = t.doc_id
+        CROSS JOIN stats s CROSS JOIN df f
+    )
+    SELECT doc_id, {score} AS score,
+           CAST({matched} AS BIGINT) AS matched_terms
+    FROM scored
+    WHERE {any_tf} > 0
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {top_k}
+    """
