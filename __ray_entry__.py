@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_rate_by_lang": _stage("dedup", "dup_rate_by_lang"),
         "doc_keyword_search": _stage("terms", "keyword_search"),
         "doc_bm25_search": _stage("terms", "bm25_search"),
+        "doc_lm_bigram_scores": _stage("terms", "lm_bigram_scores"),
         # --- similarity search ---
         "emb_knn_brute_force": _stage("similarity", "knn_brute_force"),
         "emb_knn_lsh": _stage("similarity", "knn_lsh"),
@@ -356,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_rate_by_lang": D.dup_rate_by_lang_sql(),
         "doc_keyword_search": TERMS.keyword_search_sql(),
         "doc_bm25_search": TERMS.bm25_search_sql(),
+        "doc_lm_bigram_scores": TERMS.lm_bigram_scores_sql(),
         "emb_knn_brute_force": SIM.knn_brute_force_sql(),
         "emb_knn_lsh": SIM.knn_lsh_sql(),
         "emb_knn_ivf": SIM.knn_ivf_sql(),

@@ -320,7 +320,12 @@ def bigram_counts(sf_dir: str) -> ray.data.Dataset:
 
     ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     return (
-        ds.map_batches(_BigramPartials, batch_format="pyarrow", concurrency=(1, 4))
+        ds.map_batches(
+            _BigramPartials,
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+            max_restarts=0,  # silence ray#53727 actor-restart warning
+        )
         .groupby(["w1", "w2"])
         .aggregate(_Sum("n", alias_name="n"))
     )
@@ -788,4 +793,154 @@ def bm25_search_sql(
     WHERE {any_tf} > 0
     ORDER BY score DESC, doc_id ASC
     LIMIT {top_k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM document scoring: corpus-conditional log-probability per doc
+# ---------------------------------------------------------------------------
+QLOG_SCALE = 1000000.0  # micro-nats: integer-quantized so sums are
+# order-independent (float addition is not associative; a distributed sum
+# and DuckDB's aggregate order would otherwise drift)
+
+
+def _doc_bigram_counts(t: pa.Table) -> pa.Table:
+    """(doc_id, w1, w2, cnt) per document — fully combined in-batch (a
+    document lives in one row, so its bigrams never split across
+    batches).  All-C path: word_runs tokenizer, slice-shift adjacency,
+    Arrow group_by."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ifctordf_ray.functions.kernels import word_runs
+
+    parents, flat = word_runs(t["text"])
+    if len(flat) < 2:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    par = np.asarray(parents, dtype=np.int64)
+    same = pa.array(par[:-1] == par[1:])
+    n = len(flat)
+    w1 = flat.slice(0, n - 1).filter(same)
+    w2 = flat.slice(1, n - 1).filter(same)
+    doc_pos = pa.array(par[:-1][np.asarray(same)], pa.int64())
+    doc_id = pc.cast(t["doc_id"], pa.int64()).take(doc_pos)
+    raw = pa.table({"doc_id": doc_id, "w1": w1, "w2": w2})
+    g = raw.group_by(["doc_id", "w1", "w2"]).aggregate([([], "count_all")])
+    return g.rename_columns(["doc_id", "w1", "w2", "cnt"]).set_column(
+        3, "cnt", pc.cast(g.column(3), pa.int64())
+    )
+
+
+def lm_bigram_scores(sf_dir: str, num_partitions: int | None = None) -> ray.data.Dataset:
+    """(doc_id, n_bigrams, sum_qlogp): each document scored under the
+    corpus's own bigram language model — sum over the doc's bigram
+    positions of ln P(w2|w1), quantized to integer micro-nats
+    (P(w2|w1) = c(w1,w2) / sum_w c(w1,w)).  The per-token average
+    (sum_qlogp / n_bigrams) is the fluency/quality signal a training
+    pipeline thresholds on.
+
+    Scale shape: the corpus bigram table is vocab²-bounded
+    (sub-corpus-sized) and materialized because two consumers need it
+    (the w1-marginal aggregate and the probability join); the per-doc
+    bigram side is combined IN BATCH (no corpus-sized shuffle) and then
+    hash-joined once on (w1, w2).  Documents with < 2 tokens have no
+    bigram positions and are absent, matching the SQL inner join."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum as _Sum
+
+    from ifctordf_ray.functions.kernels import join_ready
+    from ifctordf_ray.tuning import join_kwargs
+
+    jk = join_kwargs(num_partitions)
+    big = bigram_counts(sf_dir).materialize()  # vocab²-sized, 2 consumers
+    w1tot = join_ready(
+        big.groupby("w1").aggregate(_Sum("n", alias_name="c1")),
+        pa.schema([("w1", pa.string()), ("c1", pa.int64())]),
+        sentinel_row={"w1": "\x00", "c1": 1},
+    )
+    big_j = join_ready(
+        big,
+        pa.schema([("w1", pa.string()), ("w2", pa.string()), ("n", pa.int64())]),
+        sentinel_row={"w1": "\x00", "w2": "\x00", "n": 1},
+    )
+    bp = big_j.join(w1tot, join_type="inner", on=("w1",), **jk)
+
+    def qlog(t: pa.Table) -> pa.Table:
+        p = np.asarray(t["n"], dtype=np.float64) / np.asarray(
+            t["c1"], dtype=np.float64
+        )
+        ql = np.floor(np.log(p) * QLOG_SCALE + 0.5).astype(np.int64)
+        return pa.table(
+            {"w1": t["w1"], "w2": t["w2"], "qlogp": pa.array(ql, pa.int64())}
+        )
+
+    probs = join_ready(
+        bp.map_batches(qlog, batch_format="pyarrow"),
+        pa.schema(
+            [("w1", pa.string()), ("w2", pa.string()), ("qlogp", pa.int64())]
+        ),
+        sentinel_row={"w1": "\x00", "w2": "\x00", "qlogp": 0},
+    )
+
+    docs = _clean_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    docbig = docs.map_batches(_doc_bigram_counts, batch_format="pyarrow")
+    scored = docbig.join(probs, join_type="inner", on=("w1", "w2"), **jk)
+
+    def weight(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "cnt": t["cnt"],
+                "wq": pc.multiply(t["cnt"], t["qlogp"]),
+            }
+        )
+
+    return (
+        scored.map_batches(weight, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            _Sum("cnt", alias_name="n_bigrams"),
+            _Sum("wq", alias_name="sum_qlogp"),
+        )
+    )
+
+
+def lm_bigram_scores_sql() -> str:
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '{WORD_RE}') AS ws
+        FROM documents
+    ),
+    db AS (
+        SELECT doc_id,
+               ws[CAST(t.i + 1 AS INTEGER)] AS w1,
+               ws[CAST(t.i + 2 AS INTEGER)] AS w2
+        FROM tok CROSS JOIN UNNEST(range(greatest(len(ws) - 1, 0))) AS t(i)
+    ),
+    bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM db GROUP BY w1, w2),
+    w1t AS (SELECT w1, CAST(sum(n) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+    probs AS (
+        SELECT b.w1, b.w2,
+               CAST(floor(ln(CAST(b.n AS DOUBLE) / CAST(t.c1 AS DOUBLE)) * {QLOG_SCALE} + 0.5) AS BIGINT) AS qlogp
+        FROM bc b JOIN w1t t ON b.w1 = t.w1
+    ),
+    dbc AS (
+        SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS cnt
+        FROM db GROUP BY doc_id, w1, w2
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.cnt) AS BIGINT) AS n_bigrams,
+           CAST(sum(d.cnt * p.qlogp) AS BIGINT) AS sum_qlogp
+    FROM dbc d JOIN probs p ON d.w1 = p.w1 AND d.w2 = p.w2
+    GROUP BY d.doc_id
     """
