@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_screen": _stage("terms", "pii_screen"),
         "doc_hll_registers": _stage("sketches", "hll_registers"),
         "doc_cms_registers": _stage("sketches", "cms_registers"),
+        "rel_dau_hll": _stage("sketches", "dau_hll_registers"),
         "doc_posting_lists": _stage("terms", "posting_lists"),
         "doc_bigram_counts": _stage("terms", "bigram_counts"),
         "doc_pmi_collocations": _stage("terms", "pmi_collocations"),
@@ -333,6 +334,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_screen": TERMS.pii_screen_sql(),
         "doc_hll_registers": SK.hll_registers_sql(),
         "doc_cms_registers": SK.cms_registers_sql(),
+        "rel_dau_hll": SK.dau_hll_registers_sql(),
         "doc_posting_lists": TERMS.posting_lists_sql(),
         "doc_bigram_counts": TERMS.bigram_counts_sql(),
         "doc_pmi_collocations": TERMS.pmi_collocations_sql(),

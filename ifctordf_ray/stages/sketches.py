@@ -206,3 +206,117 @@ def cms_estimate(cells: list[tuple[int, int, int]], word: str) -> int:
     return min(
         table.get((d, _cms_bucket(d, word)), 0) for d in range(CMS_DEPTH)
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped HLL: per-day distinct-user registers (mergeable sketch per group)
+# ---------------------------------------------------------------------------
+class _DauRegisterPartials:
+    """map_batches combiner for the GROUPED sketch: batch events ->
+    per-(day, bucket) max rank.  Each batch emits at most
+    groups_in_batch * 2^P rows however many events it holds; user-id
+    hashes are cached per actor (ids repeat across batches)."""
+
+    def __init__(self):
+        self._hash_cache: dict[int, tuple[int, int]] = {}
+
+    def _bucket_rank(self, uid: int) -> tuple[int, int]:
+        br = self._hash_cache.get(uid)
+        if br is None:
+            from ifctordf_ray.functions.kernels import stable_hash64
+
+            br = _rank(stable_hash64(str(uid)))
+            if len(self._hash_cache) > 1_000_000:  # bound actor memory
+                self._hash_cache.clear()
+            self._hash_cache[uid] = br
+        return br
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # day handled as int64 epoch-micros inside the combiner (no
+        # datetime<->pylist precision round-trips); the pipeline pins it
+        # back to timestamp[us] after the groupby
+        day = pc.cast(
+            pc.cast(pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us")),
+            pa.int64(),
+        )
+        dedup = (
+            pa.table({"day_us": day, "user_id": batch["user_id"]})
+            .group_by(["day_us", "user_id"])
+            .aggregate([])
+        )
+        regs: dict[tuple, int] = {}
+        for d, uid in zip(dedup["day_us"].to_pylist(), dedup["user_id"].to_pylist()):
+            b, r = self._bucket_rank(uid)
+            key = (d, b)
+            if r > regs.get(key, 0):
+                regs[key] = r
+        days, buckets, ranks = [], [], []
+        for (d, b), r in regs.items():
+            days.append(d)
+            buckets.append(b)
+            ranks.append(r)
+        return pa.table(
+            {
+                "day_us": pa.array(days, pa.int64()),
+                "bucket": pa.array(buckets, pa.int64()),
+                "max_rank": pa.array(ranks, pa.int64()),
+            }
+        )
+
+
+def dau_hll_registers(sf_dir: str) -> ray.data.Dataset:
+    """(day, bucket, max_rank): per-DAY HyperLogLog registers over
+    distinct user ids — the grouped-sketch shape: partial registers
+    combine map-side per (day, bucket), the groupby moves at most
+    days * 2^P combiner rows, and per-day registers stay MAX-mergeable
+    under any repartitioning (the mergeability daily_active_users's
+    exact two-level distinct cannot offer at 100 TB).  The float
+    estimate derives from the registers via hll_estimate, out of the
+    hash gate like the global sketch."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max as _Max
+
+    ds = _clean_read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    out = (
+        ds.map_batches(
+            _DauRegisterPartials,
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+            max_restarts=0,  # silence ray#53727 actor-restart warning
+        )
+        .groupby(["day_us", "bucket"])
+        .aggregate(_Max("max_rank", alias_name="max_rank"))
+    )
+    # restore the day dtype from the combiner's epoch-micros key
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "day": pc.cast(t["day_us"], pa.timestamp("us")),
+                "bucket": t["bucket"],
+                "max_rank": t["max_rank"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def dau_hll_registers_sql() -> str:
+    rem_bits, mask = _REM_BITS, _REM_MASK
+    return f"""
+    WITH du AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    h AS (SELECT day, md5_number_upper(CAST(user_id AS VARCHAR)) AS h FROM du),
+    r AS (
+        SELECT day,
+               CAST(h >> {rem_bits} AS BIGINT) AS bucket,
+               CASE WHEN (h & {mask}) = 0 THEN {rem_bits + 1}
+                    ELSE {rem_bits + 1} - length(bin(h & {mask}))
+               END AS rank
+        FROM h
+    )
+    SELECT day, bucket, CAST(max(rank) AS BIGINT) AS max_rank
+    FROM r GROUP BY day, bucket
+    """
