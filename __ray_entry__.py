@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keyword_search": _stage("terms", "keyword_search"),
         "doc_bm25_search": _stage("terms", "bm25_search"),
         "doc_lm_bigram_scores": _stage("terms", "lm_bigram_scores"),
+        "doc_fuzzy_word_pairs": _stage("terms", "fuzzy_word_pairs"),
         # --- similarity search ---
         "emb_knn_brute_force": _stage("similarity", "knn_brute_force"),
         "emb_knn_lsh": _stage("similarity", "knn_lsh"),
@@ -360,6 +361,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keyword_search": TERMS.keyword_search_sql(),
         "doc_bm25_search": TERMS.bm25_search_sql(),
         "doc_lm_bigram_scores": TERMS.lm_bigram_scores_sql(),
+        "doc_fuzzy_word_pairs": TERMS.fuzzy_word_pairs_sql(),
         "emb_knn_brute_force": SIM.knn_brute_force_sql(),
         "emb_knn_lsh": SIM.knn_lsh_sql(),
         "emb_knn_ivf": SIM.knn_ivf_sql(),

@@ -944,3 +944,185 @@ def lm_bigram_scores_sql() -> str:
     FROM dbc d JOIN probs p ON d.w1 = p.w1 AND d.w2 = p.w2
     GROUP BY d.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy vocabulary linkage: edit-distance-1 word pairs via SymSpell
+# deletion-key blocking (the record-linkage / blocking-join shape)
+# ---------------------------------------------------------------------------
+FUZZY_MIN_LEN = 3  # short words pair promiscuously; SymSpell floor
+FUZZY_MAX_DIST = 2  # SymSpell guarantee: dist<=D pairs share a <=D-delete
+
+
+def _deletion_keys(words: pa.Array, max_deletes: int = FUZZY_MAX_DIST) -> pa.Table:
+    """(w, k) rows: each word keyed by itself and every distinct
+    <=``max_deletes``-deletion variant.  Vocab-sized input, so the
+    per-word Python expansion is off the corpus hot path by
+    construction."""
+    ws, ks = [], []
+    for w in words.to_pylist():
+        frontier = {w}
+        keys = {w}
+        for _ in range(max_deletes):
+            frontier = {
+                v[:i] + v[i + 1 :] for v in frontier for i in range(len(v))
+            }
+            keys |= frontier
+        for k in sorted(keys):
+            ws.append(w)
+            ks.append(k)
+    return pa.table(
+        {"w": pa.array(ws, pa.string()), "k": pa.array(ks, pa.string())}
+    )
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Standard Levenshtein DP (unit costs) — matches DuckDB's
+    levenshtein().  Only ever called on the blocked candidate set."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != b[j - 1])
+            )
+        prev = cur
+    return prev[lb]
+
+
+def fuzzy_word_pairs(
+    sf_dir: str,
+    min_len: int = FUZZY_MIN_LEN,
+    max_dist: int = FUZZY_MAX_DIST,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """(w_a, w_b, dist): all pairs of corpus vocabulary words (length
+    >= ``min_len``) within edit distance ``max_dist`` — the
+    blocking-join / record-linkage shape: candidate generation by
+    SymSpell deletion keys (words within distance D always share a
+    <=D-deletion variant), a distributed self-join on the key, then
+    exact Levenshtein verification on the blocked candidates only.
+
+    Scale shape: everything downstream of the first groupby is
+    VOCAB-sized (sub-linear in corpus); the key table is vocab x
+    O(len^D) rows; the self-join is one hash exchange on the deletion
+    key whose fan-in is bounded by vocabulary, not corpus."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count as _Count
+
+    from ifctordf_ray.functions.kernels import join_ready, word_runs
+    from ifctordf_ray.tuning import join_kwargs
+
+    jk = join_kwargs(num_partitions)
+    docs = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def batch_words(t: pa.Table) -> pa.Table:
+        _, flat = word_runs(t["text"])
+        flat = flat.filter(
+            pc.greater_equal(pc.utf8_length(flat), min_len)
+        )
+        return pa.table({"word": flat}).group_by(["word"]).aggregate([])
+
+    vocab = (
+        docs.map_batches(batch_words, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(_Count(alias_name="_n"))
+    )
+    keys = vocab.map_batches(
+        lambda t: _deletion_keys(t["word"].combine_chunks(), max_dist),
+        batch_format="pyarrow",
+    )
+    left = join_ready(
+        keys.map_batches(
+            lambda t: pa.table({"w_a": t["w"], "k": t["k"]}),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("w_a", pa.string()), ("k", pa.string())]),
+        sentinel_row={"w_a": "\x00", "k": "\x00"},
+    )
+    right = join_ready(
+        keys.map_batches(
+            lambda t: pa.table({"w_b": t["w"], "kb": t["k"]}),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("w_b", pa.string()), ("kb", pa.string())]),
+        sentinel_row={"w_b": "\x01", "kb": "\x01"},
+    )
+    cand = left.join(right, join_type="inner", on=("k",), right_on=("kb",), **jk)
+
+    def orient(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["w_a"], t["w_b"]))
+        return pa.table({"w_a": t["w_a"], "w_b": t["w_b"]})
+
+    distinct_pairs = (
+        cand.map_batches(orient, batch_format="pyarrow")
+        .groupby(["w_a", "w_b"])
+        .aggregate(_Count(alias_name="_c"))
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        a_list = t["w_a"].to_pylist()
+        b_list = t["w_b"].to_pylist()
+        dists = [_levenshtein(a, b) for a, b in zip(a_list, b_list)]
+        keep = pa.array([1 <= d <= max_dist for d in dists])
+        out = pa.table(
+            {
+                "w_a": t["w_a"],
+                "w_b": t["w_b"],
+                "dist": pa.array(dists, pa.int64()),
+            }
+        ).filter(keep)
+        return out
+
+    verified = distinct_pairs.map_batches(verify, batch_format="pyarrow")
+    # schema anchor: a legitimately-empty result (no close pairs in the
+    # vocabulary) must still present (w_a, w_b, dist) to consumers —
+    # empty groupby partitions carry no schema (see kernels.join_ready)
+    anchor = ray.data.from_arrow(
+        pa.schema(
+            [("w_a", pa.string()), ("w_b", pa.string()), ("dist", pa.int64())]
+        ).empty_table()
+    )
+    return verified.union(anchor)
+
+
+def fuzzy_word_pairs_sql(
+    min_len: int = FUZZY_MIN_LEN, max_dist: int = FUZZY_MAX_DIST
+) -> str:
+    assert max_dist == 2  # the CTE chain below is the 2-delete expansion
+    return f"""
+    WITH words AS (
+        SELECT DISTINCT
+               unnest(regexp_extract_all(lower(coalesce(text, '')), '{WORD_RE}')) AS w
+        FROM documents
+    ),
+    vocab AS (SELECT w FROM words WHERE length(w) >= {min_len}),
+    d1 AS (
+        SELECT w,
+               substr(w, 1, CAST(t.i AS INTEGER)) || substr(w, CAST(t.i + 2 AS INTEGER)) AS k
+        FROM vocab CROSS JOIN UNNEST(range(length(w))) AS t(i)
+    ),
+    d2 AS (
+        SELECT w,
+               substr(k, 1, CAST(t.i AS INTEGER)) || substr(k, CAST(t.i + 2 AS INTEGER)) AS k
+        FROM d1 CROSS JOIN UNNEST(range(length(k))) AS t(i)
+    ),
+    keys AS (
+        SELECT DISTINCT w, k FROM (
+            SELECT w, w AS k FROM vocab
+            UNION ALL SELECT w, k FROM d1
+            UNION ALL SELECT w, k FROM d2
+        )
+    ),
+    cand AS (
+        SELECT DISTINCT a.w AS w_a, b.w AS w_b
+        FROM keys a JOIN keys b ON a.k = b.k AND a.w < b.w
+    )
+    SELECT w_a, w_b, CAST(levenshtein(w_a, w_b) AS BIGINT) AS dist
+    FROM cand
+    WHERE levenshtein(w_a, w_b) BETWEEN 1 AND {max_dist}
+    """
