@@ -149,11 +149,22 @@ def format_ntriples(batch: pa.Table) -> str:
     return _pc.binary_join(list_arr, "\n")[0].as_py() + "\n"
 
 
-def write_nt_batch(batch: pa.Table, out_dir: str) -> pa.Table:
-    """Sink task: one batch -> one content-addressed .nt file.  Returns a
-    manifest row per file (lineage: path, triple count, subject range) —
-    collected small on the driver into manifest.json.  Stateless task, not
-    an actor pool: no per-stage actor spawn; makedirs is idempotent."""
+def write_nt_batch(
+    batch: pa.Table, out_dir: str, compression: str | None = None
+) -> pa.Table:
+    """Sink task: one batch -> one content-addressed .nt[.gz] file.
+    Returns a manifest row per file (lineage: path, triple count, subject
+    range) — collected small on the driver into manifest.json.  Stateless
+    task, not an actor pool: no per-stage actor spawn; makedirs is
+    idempotent.
+
+    compression="gzip" writes .nt.gz (mtime pinned to 0 so the bytes are
+    deterministic).  On a shared-disk node the text sink is the one
+    non-scaling stage (measured ~0.57 efficiency 2->8 CPUs — see
+    BASELINE.md); gzip trades ~4-5x fewer bytes through the disk/page
+    cache for CPU that DOES scale, so it is the sink's scale path.
+    Content addressing stays over the UNCOMPRESSED text, so resumed runs
+    skip finished parts regardless of compression setting."""
     if batch.num_rows == 0:
         return pa.table(
             {"path": pa.array([], pa.string()),
@@ -171,12 +182,22 @@ def write_nt_batch(batch: pa.Table, out_dir: str) -> pa.Table:
     )
     content = format_ntriples(batch)
     h = hashlib.md5(content.encode("utf-8")).hexdigest()[:20]
-    path = os.path.join(out_dir, f"part-{h}.nt")
+    suffix = ".nt.gz" if compression == "gzip" else ".nt"
+    path = os.path.join(out_dir, f"part-{h}{suffix}")
     skipped = os.path.exists(path)
     if not skipped:
         tmp = path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(content)
+        if compression == "gzip":
+            import gzip
+
+            with open(tmp, "wb") as raw:
+                with gzip.GzipFile(
+                    fileobj=raw, mode="wb", compresslevel=1, mtime=0
+                ) as f:
+                    f.write(content.encode("utf-8"))
+        else:
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(content)
         os.replace(tmp, path)  # atomic publish
     import pyarrow.compute as pc
 
@@ -196,7 +217,7 @@ NT_ROWS_PER_FILE = 1 << 18  # ~22 MB .nt parts
 
 def write_ntriples(
     triples: ray.data.Dataset, out_dir: str, sort: bool = True,
-    rows_per_file: int = NT_ROWS_PER_FILE,
+    rows_per_file: int = NT_ROWS_PER_FILE, compression: str | None = None,
 ) -> list[dict]:
     """Final sorted-shuffle materialization (north-star step): sort by subj
     (range shuffle) then stream batches through the content-addressed
@@ -213,7 +234,7 @@ def write_ntriples(
     ds = triples.sort("subj") if sort else triples
     manifest = ds.map_batches(
         write_nt_batch,
-        fn_kwargs={"out_dir": out_dir},
+        fn_kwargs={"out_dir": out_dir, "compression": compression},
         batch_format="pyarrow",
         batch_size=rows_per_file,
     ).take_all()
@@ -550,5 +571,9 @@ def read_ntriples(paths: str | list[str]) -> ray.data.Dataset:
     read_graph_parquet).  Distributed text read, vectorized parse."""
     import ray.data as rd
 
-    ds = rd.read_text(paths, file_extensions=["nt"])
+    ds = rd.read_text(
+        paths,
+        file_extensions=["nt", "gz"],
+        arrow_open_stream_args={"compression": "detect"},
+    )
     return ds.map_batches(parse_ntriples_batch, batch_format="pyarrow")

@@ -207,3 +207,35 @@ def test_subject_triples_pruned_lookup(tmp_path):
     exp = [r for r in kg.kg_from_events("/root/testdata/sf0.001", mode="fast")
            .take_all() if r["subj"] == subj]
     assert {tuple(r.values()) for r in got} == {tuple(r.values()) for r in exp}
+
+
+def test_ntriples_gzip_round_trip(tmp_path):
+    """compression="gzip": same triple set back through read_ntriples,
+    deterministic bytes (mtime pinned), content-addressed skip works
+    across a rewrite."""
+    import glob
+    import gzip as _gzip
+
+    t = pa.table(
+        {
+            "subj": ["inst:turn/c/0", "inst:text/ab"],
+            "pred": ["rdf:type", "ont:hasString"],
+            "obj": ["ont:Turn", 'quoted "x"\\n^^xsd:string'],
+            "obj_kind": ["uri", "literal"],
+        }
+    )
+    out = str(tmp_path / "ntgz")
+    m1 = sinks.write_ntriples(ray.data.from_arrow(t), out, compression="gzip")
+    files = glob.glob(f"{out}/*.nt.gz")
+    assert files and all(not m["skipped"] for m in m1)
+    blob1 = {f: open(f, "rb").read() for f in files}
+    # gzip payload really is the formatted text
+    text = _gzip.decompress(blob1[files[0]]).decode("utf-8")
+    assert text.endswith("\n") and " ." in text.splitlines()[0]
+    back = sinks.read_ntriples(out).take_all()
+    got = {(r["subj"], r["pred"], r["obj"], r["obj_kind"]) for r in back}
+    assert got == {tuple(r.values()) for r in t.to_pylist()}
+    # second write: content-addressed skip + byte-identical files
+    m2 = sinks.write_ntriples(ray.data.from_arrow(t), out, compression="gzip")
+    assert all(m["skipped"] for m in m2)
+    assert {f: open(f, "rb").read() for f in files} == blob1
