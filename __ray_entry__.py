@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_pricing_summary": _rel("pricing_summary"),
         "rel_nation_revenue": _rel("nation_revenue"),
         "rel_order_lineitem_join": _rel("order_lineitem_join"),
+        "rel_order_lineitem_join_salted": _rel("order_lineitem_join_salted"),
         "rel_top_orders": _rel("top_orders"),
         "rel_events_daily_window": _rel("events_daily_window"),
         "rel_sessionize": _rel("sessionize"),
@@ -294,6 +295,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_pricing_summary": R.pricing_summary_sql(),
         "rel_nation_revenue": R.nation_revenue_sql(),
         "rel_order_lineitem_join": R.order_lineitem_join_sql(),
+        "rel_order_lineitem_join_salted": R.order_lineitem_join_sql(),
         "rel_top_orders": R.top_orders_sql(),
         "rel_events_daily_window": R.events_daily_window_sql(),
         "rel_sessionize": R.sessionize_sql(),

@@ -1407,3 +1407,32 @@ def nation_customer_supplier_sql() -> str:
            CAST(coalesce(s.n_suppliers, 0) AS BIGINT) AS n_suppliers
     FROM c FULL OUTER JOIN s ON c.nk = s.nk
     """
+
+
+def order_lineitem_join_salted(sf_dir: str, salt: int = 8) -> ray.data.Dataset:
+    """order_lineitem_join with the SKEW-SALTED physical plan
+    (functions/saltjoin.py): the lineitem side's rows spread over
+    ``salt`` sub-keys and orders replicates salt-x, so one hot order id
+    cannot serialize an aggregator.  Logically identical to the unsalted
+    join — registered under the SAME SQL oracle, and asserted row-equal
+    in tests."""
+    from ifctordf_ray.functions.saltjoin import salted_join
+
+    orders = _clean_read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    lineitem = _clean_read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"l_orderkey": t["l_orderkey"], "price_cents": _cents(t["l_extendedprice"])}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = salted_join(
+        lineitem, orders, on="l_orderkey", right_on="o_orderkey", salt=salt
+    )
+    return joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_lines"),
+        Sum("price_cents", alias_name="revenue_cents"),
+    )
