@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_promo_revenue": _mj("promo_revenue"),
         "rel_local_supplier_volume": _mj("local_supplier_volume"),
         "rel_revenue_rollup": _mj("revenue_rollup"),
+        "rel_order_cube": _mj("order_status_priority_cube"),
         # --- subquery-shaped analytics (Q4/Q10/Q17/Q18 analogs + funnel) ---
         "rel_returned_item_revenue": _sq("returned_item_revenue"),
         "rel_large_volume_orders": _sq("large_volume_orders"),
@@ -316,6 +317,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_promo_revenue": MJ.promo_revenue_sql(),
         "rel_local_supplier_volume": MJ.local_supplier_volume_sql(),
         "rel_revenue_rollup": MJ.revenue_rollup_sql(),
+        "rel_order_cube": MJ.order_status_priority_cube_sql(),
         "rel_returned_item_revenue": SQ.returned_item_revenue_sql(),
         "rel_large_volume_orders": SQ.large_volume_orders_sql(),
         "rel_small_quantity_revenue": SQ.small_quantity_revenue_sql(),

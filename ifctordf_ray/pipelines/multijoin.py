@@ -340,3 +340,100 @@ def revenue_rollup_sql() -> str:
     JOIN region r   ON n.n_regionkey = r.r_regionkey
     GROUP BY ROLLUP(r.r_name, n.n_name)
     """
+
+
+# ---------------------------------------------------------------------------
+# CUBE(o_orderstatus, o_orderpriority): all four grouping sets from ONE
+# finest-level pass (the 2-D sibling of revenue_rollup's hierarchy)
+# ---------------------------------------------------------------------------
+def order_status_priority_cube(sf_dir: str) -> ray.data.Dataset:
+    """(o_orderstatus, o_orderpriority, n_orders, revenue_cents) at all
+    FOUR grouping sets of CUBE(status, priority) — (s,p), (s,ALL),
+    (ALL,p), (ALL,ALL).  The fact table is aggregated once at the finest
+    level (|statuses| x |priorities| rows); every coarser set
+    re-aggregates that tiny table, so adding grouping sets costs no
+    extra fact scans — the property that makes CUBE affordable at
+    100 TB."""
+    orders = _read(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": t["o_orderstatus"],
+                "o_orderpriority": t["o_orderpriority"],
+                "price_cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    finest = (
+        orders.map_batches(prep, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("price_cents", alias_name="revenue_cents"),
+        )
+    )
+
+    def pin(t: pa.Table, status=None, prio=None) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "o_orderstatus": t["o_orderstatus"]
+                if status is None
+                else pa.array([status] * n, pa.string()),
+                "o_orderpriority": t["o_orderpriority"]
+                if prio is None
+                else pa.array([prio] * n, pa.string()),
+                "n_orders": pc.cast(t["n_orders"], pa.int64()),
+                "revenue_cents": t["revenue_cents"],
+            }
+        )
+
+    def reagg(ds: ray.data.Dataset, keys: list[str]) -> ray.data.Dataset:
+        return ds.groupby(keys).aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+
+    finest_named = finest.map_batches(pin, batch_format="pyarrow")
+    by_status = reagg(
+        finest_named.map_batches(
+            lambda t: pin(t, prio=ALL), batch_format="pyarrow"
+        ),
+        ["o_orderstatus", "o_orderpriority"],
+    )
+    by_prio = reagg(
+        finest_named.map_batches(
+            lambda t: pin(t, status=ALL), batch_format="pyarrow"
+        ),
+        ["o_orderstatus", "o_orderpriority"],
+    )
+    grand = reagg(
+        finest_named.map_batches(
+            lambda t: pin(t, status=ALL, prio=ALL), batch_format="pyarrow"
+        ),
+        ["o_orderstatus", "o_orderpriority"],
+    )
+
+    def repin(t: pa.Table) -> pa.Table:
+        return pin(t)
+
+    return (
+        finest_named.union(by_status.map_batches(repin, batch_format="pyarrow"))
+        .union(by_prio.map_batches(repin, batch_format="pyarrow"))
+        .union(grand.map_batches(repin, batch_format="pyarrow"))
+    )
+
+
+def order_status_priority_cube_sql() -> str:
+    return f"""
+    SELECT coalesce(o_orderstatus, '{ALL}') AS o_orderstatus,
+           coalesce(o_orderpriority, '{ALL}') AS o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """
