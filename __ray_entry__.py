@@ -217,6 +217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hll_registers": _stage("sketches", "hll_registers"),
         "doc_cms_registers": _stage("sketches", "cms_registers"),
         "rel_dau_hll": _stage("sketches", "dau_hll_registers"),
+        "doc_heavy_hitters": _stage("sketches", "heavy_hitters"),
+        "kg_top_hub_triples": _stage("graphq", "top_hub_triples"),
         "doc_posting_lists": _stage("terms", "posting_lists"),
         "doc_bigram_counts": _stage("terms", "bigram_counts"),
         "doc_pmi_collocations": _stage("terms", "pmi_collocations"),
@@ -340,6 +342,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_hll_registers": SK.hll_registers_sql(),
         "doc_cms_registers": SK.cms_registers_sql(),
         "rel_dau_hll": SK.dau_hll_registers_sql(),
+        "doc_heavy_hitters": SK.heavy_hitters_sql(),
+        "kg_top_hub_triples": GQ.top_hub_triples_sql(),
         "doc_posting_lists": TERMS.posting_lists_sql(),
         "doc_bigram_counts": TERMS.bigram_counts_sql(),
         "doc_pmi_collocations": TERMS.pmi_collocations_sql(),

@@ -371,3 +371,53 @@ def conv_role_sequence_sql() -> str:
            CAST(count(*) AS BIGINT) AS n_turns
     FROM transcripts GROUP BY conv_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Hub extraction: top-degree subjects' full triple sets (graph point query)
+# ---------------------------------------------------------------------------
+HUB_TOP_K = 10
+
+
+def top_hub_triples(sf_dir: str, top_k: int = HUB_TOP_K) -> ray.data.Dataset:
+    """(subj, pred, obj, obj_kind): every triple of the ``top_k``
+    highest-out-degree subjects — the describe-entity point query a KG
+    consumer runs after spotting hubs in the degree histogram.  The
+    degree ranking is aggregate-sized (one row per subject, sorted and
+    limited to k); the k winners broadcast as a membership filter, so
+    the triple stream is filtered in place — no join, no second
+    shuffle."""
+    import pyarrow.compute as pc
+
+    from ifctordf_ray.pipelines import kg
+    from ray.data.aggregate import Count
+
+    triples = kg.kg_from_events(sf_dir, mode="fast")
+    hubs = (
+        kg.kg_from_events(sf_dir, mode="fast")
+        .groupby("subj")
+        .aggregate(Count(alias_name="degree"))
+        .sort(["degree", "subj"], descending=[True, False])
+        .limit(top_k)
+        .take_all()
+    )  # k rows on the driver — broadcast membership set
+    hub_arr = pa.array(sorted(r["subj"] for r in hubs), pa.string())
+
+    def keep_hubs(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["subj"], hub_arr))
+
+    return triples.map_batches(keep_hubs, batch_format="pyarrow")
+
+
+def top_hub_triples_sql(top_k: int = HUB_TOP_K) -> str:
+    from ifctordf_ray.sql_oracle import kg_triples_sql
+
+    return f"""
+    WITH t AS ({kg_triples_sql()}),
+    hubs AS (
+        SELECT subj FROM t GROUP BY subj
+        ORDER BY count(*) DESC, subj ASC LIMIT {top_k}
+    )
+    SELECT t.subj, t.pred, t.obj, t.obj_kind
+    FROM t JOIN hubs USING (subj)
+    """

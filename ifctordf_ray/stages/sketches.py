@@ -320,3 +320,94 @@ def dau_hll_registers_sql() -> str:
     SELECT day, bucket, CAST(max(rank) AS BIGINT) AS max_rank
     FROM r GROUP BY day, bucket
     """
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: the CMS consumed as a query (sketch -> candidate filter)
+# ---------------------------------------------------------------------------
+HH_MIN_EST = 100
+
+
+def heavy_hitters(sf_dir: str, min_est: int = HH_MIN_EST) -> ray.data.Dataset:
+    """(word, est): vocabulary words whose count-min point estimate is at
+    least ``min_est`` — the sketch-query composition: the DEPTHxWIDTH
+    register table (<= 1024 rows however large the corpus) is built by
+    cms_registers, broadcast once, and probed per vocabulary word in a
+    streaming map.  CMS only overestimates, so the filter never loses a
+    true heavy hitter (the guarantee tested in test_sketches)."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count as _Count
+
+    cells = [
+        (r["sketch_row"], r["bucket"], r["total"])
+        for r in cms_registers(sf_dir).take_all()  # sketch-sized: <= D*W rows
+    ]
+    table = {(r, b): t for r, b, t in cells}
+    cms_ref = ray.put(table)
+
+    ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def batch_vocab(t: pa.Table) -> pa.Table:
+        from ifctordf_ray.functions.kernels import word_runs
+
+        _, flat = word_runs(t["text"])
+        return pa.table({"word": flat}).group_by(["word"]).aggregate([])
+
+    vocab = (
+        ds.map_batches(batch_vocab, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(_Count(alias_name="_n"))
+    )
+
+    def probe(t: pa.Table, *, ref) -> pa.Table:
+        tab = ray.get(ref)
+        words = t["word"].to_pylist()
+        ests = [
+            min(tab.get((d, _cms_bucket(d, w)), 0) for d in range(CMS_DEPTH))
+            for w in words
+        ]
+        out = pa.table(
+            {"word": t["word"], "est": pa.array(ests, pa.int64())}
+        )
+        return out.filter(pc.greater_equal(out["est"], min_est))
+
+    return vocab.map_batches(
+        probe, fn_kwargs={"ref": cms_ref}, batch_format="pyarrow"
+    )
+
+
+def heavy_hitters_sql(min_est: int = HH_MIN_EST) -> str:
+    return f"""
+    WITH w AS (
+        SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '{WORD_RE}'))
+                   AS word
+        FROM documents
+    ),
+    c AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+    d AS (SELECT unnest(range({CMS_DEPTH})) AS sketch_row),
+    b AS (
+        SELECT d.sketch_row,
+               CAST(md5_number_upper(CAST(d.sketch_row AS VARCHAR) || ':' || c.word)
+                    % {CMS_WIDTH} AS BIGINT) AS bucket,
+               c.n
+        FROM c CROSS JOIN d
+    ),
+    cells AS (
+        SELECT sketch_row, bucket, CAST(sum(n) AS BIGINT) AS total
+        FROM b GROUP BY sketch_row, bucket
+    ),
+    probes AS (
+        SELECT c.word, d.sketch_row,
+               CAST(md5_number_upper(CAST(d.sketch_row AS VARCHAR) || ':' || c.word)
+                    % {CMS_WIDTH} AS BIGINT) AS bucket
+        FROM c CROSS JOIN d
+    ),
+    est AS (
+        SELECT p.word, CAST(min(cl.total) AS BIGINT) AS est
+        FROM probes p JOIN cells cl
+          ON p.sketch_row = cl.sketch_row AND p.bucket = cl.bucket
+        GROUP BY p.word
+    )
+    SELECT word, est FROM est WHERE est >= {min_est}
+    """
