@@ -749,3 +749,107 @@ def unified_corpus_stats_sql() -> str:
            CAST(sum(n_chars_row) AS BIGINT) AS total_chars
     FROM u GROUP BY source_kind
     """
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style intra-document repetition signals (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher" table A1): fraction of word occurrences that
+# are repeats, top-word mass, fraction of duplicated bigrams.  Purely
+# row-local (no exchange) -> embarrassingly parallel at any scale; fractions
+# are quotients of identical integers on both engines -> exact float parity.
+# ---------------------------------------------------------------------------
+class RepetitionScorer:
+    def __init__(self):
+        self.word_re = re.compile(WORD_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_words, n_distinct, top_tf, n_big, n_big_distinct = [], [], [], [], []
+        for t in batch["text"].to_pylist():
+            ws = self.word_re.findall((t or "").lower())
+            n = len(ws)
+            n_words.append(n)
+            if n:
+                _, counts = np.unique(ws, return_counts=True)
+                n_distinct.append(int(counts.size))
+                top_tf.append(int(counts.max()))
+            else:
+                n_distinct.append(0)
+                top_tf.append(0)
+            bigs = list(zip(ws[:-1], ws[1:]))
+            n_big.append(len(bigs))
+            n_big_distinct.append(len(set(bigs)))
+        nw = np.asarray(n_words, dtype=np.int64)
+        nd = np.asarray(n_distinct, dtype=np.int64)
+        tp = np.asarray(top_tf, dtype=np.int64)
+        nb = np.asarray(n_big, dtype=np.int64)
+        nbd = np.asarray(n_big_distinct, dtype=np.int64)
+        # CASE WHEN n>0 THEN CAST(a AS DOUBLE)/n ELSE 0.0 END, bit-identical
+        # to the SQL arm (IEEE double quotient of the same exact integers).
+        wden = np.where(nw > 0, nw, 1).astype(np.float64)
+        bden = np.where(nb > 0, nb, 1).astype(np.float64)
+        dup_word = np.where(nw > 0, (nw - nd).astype(np.float64) / wden, 0.0)
+        top_word = np.where(nw > 0, tp.astype(np.float64) / wden, 0.0)
+        dup_big = np.where(nb > 0, (nb - nbd).astype(np.float64) / bden, 0.0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(nw, pa.int64()),
+                "n_distinct_words": pa.array(nd, pa.int64()),
+                "dup_word_frac": pa.array(dup_word, pa.float64()),
+                "top_word_frac": pa.array(top_word, pa.float64()),
+                "dup_bigram_frac": pa.array(dup_big, pa.float64()),
+            }
+        )
+
+
+def repetition_scores(sf_dir: str) -> ray.data.Dataset:
+    ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        RepetitionScorer, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0
+    )
+
+
+def repetition_scores_sql() -> str:
+    return f"""
+    WITH wl AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(coalesce(text, '')), '{WORD_RE}') AS ws
+        FROM documents
+    ),
+    wc AS (
+        SELECT doc_id, w, count(*) AS tf
+        FROM (SELECT doc_id, unnest(ws) AS w FROM wl)
+        GROUP BY doc_id, w
+    ),
+    wagg AS (
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+               CAST(count(*) AS BIGINT) AS n_distinct_words,
+               CAST(max(tf) AS BIGINT) AS top_tf
+        FROM wc GROUP BY doc_id
+    ),
+    b AS (
+        SELECT doc_id,
+               ws[CAST(t.i + 1 AS INTEGER)] || ' ' || ws[CAST(t.i + 2 AS INTEGER)] AS bg
+        FROM wl CROSS JOIN UNNEST(range(greatest(len(ws) - 1, 0))) AS t(i)
+    ),
+    bagg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(count(DISTINCT bg) AS BIGINT) AS n_distinct_bigrams
+        FROM b GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(wagg.n_words, 0) AS n_words,
+           coalesce(wagg.n_distinct_words, 0) AS n_distinct_words,
+           CASE WHEN coalesce(wagg.n_words, 0) > 0
+                THEN CAST(wagg.n_words - wagg.n_distinct_words AS DOUBLE) / wagg.n_words
+                ELSE 0.0 END AS dup_word_frac,
+           CASE WHEN coalesce(wagg.n_words, 0) > 0
+                THEN CAST(wagg.top_tf AS DOUBLE) / wagg.n_words
+                ELSE 0.0 END AS top_word_frac,
+           CASE WHEN coalesce(bagg.n_bigrams, 0) > 0
+                THEN CAST(bagg.n_bigrams - bagg.n_distinct_bigrams AS DOUBLE) / bagg.n_bigrams
+                ELSE 0.0 END AS dup_bigram_frac
+    FROM documents d
+    LEFT JOIN wagg ON d.doc_id = wagg.doc_id
+    LEFT JOIN bagg ON d.doc_id = bagg.doc_id
+    """
