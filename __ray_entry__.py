@@ -230,6 +230,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unified_corpus_stats": _stage("textstats", "unified_corpus_stats"),
         "rel_events_hopping_window": _rel("events_hopping_window"),
         "rel_nation_cust_supp": _rel("nation_customer_supplier"),
+        "rel_events_json_stats": _rel("json_field_stats"),
+        "rel_monthly_orders": _rel("monthly_order_stats"),
+        "rel_user_retention": _rel("user_retention"),
+        "rel_customer_rank_in_nation": _rel("customer_rank_in_nation"),
         # --- dedup ---
         "doc_exact_duplicates": _stage("dedup", "exact_duplicates"),
         "doc_deduped_ids": _stage("dedup", "deduped_doc_ids"),
@@ -356,6 +360,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_unified_corpus_stats": T.unified_corpus_stats_sql(),
         "rel_events_hopping_window": R.events_hopping_window_sql(),
         "rel_nation_cust_supp": R.nation_customer_supplier_sql(),
+        "rel_events_json_stats": R.json_field_stats_sql(),
+        "rel_monthly_orders": R.monthly_order_stats_sql(),
+        "rel_user_retention": R.user_retention_sql(),
+        "rel_customer_rank_in_nation": R.customer_rank_in_nation_sql(),
         "doc_exact_duplicates": D.exact_duplicates_sql(),
         "doc_deduped_ids": D.deduped_doc_ids_sql(),
         "doc_decontaminated": D.decontaminate_sql(),

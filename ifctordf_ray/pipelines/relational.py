@@ -15,6 +15,7 @@ oracle; averages are ratios of exact integers.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -1436,3 +1437,331 @@ def order_lineitem_join_salted(sf_dir: str, salt: int = 8) -> ray.data.Dataset:
         Count(alias_name="n_lines"),
         Sum("price_cents", alias_name="revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured extraction: pull the integer field `k` out of the JSON-ish
+# `props` column with a vectorized regex (pc.extract_regex — Arrow's RE2, the
+# same engine DuckDB uses) and aggregate per event type.  The classic
+# "parse a JSON attribute at read time, never materialize the blob
+# downstream" shape: the exchange moves per-batch combiner rows only.
+# ---------------------------------------------------------------------------
+PROPS_K_RE = r'"k": (?P<k>[0-9]+)'
+
+
+def json_field_stats(sf_dir: str) -> ray.data.Dataset:
+    """(event_type, n_events, n_with_k, sum_k, avg_k): stats of the JSON
+    props field k.  avg is a quotient of exact integers -> float parity."""
+    ds = _clean_read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], pattern=PROPS_K_RE)
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        matched = pc.cast(pc.is_valid(k), pa.int64())
+        tb = pa.table(
+            {
+                "event_type": t["event_type"],
+                "_one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "_matched": matched,
+                "_k": pc.fill_null(k, 0),
+            }
+        )
+        # per-block combiner: one row per event_type per batch
+        return tb.group_by("event_type").aggregate(
+            [("_one", "sum"), ("_matched", "sum"), ("_k", "sum")]
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("_one_sum", alias_name="n_events"),
+            Sum("_matched_sum", alias_name="n_with_k"),
+            Sum("_k_sum", alias_name="sum_k"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_with_k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["sum_k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        den = np.where(n > 0, n, 1).astype(np.float64)
+        avg = np.where(n > 0, s.astype(np.float64) / den, 0.0)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+                "n_with_k": pc.cast(t["n_with_k"], pa.int64()),
+                "sum_k": pc.cast(t["sum_k"], pa.int64()),
+                "avg_k": pa.array(avg, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def json_field_stats_sql() -> str:
+    return r"""
+    WITH e AS (
+        SELECT event_type,
+               TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(k) AS BIGINT) AS n_with_k,
+           CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
+           CASE WHEN count(k) > 0
+                THEN CAST(sum(k) AS DOUBLE) / count(k)
+                ELSE 0.0 END AS avg_k
+    FROM e GROUP BY event_type
+    """
+
+
+# ---------------------------------------------------------------------------
+# Monthly order trend: temporal truncation to month + grouped aggregate
+# (the time-series rollup every reporting pipeline needs).  Month count is
+# bounded (#years x 12) -> the exchange is tiny after per-block combine.
+# ---------------------------------------------------------------------------
+def monthly_order_stats(sf_dir: str) -> ray.data.Dataset:
+    ds = _clean_read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        month = pc.cast(
+            pc.floor_temporal(t["o_orderdate"], unit="month"), pa.timestamp("us")
+        )
+        tb = pa.table({"month": month, "_cents": _cents(t["o_totalprice"])})
+        return tb.group_by("month").aggregate([("_cents", "sum"), ("_cents", "count")])
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(
+            Sum("_cents_count", alias_name="n_orders"),
+            Sum("_cents_sum", alias_name="revenue_cents"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "month": pc.cast(t["month"], pa.timestamp("us")),
+                "n_orders": pc.cast(t["n_orders"], pa.int64()),
+                "revenue_cents": pc.cast(t["revenue_cents"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def monthly_order_stats_sql() -> str:
+    return """
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# Day-over-day user retention: the cohort query.  distinct (day, user)
+# pairs self-joined one day apart — the join keys are epoch-day INTEGERS
+# (timestamps make poor hash keys), both sides are post-aggregation sized
+# (days x users upper bound, far below event count), and the final
+# day-level join is aggregate-sized.
+# ---------------------------------------------------------------------------
+def user_retention(sf_dir: str) -> ray.data.Dataset:
+    """(day, n_active, n_retained, retention): users active on day d who
+    are also active on d+1."""
+    from ifctordf_ray.functions.kernels import join_ready
+    from ifctordf_ray.tuning import join_kwargs
+
+    ds = _clean_read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        eday = pc.cast(
+            pc.cast(
+                pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.date32()),
+                pa.int32(),
+            ),
+            pa.int64(),
+        )
+        tb = pa.table({"eday": eday, "user_id": t["user_id"]})
+        return tb.group_by(["eday", "user_id"]).aggregate([])
+
+    du = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["eday", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "eday": pc.cast(t["eday"], pa.int64()),
+                    "user_id": pc.cast(t["user_id"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    pair_schema = pa.schema([("eday", pa.int64()), ("user_id", pa.int64())])
+    nxt_schema = pa.schema([("eday_m1", pa.int64()), ("user_id_b", pa.int64())])
+    a = join_ready(du, pair_schema, sentinel_row={"eday": -1, "user_id": -1})
+    b = join_ready(
+        du.map_batches(
+            lambda t: pa.table(
+                {
+                    "eday_m1": pc.subtract(t["eday"], 1),
+                    "user_id_b": t["user_id"],
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        nxt_schema,
+        sentinel_row={"eday_m1": -2, "user_id_b": -1},
+    )
+    retained = (
+        a.join(
+            b,
+            join_type="inner",
+            on=("eday", "user_id"),
+            right_on=("eday_m1", "user_id_b"),
+            **join_kwargs(),
+        )
+        .groupby("eday")
+        .aggregate(Count(alias_name="n_retained"))
+    )
+    active = du.groupby("eday").aggregate(Count(alias_name="n_active"))
+    act = join_ready(
+        active,
+        pa.schema([("eday", pa.int64()), ("n_active", pa.int64())]),
+        sentinel_row={"eday": -1, "n_active": 0},
+    )
+    ret = join_ready(
+        retained.map_batches(
+            lambda t: pa.table(
+                {
+                    "eday_r": pc.cast(t["eday"], pa.int64()),
+                    "n_retained": pc.cast(t["n_retained"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("eday_r", pa.int64()), ("n_retained", pa.int64())]),
+        sentinel_row={"eday_r": -1, "n_retained": 0},
+    )
+
+    joined = act.join(
+        ret,
+        join_type="left_outer",
+        on=("eday",),
+        right_on=("eday_r",),
+        **join_kwargs(),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.cast(pc.cast(t["eday"], pa.int32()), pa.date32()), pa.timestamp("us")
+        )
+        na = pc.fill_null(pc.cast(t["n_active"], pa.int64()), 0)
+        nr = pc.fill_null(pc.cast(t["n_retained"], pa.int64()), 0)
+        nav = na.to_numpy(zero_copy_only=False).astype(np.int64)
+        nrv = nr.to_numpy(zero_copy_only=False).astype(np.int64)
+        den = np.where(nav > 0, nav, 1).astype(np.float64)
+        retention = np.where(nav > 0, nrv.astype(np.float64) / den, 0.0)
+        out = pa.table(
+            {
+                "day": day,
+                "n_active": na,
+                "n_retained": nr,
+                "retention": pa.array(retention, pa.float64()),
+            }
+        )
+        return out.filter(pc.not_equal(t["eday"], -1))
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def user_retention_sql() -> str:
+    return """
+    WITH du AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    act AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active FROM du GROUP BY day),
+    ret AS (
+        SELECT a.day, CAST(count(*) AS BIGINT) AS n_retained
+        FROM du a JOIN du b
+          ON b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY
+        GROUP BY a.day
+    )
+    SELECT act.day,
+           act.n_active,
+           coalesce(ret.n_retained, 0) AS n_retained,
+           CASE WHEN act.n_active > 0
+                THEN CAST(coalesce(ret.n_retained, 0) AS DOUBLE) / act.n_active
+                ELSE 0.0 END AS retention
+    FROM act LEFT JOIN ret ON act.day = ret.day
+    """
+
+
+# ---------------------------------------------------------------------------
+# Dense-rank within group: top account holders per nation.  Groups are
+# key-bounded (25 nations) but row-unbounded at scale — the per-group
+# work is a sort + vectorized dense rank, and only the top RANK_K ranks
+# leave the group, so the output (not the input) is bounded.  For
+# unbounded single groups the range-sort approach (extract.distinct's
+# pattern) is the scale path; nations are safe.
+# ---------------------------------------------------------------------------
+RANK_K = 10
+
+
+def _rank_group(g: pa.Table) -> pa.Table:
+    bal = g["c_acctbal"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((g["c_custkey"].to_numpy(zero_copy_only=False), -bal))
+    bal_sorted = bal[order]
+    # dense rank: 1 + number of DISTINCT higher balances
+    uniq, inv = np.unique(-bal_sorted, return_inverse=True)
+    rank = inv + 1  # -bal ascending == bal descending; dense by construction
+    keep = rank <= RANK_K
+    return pa.table(
+        {
+            "c_nationkey": pc.cast(g["c_nationkey"], pa.int64()).take(
+                pa.array(order[keep])
+            ),
+            "c_custkey": pc.cast(g["c_custkey"], pa.int64()).take(
+                pa.array(order[keep])
+            ),
+            "c_acctbal": pa.array(bal_sorted[keep], pa.float64()),
+            "bal_rank": pa.array(rank[keep].astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def customer_rank_in_nation(sf_dir: str) -> ray.data.Dataset:
+    """(nationkey, custkey, acctbal, bal_rank): customers whose DENSE rank
+    by account balance within their nation is <= RANK_K (ties share a
+    rank, so more than RANK_K rows per nation are possible)."""
+    ds = _clean_read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+    return ds.groupby("c_nationkey").map_groups(
+        _rank_group, batch_format="pyarrow"
+    )
+
+
+def customer_rank_in_nation_sql() -> str:
+    return f"""
+    WITH r AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               CAST(c_custkey AS BIGINT) AS c_custkey,
+               c_acctbal,
+               CAST(dense_rank() OVER (
+                   PARTITION BY c_nationkey ORDER BY c_acctbal DESC
+               ) AS BIGINT) AS bal_rank
+        FROM customer
+    )
+    SELECT * FROM r WHERE bal_rank <= {RANK_K}
+    """
