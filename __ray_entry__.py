@@ -234,6 +234,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_monthly_orders": _rel("monthly_order_stats"),
         "rel_user_retention": _rel("user_retention"),
         "rel_customer_rank_in_nation": _rel("customer_rank_in_nation"),
+        "rel_custdist": _rel("custdist"),
+        "rel_weekend_cohorts": _rel("weekend_weekday_cohorts"),
+        "rel_user_interarrival": _rel("user_interarrival"),
         # --- dedup ---
         "doc_exact_duplicates": _stage("dedup", "exact_duplicates"),
         "doc_deduped_ids": _stage("dedup", "deduped_doc_ids"),
@@ -364,6 +367,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_monthly_orders": R.monthly_order_stats_sql(),
         "rel_user_retention": R.user_retention_sql(),
         "rel_customer_rank_in_nation": R.customer_rank_in_nation_sql(),
+        "rel_custdist": R.custdist_sql(),
+        "rel_weekend_cohorts": R.weekend_weekday_cohorts_sql(),
+        "rel_user_interarrival": R.user_interarrival_sql(),
         "doc_exact_duplicates": D.exact_duplicates_sql(),
         "doc_deduped_ids": D.deduped_doc_ids_sql(),
         "doc_decontaminated": D.decontaminate_sql(),

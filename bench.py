@@ -88,9 +88,13 @@ def _run_benchmarks() -> dict:
     # headline: full flagship on the replicated corpus, ONE fused stream —
     # derive+validate transcripts, extract, dedup via sorted shuffle, write
     n_turns = replicate * transcripts_from_events(sf_dir).count()
+    # GRAFT_SINK_COMPRESSION=gzip exercises the sink's scale path (13.6x
+    # fewer bytes through the one shared disk — see BASELINE.md); default
+    # stays uncompressed.
+    sink_comp = os.environ.get("GRAFT_SINK_COMPRESSION") or None
     t0 = time.time()
     triples = kg.kg_from_events(sf_dir, mode="fast", replicate=replicate)
-    manifest = kg.materialize(triples, out_dir)
+    manifest = kg.materialize(triples, out_dir, compression=sink_comp)
     n_triples = sum(m["n_triples"] for m in manifest)
     headline = time.time() - t0
     queries["kg_construct"] = round(headline, 3)

@@ -62,7 +62,7 @@ def kg_from_events(
 
 def materialize(
     triples: ray.data.Dataset, out_dir: str, parquet: bool = False,
-    turtle: bool = False,
+    turtle: bool = False, compression: str | None = None,
 ) -> list[dict]:
     """Final sorted-shuffle materialization; returns manifest rows.
     kg_triples output is already subject-sorted (distinct() sorts on
@@ -74,7 +74,9 @@ def materialize(
     import json
     import os
 
-    manifest = sinks.write_ntriples(triples, f"{out_dir}/nt", sort=False)
+    manifest = sinks.write_ntriples(
+        triples, f"{out_dir}/nt", sort=False, compression=compression
+    )
     if parquet:
         sinks.write_graph_parquet(triples, f"{out_dir}/parquet")
     if turtle:

@@ -1765,3 +1765,173 @@ def customer_rank_in_nation_sql() -> str:
     )
     SELECT * FROM r WHERE bal_rank <= {RANK_K}
     """
+
+
+# ---------------------------------------------------------------------------
+# Q13-style customer distribution: histogram of customers by order count,
+# INCLUDING the zero-order bucket (the left-outer join feeding a second
+# aggregate).  Composes customer_order_counts -> one more tiny groupby:
+# the exchange after the join moves one row per distinct order count.
+# ---------------------------------------------------------------------------
+def custdist(sf_dir: str) -> ray.data.Dataset:
+    """(n_orders, n_customers): how many customers placed exactly N
+    orders (TPC-H Q13 shape)."""
+    return (
+        customer_order_counts(sf_dir)
+        .groupby("n_orders")
+        .aggregate(Count(alias_name="n_customers"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "n_orders": pc.cast(t["n_orders"], pa.int64()),
+                    "n_customers": pc.cast(t["n_customers"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def custdist_sql() -> str:
+    return """
+    WITH per_cust AS (
+        SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    )
+    SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+    FROM per_cust GROUP BY n_orders
+    """
+
+
+# ---------------------------------------------------------------------------
+# Set-operation cohorts WITHOUT set operations: users active on weekends
+# vs weekdays.  INTERSECT / EXCEPT over distinct user sets would cost two
+# distinct exchanges plus a join; flag-aggregation (max of two booleans
+# per user, then a 3-row groupby) computes the same cohorts in ONE
+# exchange of one row per user — the scale-correct plan for set ops whose
+# inputs share a key.
+# ---------------------------------------------------------------------------
+def weekend_weekday_cohorts(sf_dir: str) -> ray.data.Dataset:
+    """(cohort, n_users): cohort in {'both', 'weekday_only',
+    'weekend_only'} by whether each user has weekday / weekend events."""
+    ds = _clean_read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        # Arrow day_of_week: 0=Monday .. 6=Sunday
+        dow = pc.day_of_week(t["ts"])
+        wknd = pc.cast(pc.greater_equal(dow, 5), pa.int64())
+        tb = pa.table(
+            {
+                "user_id": t["user_id"],
+                "_wknd": wknd,
+                "_wkdy": pc.subtract(1, wknd),
+            }
+        )
+        return tb.group_by("user_id").aggregate([("_wknd", "max"), ("_wkdy", "max")])
+
+    flags = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Max("_wknd_max", alias_name="has_wknd"),
+            Max("_wkdy_max", alias_name="has_wkdy"),
+        )
+    )
+
+    def label(t: pa.Table) -> pa.Table:
+        wk = pc.equal(pc.cast(t["has_wknd"], pa.int64()), 1)
+        wd = pc.equal(pc.cast(t["has_wkdy"], pa.int64()), 1)
+        cohort = pc.if_else(
+            pc.and_(wk, wd),
+            pa.scalar("both"),
+            pc.if_else(wk, pa.scalar("weekend_only"), pa.scalar("weekday_only")),
+        )
+        return pa.table({"cohort": cohort})
+
+    return (
+        flags.map_batches(label, batch_format="pyarrow")
+        .groupby("cohort")
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+def weekend_weekday_cohorts_sql() -> str:
+    return """
+    WITH f AS (
+        SELECT user_id,
+               max(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END) AS has_wknd,
+               max(CASE WHEN isodow(ts) < 6 THEN 1 ELSE 0 END) AS has_wkdy
+        FROM events GROUP BY user_id
+    )
+    SELECT CASE WHEN has_wknd = 1 AND has_wkdy = 1 THEN 'both'
+                WHEN has_wknd = 1 THEN 'weekend_only'
+                ELSE 'weekday_only' END AS cohort,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM f GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# Per-user inter-arrival statistics: ordered in-group state where the
+# lagged value is ARITHMETIC (time difference), not categorical like
+# event_transitions.  Gap sums are exact integer microseconds -> the mean
+# is a quotient of exact integers (float parity).
+# ---------------------------------------------------------------------------
+def _interarrival_group(g: pa.Table) -> pa.Table:
+    g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    uid = g["user_id"][0].as_py()
+    if len(ts) < 2:
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "n_gaps": pa.array([0], pa.int64()),
+                "sum_gap_us": pa.array([0], pa.int64()),
+                "max_gap_us": pa.array([0], pa.int64()),
+                "avg_gap_us": pa.array([0.0], pa.float64()),
+            }
+        )
+    gaps = np.diff(ts)
+    n = int(gaps.size)
+    s = int(gaps.sum())
+    return pa.table(
+        {
+            "user_id": pa.array([uid], pa.int64()),
+            "n_gaps": pa.array([n], pa.int64()),
+            "sum_gap_us": pa.array([s], pa.int64()),
+            "max_gap_us": pa.array([int(gaps.max())], pa.int64()),
+            "avg_gap_us": pa.array([s / n], pa.float64()),
+        }
+    )
+
+
+def user_interarrival(sf_dir: str) -> ray.data.Dataset:
+    """(user_id, n_gaps, sum_gap_us, max_gap_us, avg_gap_us): statistics
+    of the time between a user's consecutive events.  Per-user groups are
+    bounded by a user's own event volume; for power-user skew the salted
+    pre-split (stages/extract.extract_salted pattern) applies."""
+    ds = _clean_read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return ds.groupby("user_id").map_groups(_interarrival_group, batch_format="pyarrow")
+
+
+def user_interarrival_sql() -> str:
+    return """
+    WITH g AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS BIGINT) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           CAST(coalesce(sum(gap_us), 0) AS BIGINT) AS sum_gap_us,
+           CAST(coalesce(max(gap_us), 0) AS BIGINT) AS max_gap_us,
+           CASE WHEN count(gap_us) > 0
+                THEN CAST(sum(gap_us) AS DOUBLE) / count(gap_us)
+                ELSE 0.0 END AS avg_gap_us
+    FROM g GROUP BY user_id
+    """
