@@ -1935,3 +1935,132 @@ def user_interarrival_sql() -> str:
                 ELSE 0.0 END AS avg_gap_us
     FROM g GROUP BY user_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Hopping-window DISTINCT counts: 7-day windows advancing daily, counting
+# DISTINCT users per window.  Harder than the hopping SUM
+# (events_hopping_window): distinct does not merge across overlaps, so
+# the plan dedups (day, user) FIRST (events -> at most days x users
+# rows), expands each surviving pair into its <=7 covering windows, and
+# dedups (window, user) again — both exchanges move post-dedup rows.
+# ---------------------------------------------------------------------------
+HOP_WINDOW_DAYS = 7
+
+
+def hopping_active_users(sf_dir: str) -> ray.data.Dataset:
+    """(win_start, n_active_users): distinct users per 7-day hopping
+    window advancing daily."""
+    ds = _clean_read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        eday = pc.cast(
+            pc.cast(
+                pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.date32()),
+                pa.int32(),
+            ),
+            pa.int64(),
+        )
+        tb = pa.table({"eday": eday, "user_id": t["user_id"]})
+        return tb.group_by(["eday", "user_id"]).aggregate([])
+
+    du = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["eday", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        eday = pc.cast(t["eday"], pa.int64()).to_numpy(zero_copy_only=False)
+        uid = pc.cast(t["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        k = HOP_WINDOW_DAYS
+        starts = np.repeat(eday, k) - np.tile(np.arange(k, dtype=np.int64), len(eday))
+        users = np.repeat(uid, k)
+        tb = pa.table(
+            {
+                "win": pa.array(starts, pa.int64()),
+                "user_id": pa.array(users, pa.int64()),
+            }
+        )
+        return tb.group_by(["win", "user_id"]).aggregate([])
+
+    wu = (
+        du.map_batches(expand, batch_format="pyarrow")
+        .groupby(["win", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby("win")
+        .aggregate(Count(alias_name="n_active_users"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        win_start = pc.cast(
+            pc.cast(pc.cast(t["win"], pa.int32()), pa.date32()), pa.timestamp("us")
+        )
+        return pa.table(
+            {
+                "win_start": win_start,
+                "n_active_users": pc.cast(t["n_active_users"], pa.int64()),
+            }
+        )
+
+    return wu.map_batches(finish, batch_format="pyarrow")
+
+
+def hopping_active_users_sql() -> str:
+    return f"""
+    WITH du AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+        FROM events
+    ),
+    wu AS (
+        SELECT DISTINCT d - CAST(t.i AS INTEGER) AS win_start, user_id
+        FROM du CROSS JOIN UNNEST(range({HOP_WINDOW_DAYS})) AS t(i)
+    )
+    SELECT CAST(win_start AS TIMESTAMP) AS win_start,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM wu GROUP BY win_start
+    """
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-total: each nation's share of global revenue.  The window
+# `sum() OVER ()` shape — the distributed plan aggregates per nation
+# (25-row result), then computes the global total ON the aggregate-sized
+# result in a single final task (never a second pass over the fact
+# table).  Shares are ratios of exact integer cents -> float parity.
+# ---------------------------------------------------------------------------
+def nation_revenue_share(sf_dir: str) -> ray.data.Dataset:
+    """(n_name, revenue_cents, revenue_share)."""
+    base = nation_revenue(sf_dir)  # (n_name, revenue_cents), hash-green
+
+    def finish(t: pa.Table) -> pa.Table:
+        cents = pc.cast(t["revenue_cents"], pa.int64())
+        total = pc.sum(cents).as_py() or 0
+        c = cents.to_numpy(zero_copy_only=False).astype(np.int64)
+        share = (
+            c.astype(np.float64) / float(total)
+            if total > 0
+            else np.zeros_like(c, float)
+        )
+        return pa.table(
+            {
+                "n_name": t["n_name"],
+                "revenue_cents": cents,
+                "revenue_share": pa.array(share, pa.float64()),
+            }
+        )
+
+    # nation-count-sized: one block is the correct plan for the total
+    return base.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+def nation_revenue_share_sql() -> str:
+    return f"""
+    WITH base AS ({nation_revenue_sql()})
+    SELECT n_name, revenue_cents,
+           CAST(revenue_cents AS DOUBLE) / sum(revenue_cents) OVER ()
+               AS revenue_share
+    FROM base
+    """

@@ -1275,3 +1275,82 @@ def knn_recall_sql(k: int = DEFAULT_K, nq: int = DEFAULT_NQ) -> str:
       ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
     GROUP BY b.query_id
     """
+
+
+# ---------------------------------------------------------------------------
+# One power-iteration step toward the top eigenvector of the (quantized)
+# Gram matrix: w = C @ v0 with v0 = ones, v1 = w / ||w||.  The iterative
+# numeric-linear-algebra shape done scale-correctly: C @ ones collapses
+# to sum_v q_v * (q_v . 1), so each block ships d int64 partials (never a
+# d x d matrix per row), one tiny groupby sums them, and the normalization
+# runs on the d-row result.  Integers are exact end-to-end; the norm is
+# an exact arbitrary-precision sum of squares (HUGEINT in the SQL arm,
+# Python int here) cast to double once -> bit-identical v1.
+# ---------------------------------------------------------------------------
+def power_iteration_step(sf_dir: str) -> ray.data.Dataset:
+    """(dim, w, v1): one power-iteration step from v0 = ones over the
+    COV_Q-quantized embedding Gram matrix."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _clean_read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        embs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        q = np.floor(embs * COV_Q + 0.5).astype(np.int64)
+        s = q.sum(axis=1)  # q_v . ones
+        w = (q * s[:, None]).sum(axis=0)  # == (q^T q) @ ones, exact int64
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(EMB_DIM), pa.int64()),
+                "w": pa.array(w, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(_Sum("w", alias_name="w"))
+        .repartition(1)  # d rows — the one place a single block is correct
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        w = pc.cast(t["w"], pa.int64()).to_numpy(zero_copy_only=False)
+        # exact big-int sum of squares, ONE rounding at the double cast
+        norm2 = sum(int(x) * int(x) for x in w)
+        denom = float(np.sqrt(float(norm2)))
+        v1 = w.astype(np.float64) / denom if denom > 0 else np.zeros_like(w, float)
+        return pa.table(
+            {
+                "dim": pc.cast(t["dim"], pa.int64()),
+                "w": pa.array(w, pa.int64()),
+                "v1": pa.array(v1, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def power_iteration_step_sql() -> str:
+    return f"""
+    WITH q AS (
+        SELECT vec_id, CAST(t.i AS BIGINT) AS i,
+               CAST(floor(CAST(embedding[CAST(t.i + 1 AS INTEGER)] AS DOUBLE)
+                          * {COV_Q} + 0.5) AS BIGINT) AS qv
+        FROM embeddings CROSS JOIN (SELECT unnest(range({EMB_DIM})) AS i) t
+    ),
+    s AS (SELECT vec_id, sum(qv) AS sv FROM q GROUP BY vec_id),
+    w AS (
+        SELECT q.i AS dim, CAST(sum(q.qv * s.sv) AS BIGINT) AS w
+        FROM q JOIN s ON q.vec_id = s.vec_id
+        GROUP BY q.i
+    ),
+    n AS (
+        SELECT sqrt(CAST(sum(CAST(w AS HUGEINT) * w) AS DOUBLE)) AS nrm FROM w
+    )
+    SELECT dim, w,
+           CASE WHEN (SELECT nrm FROM n) > 0
+                THEN CAST(w AS DOUBLE) / (SELECT nrm FROM n)
+                ELSE 0.0 END AS v1
+    FROM w
+    """
