@@ -240,6 +240,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_hopping_active_users": _rel("hopping_active_users"),
         "rel_nation_revenue_share": _rel("nation_revenue_share"),
         "emb_power_iteration": _stage("similarity", "power_iteration_step"),
+        "emb_centroid_similarity": _stage("similarity", "centroid_similarity"),
+        "doc_oov_rate": _stage("textstats", "oov_rate"),
+        "rel_value_outliers": _rel("value_outliers"),
         # --- dedup ---
         "doc_exact_duplicates": _stage("dedup", "exact_duplicates"),
         "doc_deduped_ids": _stage("dedup", "deduped_doc_ids"),
@@ -376,6 +379,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_hopping_active_users": R.hopping_active_users_sql(),
         "rel_nation_revenue_share": R.nation_revenue_share_sql(),
         "emb_power_iteration": SIM.power_iteration_step_sql(),
+        "emb_centroid_similarity": SIM.centroid_similarity_sql(),
+        "doc_oov_rate": T.oov_rate_sql(),
+        "rel_value_outliers": R.value_outliers_sql(),
         "doc_exact_duplicates": D.exact_duplicates_sql(),
         "doc_deduped_ids": D.deduped_doc_ids_sql(),
         "doc_decontaminated": D.decontaminate_sql(),

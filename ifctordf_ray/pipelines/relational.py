@@ -2064,3 +2064,138 @@ def nation_revenue_share_sql() -> str:
                AS revenue_share
     FROM base
     """
+
+
+# ---------------------------------------------------------------------------
+# Per-user z-score outliers: group statistics joined BACK to the fact
+# rows for per-row standardization (the feature-normalization shape every
+# ML data pipeline needs).  Moments are exact integer cents through the
+# exchange; mean/var/z use the identical IEEE expression tree on both
+# engines (var = E[x^2] - E[x]^2 on exact-int-derived doubles), so the
+# |z| > threshold boundary is bit-deterministic.
+# ---------------------------------------------------------------------------
+OUTLIER_Z = 2.0
+
+
+def value_outliers(sf_dir: str) -> ray.data.Dataset:
+    """(event_id, user_id, value_cents, z): events whose value is more
+    than OUTLIER_Z population-std-devs from the user's mean."""
+    from ifctordf_ray.functions.kernels import join_ready
+    from ifctordf_ray.tuning import join_kwargs
+
+    ds = _clean_read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = _cents(t["value"])
+        sq = pc.multiply(cents, cents)
+        tb = pa.table(
+            {"user_id": t["user_id"], "_c": cents, "_c2": sq}
+        )
+        return tb.group_by("user_id").aggregate(
+            [("_c", "sum"), ("_c2", "sum"), ("_c", "count")]
+        )
+
+    stats = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("_c_sum", alias_name="sum_c"),
+            Sum("_c2_sum", alias_name="sum_c2"),
+            Sum("_c_count", alias_name="n"),
+        )
+    )
+    stats = join_ready(
+        stats.map_batches(
+            lambda t: pa.table(
+                {
+                    "u_stats": pc.cast(t["user_id"], pa.int64()),
+                    "sum_c": pc.cast(t["sum_c"], pa.int64()),
+                    "sum_c2": pc.cast(t["sum_c2"], pa.int64()),
+                    "n": pc.cast(t["n"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        pa.schema(
+            [
+                ("u_stats", pa.int64()),
+                ("sum_c", pa.int64()),
+                ("sum_c2", pa.int64()),
+                ("n", pa.int64()),
+            ]
+        ),
+        sentinel_row={"u_stats": -1, "sum_c": 0, "sum_c2": 0, "n": 0},
+    )
+    fact = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "value_cents": _cents(t["value"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = fact.join(
+        stats,
+        join_type="inner",
+        on=("user_id",),
+        right_on=("u_stats",),
+        **join_kwargs(),
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.float64())
+        mean = pc.divide(pc.cast(t["sum_c"], pa.float64()), n)
+        ex2 = pc.divide(pc.cast(t["sum_c2"], pa.float64()), n)
+        var = pc.subtract(ex2, pc.multiply(mean, mean))
+        std = pc.sqrt(var)
+        x = pc.cast(t["value_cents"], pa.float64())
+        z = pc.divide(pc.subtract(x, mean), std)
+        out = pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "value_cents": pc.cast(t["value_cents"], pa.int64()),
+                "z": z,
+            }
+        )
+        keep = pc.and_(
+            pc.greater(std, 0.0), pc.greater(pc.abs(z), OUTLIER_Z)
+        )
+        return out.filter(keep)
+
+    return joined.map_batches(score, batch_format="pyarrow")
+
+
+def value_outliers_sql() -> str:
+    return f"""
+    WITH f AS (
+        SELECT event_id, user_id,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_cents
+        FROM events
+    ),
+    s AS (
+        SELECT user_id,
+               CAST(sum(value_cents) AS BIGINT) AS sum_c,
+               CAST(sum(value_cents * value_cents) AS BIGINT) AS sum_c2,
+               CAST(count(*) AS BIGINT) AS n
+        FROM f GROUP BY user_id
+    ),
+    z AS (
+        SELECT f.event_id, f.user_id, f.value_cents,
+               (CAST(f.value_cents AS DOUBLE)
+                - CAST(s.sum_c AS DOUBLE) / CAST(s.n AS DOUBLE))
+               / sqrt(CAST(s.sum_c2 AS DOUBLE) / CAST(s.n AS DOUBLE)
+                      - (CAST(s.sum_c AS DOUBLE) / CAST(s.n AS DOUBLE))
+                        * (CAST(s.sum_c AS DOUBLE) / CAST(s.n AS DOUBLE))) AS z,
+               sqrt(CAST(s.sum_c2 AS DOUBLE) / CAST(s.n AS DOUBLE)
+                    - (CAST(s.sum_c AS DOUBLE) / CAST(s.n AS DOUBLE))
+                      * (CAST(s.sum_c AS DOUBLE) / CAST(s.n AS DOUBLE))) AS std
+        FROM f JOIN s ON f.user_id = s.user_id
+    )
+    SELECT event_id, user_id, value_cents, z
+    FROM z WHERE std > 0 AND abs(z) > {OUTLIER_Z}
+    """

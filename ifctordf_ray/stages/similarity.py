@@ -1354,3 +1354,109 @@ def power_iteration_step_sql() -> str:
                 ELSE 0.0 END AS v1
     FROM w
     """
+
+
+# ---------------------------------------------------------------------------
+# Pairwise cosine similarity between label centroids: the small cross
+# product of a DERIVED aggregate (labels x labels, after the per-label
+# reduction — never vectors x vectors).  The mean's 1/n cancels in
+# cosine, so everything is computed from the exact int64 quantized sums:
+# cos = <sa, sb> / (||sa|| ||sb||), integer numerators/norms, one float
+# rounding per sqrt/divide — bit-identical to the SQL arm.
+# ---------------------------------------------------------------------------
+def centroid_similarity(sf_dir: str) -> ray.data.Dataset:
+    """(label_a, label_b, cosine) for label_a < label_b."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _clean_read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        embs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        q = np.floor(embs * CENTROID_Q + 0.5).astype(np.int64)
+        labels = np.asarray(t["label"].to_pylist(), dtype=np.int64)
+        uniq = np.unique(labels)
+        d = q.shape[1]
+        out_label, out_dim, out_sum = [], [], []
+        for lb in uniq:
+            s = q[labels == lb].sum(axis=0)
+            out_label.extend([int(lb)] * d)
+            out_dim.extend(range(d))
+            out_sum.extend(int(x) for x in s)
+        return pa.table(
+            {
+                "label": pa.array(out_label, pa.int64()),
+                "dim": pa.array(out_dim, pa.int64()),
+                "sum_q": pa.array(out_sum, pa.int64()),
+            }
+        )
+
+    sums = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(_Sum("sum_q", alias_name="sum_q"))
+        .repartition(1)  # labels x dims rows — aggregate-sized
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        labels = pc.cast(t["label"], pa.int64()).to_numpy(zero_copy_only=False)
+        dims = pc.cast(t["dim"], pa.int64()).to_numpy(zero_copy_only=False)
+        sq = pc.cast(t["sum_q"], pa.int64()).to_numpy(zero_copy_only=False)
+        uniq = np.unique(labels)
+        d = int(dims.max()) + 1 if len(dims) else 0
+        mat = {}
+        for lb in uniq:
+            m = labels == lb
+            row = np.zeros(d, dtype=np.int64)
+            row[dims[m]] = sq[m]
+            mat[int(lb)] = row
+        la, lb_, cos = [], [], []
+        for i, a in enumerate(sorted(mat)):
+            for b in sorted(mat)[i + 1:]:
+                va, vb = mat[a], mat[b]
+                # exact big-int dot/norms; ONE rounding at each float step
+                dot = sum(int(x) * int(y) for x, y in zip(va, vb))
+                na2 = sum(int(x) * int(x) for x in va)
+                nb2 = sum(int(y) * int(y) for y in vb)
+                denom = float(np.sqrt(float(na2))) * float(np.sqrt(float(nb2)))
+                la.append(a)
+                lb_.append(b)
+                cos.append(float(dot) / denom if denom > 0 else 0.0)
+        return pa.table(
+            {
+                "label_a": pa.array(la, pa.int64()),
+                "label_b": pa.array(lb_, pa.int64()),
+                "cosine": pa.array(cos, pa.float64()),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def centroid_similarity_sql() -> str:
+    return f"""
+    WITH q AS (
+        SELECT label, CAST(t.i AS BIGINT) AS dim,
+               CAST(floor(CAST(embedding[CAST(t.i + 1 AS INTEGER)] AS DOUBLE)
+                          * {CENTROID_Q} + 0.5) AS BIGINT) AS qv
+        FROM embeddings CROSS JOIN (SELECT unnest(range({EMB_DIM})) AS i) t
+    ),
+    s AS (
+        SELECT label, dim, CAST(sum(qv) AS BIGINT) AS sum_q
+        FROM q GROUP BY label, dim
+    ),
+    p AS (
+        SELECT CAST(a.label AS BIGINT) AS label_a,
+               CAST(b.label AS BIGINT) AS label_b,
+               CAST(sum(CAST(a.sum_q AS HUGEINT) * b.sum_q) AS DOUBLE) AS dot,
+               sqrt(CAST(sum(CAST(a.sum_q AS HUGEINT) * a.sum_q) AS DOUBLE)) AS na,
+               sqrt(CAST(sum(CAST(b.sum_q AS HUGEINT) * b.sum_q) AS DOUBLE)) AS nb
+        FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b,
+           CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END AS cosine
+    FROM p
+    """

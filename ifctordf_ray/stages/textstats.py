@@ -853,3 +853,85 @@ def repetition_scores_sql() -> str:
     LEFT JOIN wagg ON d.doc_id = wagg.doc_id
     LEFT JOIN bagg ON d.doc_id = bagg.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Out-of-vocabulary rate against the corpus's own top-K vocabulary: the
+# tokenizer-coverage audit.  Two-phase derived-broadcast shape: phase 1
+# computes the top-K vocabulary (combiner groupby + tiny sort/limit),
+# phase 2 broadcasts that K-row result via ray.put and scores every doc
+# row-locally — the classic "aggregate once, enrich everywhere" plan that
+# replaces a corpus-sized join with a K-sized broadcast.
+# ---------------------------------------------------------------------------
+OOV_VOCAB_K = 24
+
+
+class OovScorer:
+    def __init__(self, vocab_ref):
+        import ray as _ray
+
+        self.vocab = frozenset(_ray.get(vocab_ref))
+        self.word_re = re.compile(WORD_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_words, n_oov = [], []
+        for t in batch["text"].to_pylist():
+            ws = self.word_re.findall((t or "").lower())
+            n_words.append(len(ws))
+            n_oov.append(sum(1 for w in ws if w not in self.vocab))
+        nw = np.asarray(n_words, dtype=np.int64)
+        no = np.asarray(n_oov, dtype=np.int64)
+        den = np.where(nw > 0, nw, 1).astype(np.float64)
+        rate = np.where(nw > 0, no.astype(np.float64) / den, 0.0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(nw, pa.int64()),
+                "n_oov": pa.array(no, pa.int64()),
+                "oov_rate": pa.array(rate, pa.float64()),
+            }
+        )
+
+
+def oov_rate(sf_dir: str, top_k: int = OOV_VOCAB_K) -> ray.data.Dataset:
+    """(doc_id, n_words, n_oov, oov_rate) vs the corpus top-`top_k`
+    vocabulary (count DESC, word ASC tie-break — deterministic)."""
+    import ray as _ray
+
+    vocab = [r["word"] for r in vocabulary(sf_dir, top_k=top_k).take_all()]
+    vocab_ref = _ray.put(vocab)  # K-sized broadcast, shipped once per actor
+    ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        OovScorer,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_args=(vocab_ref,),
+        max_restarts=0,
+    )
+
+
+def oov_rate_sql(top_k: int = OOV_VOCAB_K) -> str:
+    return f"""
+    WITH v AS ({vocabulary_sql(top_k=top_k)}),
+    w AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(coalesce(text, '')), '{WORD_RE}'))
+                   AS word
+        FROM documents
+    ),
+    a AS (
+        SELECT w.doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov
+        FROM w LEFT JOIN v ON w.word = v.word
+        GROUP BY w.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_words, 0) AS n_words,
+           coalesce(a.n_oov, 0) AS n_oov,
+           CASE WHEN coalesce(a.n_words, 0) > 0
+                THEN CAST(a.n_oov AS DOUBLE) / a.n_words
+                ELSE 0.0 END AS oov_rate
+    FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+    """
