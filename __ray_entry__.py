@@ -243,6 +243,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_centroid_similarity": _stage("similarity", "centroid_similarity"),
         "doc_oov_rate": _stage("textstats", "oov_rate"),
         "rel_value_outliers": _rel("value_outliers"),
+        "rel_idle_rich_customers": _rel("idle_rich_customers"),
+        "rel_fully_returned_orders": _rel("fully_returned_orders"),
+        "rel_new_users_daily": _rel("new_users_daily"),
+        "rel_filtered_scan": _rel("filtered_scan"),
         # --- dedup ---
         "doc_exact_duplicates": _stage("dedup", "exact_duplicates"),
         "doc_deduped_ids": _stage("dedup", "deduped_doc_ids"),
@@ -382,6 +386,10 @@ def oracle_sql() -> dict[str, str]:
         "emb_centroid_similarity": SIM.centroid_similarity_sql(),
         "doc_oov_rate": T.oov_rate_sql(),
         "rel_value_outliers": R.value_outliers_sql(),
+        "rel_idle_rich_customers": R.idle_rich_customers_sql(),
+        "rel_fully_returned_orders": R.fully_returned_orders_sql(),
+        "rel_new_users_daily": R.new_users_daily_sql(),
+        "rel_filtered_scan": R.filtered_scan_sql(),
         "doc_exact_duplicates": D.exact_duplicates_sql(),
         "doc_deduped_ids": D.deduped_doc_ids_sql(),
         "doc_decontaminated": D.decontaminate_sql(),

@@ -2199,3 +2199,284 @@ def value_outliers_sql() -> str:
     SELECT event_id, user_id, value_cents, z
     FROM z WHERE std > 0 AND abs(z) > {OUTLIER_Z}
     """
+
+
+# ---------------------------------------------------------------------------
+# Q22-style "idle rich": customers with above-global-average balance and
+# no URGENT orders.  Composition of two shapes — a scalar aggregate
+# broadcast (the global mean, computed once and closed over, never
+# re-scanned) and a distributed LEFT ANTI join against the filtered fact.
+# ---------------------------------------------------------------------------
+def idle_rich_customers(sf_dir: str) -> ray.data.Dataset:
+    """(c_custkey, acctbal_cents): above-average-balance customers with
+    no '1-URGENT' order."""
+    from ifctordf_ray.functions.kernels import join_ready
+    from ifctordf_ray.tuning import join_kwargs
+
+    cust = _clean_read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+    # scalar aggregate: exact integer cents -> one (sum, n) pair
+    tot = cust.map_batches(
+        lambda t: pa.table(
+            {
+                "s": pa.array(
+                    [pc.sum(_cents(t["c_acctbal"])).as_py() or 0], pa.int64()
+                ),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sum(["s", "n"])
+    mean = float(tot["sum(s)"]) / float(tot["sum(n)"])  # exact ints -> IEEE
+
+    rich = cust.map_batches(
+        lambda t: (
+            lambda cents: pa.table(
+                {
+                    "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                    "acctbal_cents": cents,
+                }
+            ).filter(pc.greater(pc.cast(cents, pa.float64()), mean))
+        )(_cents(t["c_acctbal"])),
+        batch_format="pyarrow",
+    )
+    orderers = (
+        _clean_read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+        )
+        .map_batches(
+            lambda t: t.filter(
+                pc.equal(t["o_orderpriority"], "1-URGENT")
+            ).select(["o_custkey"]),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="_n"))
+    )
+    orderers = join_ready(
+        orderers.map_batches(
+            lambda t: pa.table({"o_custkey": pc.cast(t["o_custkey"], pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("o_custkey", pa.int64())]),
+        sentinel_row={"o_custkey": -1},
+    )
+    rich = join_ready(
+        rich,
+        pa.schema([("c_custkey", pa.int64()), ("acctbal_cents", pa.int64())]),
+        sentinel_row={"c_custkey": -2, "acctbal_cents": 0},
+    )
+    anti = rich.join(
+        orderers,
+        join_type="left_anti",
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+        **join_kwargs(),
+    )
+    return anti.map_batches(
+        lambda t: t.filter(pc.not_equal(t["c_custkey"], -2)),
+        batch_format="pyarrow",
+    )
+
+
+def idle_rich_customers_sql() -> str:
+    return """
+    WITH c AS (
+        SELECT c_custkey,
+               CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS acctbal_cents
+        FROM customer
+    ),
+    m AS (
+        SELECT CAST(sum(acctbal_cents) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS mean FROM c
+    )
+    SELECT c.c_custkey, c.acctbal_cents
+    FROM c, m
+    WHERE CAST(c.acctbal_cents AS DOUBLE) > m.mean
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """
+
+
+# ---------------------------------------------------------------------------
+# FORALL semantics (Q21 family): orders where EVERY lineitem was returned.
+# Universal quantification compiles to a grouped MIN over a boolean — one
+# combiner-friendly aggregate, no correlated subquery, no double scan.
+# ---------------------------------------------------------------------------
+def fully_returned_orders(sf_dir: str) -> ray.data.Dataset:
+    """(l_orderkey, n_lines): orders whose lineitems ALL have
+    l_returnflag = 'R'."""
+    li = _clean_read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        r = pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64())
+        tb = pa.table({"l_orderkey": t["l_orderkey"], "_r": r})
+        return tb.group_by("l_orderkey").aggregate([("_r", "min"), ("_r", "count")])
+
+    agg = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(
+            Min("_r_min", alias_name="all_r"),
+            Sum("_r_count", alias_name="n_lines"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "n_lines": pc.cast(t["n_lines"], pa.int64()),
+            }
+        )
+        return out.filter(pc.equal(pc.cast(t["all_r"], pa.int64()), 1))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def fully_returned_orders_sql() -> str:
+    return """
+    SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING min(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) = 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting: new users per day + cumulative total.  first-seen =
+# grouped MIN (one exchange of one row per user); the cumulative sum runs
+# over the DAY-count-sized aggregate in one ordered task — running state
+# on the aggregate, never on the fact stream.
+# ---------------------------------------------------------------------------
+def new_users_daily(sf_dir: str) -> ray.data.Dataset:
+    """(day, n_new_users, cum_users)."""
+    ds = _clean_read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        eday = pc.cast(
+            pc.cast(
+                pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.date32()),
+                pa.int32(),
+            ),
+            pa.int64(),
+        )
+        tb = pa.table({"user_id": t["user_id"], "_d": eday})
+        return tb.group_by("user_id").aggregate([("_d", "min")])
+
+    per_day = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("_d_min", alias_name="first_day"))
+        .groupby("first_day")
+        .aggregate(Count(alias_name="n_new_users"))
+        .repartition(1)  # day-count-sized
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("first_day", "ascending")])
+        n = pc.cast(t["n_new_users"], pa.int64())
+        cum = np.cumsum(n.to_numpy(zero_copy_only=False).astype(np.int64))
+        day = pc.cast(
+            pc.cast(pc.cast(t["first_day"], pa.int32()), pa.date32()),
+            pa.timestamp("us"),
+        )
+        return pa.table(
+            {
+                "day": day,
+                "n_new_users": n,
+                "cum_users": pa.array(cum, pa.int64()),
+            }
+        )
+
+    return per_day.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def new_users_daily_sql() -> str:
+    return """
+    WITH fs AS (
+        SELECT user_id, min(date_trunc('day', ts)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    nd AS (
+        SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new_users
+        FROM fs GROUP BY first_day
+    )
+    SELECT day, n_new_users,
+           CAST(sum(n_new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+    FROM nd
+    """
+
+
+# ---------------------------------------------------------------------------
+# Predicate pushdown at the read: the filter travels INTO read_parquet as
+# an Arrow dataset expression, so row groups whose l_shipdate statistics
+# exclude the range never leave storage — "prune at the read" as a
+# first-class operator, not a post-read filter.
+# ---------------------------------------------------------------------------
+PUSHDOWN_SHIP_FROM = "1995-09-01"
+PUSHDOWN_SHIP_TO = "1995-10-01"
+
+
+def filtered_scan(sf_dir: str) -> ray.data.Dataset:
+    """(l_returnflag, n_lines, revenue_cents) for one ship month — the
+    filter pushed into the parquet scan."""
+    import pyarrow.dataset as pads
+
+    lo = np.datetime64(PUSHDOWN_SHIP_FROM).astype("datetime64[us]")
+    hi = np.datetime64(PUSHDOWN_SHIP_TO).astype("datetime64[us]")
+    expr = (pads.field("l_shipdate") >= pa.scalar(lo)) & (
+        pads.field("l_shipdate") < pa.scalar(hi)
+    )
+    ds = _clean_read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_shipdate"],
+        filter=expr,
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "_cents": _cents(t["l_extendedprice"]),
+            }
+        )
+        return tb.group_by("l_returnflag").aggregate(
+            [("_cents", "count"), ("_cents", "sum")]
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("_cents_count", alias_name="n_lines"),
+            Sum("_cents_sum", alias_name="revenue_cents"),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "l_returnflag": t["l_returnflag"],
+                    "n_lines": pc.cast(t["n_lines"], pa.int64()),
+                    "revenue_cents": pc.cast(t["revenue_cents"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def filtered_scan_sql() -> str:
+    return f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{PUSHDOWN_SHIP_FROM}'
+      AND l_shipdate < TIMESTAMP '{PUSHDOWN_SHIP_TO}'
+    GROUP BY l_returnflag
+    """
