@@ -152,6 +152,27 @@ def _stage(module, name):
     return q
 
 
+def _pipeline_reshape(name):
+    def q(sf_dir: str):
+        from ifctordf_ray.pipelines import reshape
+
+        return getattr(reshape, name)(sf_dir)
+
+    return q
+
+
+def _pipeline_rangejoin(sf_dir: str):
+    from ifctordf_ray.pipelines.rangejoin import purchase_follow_events
+
+    return purchase_follow_events(sf_dir)
+
+
+def _pipeline_corpus_chunks(sf_dir: str):
+    from ifctordf_ray.pipelines.corpus import corpus_chunks
+
+    return corpus_chunks(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- KG construction (SURVEY.md §2.1-2.7) ---
@@ -193,6 +214,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_local_supplier_volume": _mj("local_supplier_volume"),
         "rel_revenue_rollup": _mj("revenue_rollup"),
         "rel_order_cube": _mj("order_status_priority_cube"),
+        "rel_volume_shipping": _mj("volume_shipping"),
+        "rel_market_share": _mj("market_share"),
+        "rel_product_profit": _mj("product_profit"),
+        "rel_top_supplier": _mj("top_supplier"),
+        "rel_disjunctive_revenue": _mj("disjunctive_revenue"),
+        "rel_purchase_follow_events": _pipeline_rangejoin,
+        "rel_user_type_unpivot": _pipeline_reshape("user_type_unpivot"),
+        "rel_priority_mode": _pipeline_reshape("nation_priority_mode"),
         # --- subquery-shaped analytics (Q4/Q10/Q17/Q18 analogs + funnel) ---
         "rel_returned_item_revenue": _sq("returned_item_revenue"),
         "rel_large_volume_orders": _sq("large_volume_orders"),
@@ -213,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": _stage("textstats", "stratified_sample"),
         "doc_chunks": _stage("chunking", "doc_chunks"),
         "doc_packed_sequences": _stage("chunking", "packed_sequences"),
+        "doc_corpus_chunks": _pipeline_corpus_chunks,
         "doc_tfidf_top_terms": _stage("terms", "tfidf_top_terms"),
         "doc_pii_screen": _stage("terms", "pii_screen"),
         "doc_hll_registers": _stage("sketches", "hll_registers"),
@@ -281,12 +311,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_media_features": _stage("multimodal", "media_features"),
         "mm_media_stats": _stage("multimodal", "media_stats"),
         "mm_media_thumbnails": _stage("multimodal", "media_thumbnails"),
+        "mm_audio_frames": _stage("multimodal", "audio_frames"),
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from ifctordf_ray import sql_oracle as O
     from ifctordf_ray.pipelines import multijoin as MJ
+    from ifctordf_ray.pipelines import reshape as RS
     from ifctordf_ray.pipelines import relational as R
     from ifctordf_ray.pipelines import subqueries as SQ
     from ifctordf_ray.stages import chunking as CH
@@ -338,6 +370,16 @@ def oracle_sql() -> dict[str, str]:
         "rel_local_supplier_volume": MJ.local_supplier_volume_sql(),
         "rel_revenue_rollup": MJ.revenue_rollup_sql(),
         "rel_order_cube": MJ.order_status_priority_cube_sql(),
+        "rel_volume_shipping": MJ.volume_shipping_sql(),
+        "rel_market_share": MJ.market_share_sql(),
+        "rel_product_profit": MJ.product_profit_sql(),
+        "rel_top_supplier": MJ.top_supplier_sql(),
+        "rel_disjunctive_revenue": MJ.disjunctive_revenue_sql(),
+        "rel_purchase_follow_events": __import__(
+            "ifctordf_ray.pipelines.rangejoin", fromlist=["purchase_follow_events_sql"]
+        ).purchase_follow_events_sql(),
+        "rel_user_type_unpivot": RS.user_type_unpivot_sql(),
+        "rel_priority_mode": RS.nation_priority_mode_sql(),
         "rel_returned_item_revenue": SQ.returned_item_revenue_sql(),
         "rel_large_volume_orders": SQ.large_volume_orders_sql(),
         "rel_small_quantity_revenue": SQ.small_quantity_revenue_sql(),
@@ -356,6 +398,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_stratified_sample": T.stratified_sample_sql(),
         "doc_chunks": CH.doc_chunks_sql(),
         "doc_packed_sequences": CH.packed_sequences_sql(),
+        "doc_corpus_chunks": __import__(
+            "ifctordf_ray.pipelines.corpus", fromlist=["corpus_chunks_sql"]
+        ).corpus_chunks_sql(),
         "doc_tfidf_top_terms": TERMS.tfidf_top_terms_sql(),
         "doc_pii_screen": TERMS.pii_screen_sql(),
         "doc_hll_registers": SK.hll_registers_sql(),
@@ -426,4 +471,5 @@ def oracle_sql() -> dict[str, str]:
         # aggregates the same integer statistics.
         "mm_media_features": MM.media_features_sql(),
         "mm_media_thumbnails": MM.media_thumbnails_sql(),
+        "mm_audio_frames": MM.audio_frames_sql(),
     }

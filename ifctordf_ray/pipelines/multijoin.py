@@ -437,3 +437,671 @@ def order_status_priority_cube_sql() -> str:
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """
+
+
+# ---------------------------------------------------------------------------
+# Q7-style: volume shipping between two nations, by ship year
+# ---------------------------------------------------------------------------
+NATION_A = "NATION_18"
+NATION_B = "NATION_19"
+
+
+def volume_shipping(
+    sf_dir: str, nation_a: str = NATION_A, nation_b: str = NATION_B
+) -> ray.data.Dataset:
+    """(supp_nation, cust_nation, ship_year, revenue_cents) for lineitems
+    shipped between the two nations, both directions (TPC-H Q7 analog).
+    Physical plan: BOTH fact sides are pre-filtered to the two nations
+    (selectivity 2/|nations|) via thresholded dimension attaches BEFORE
+    the one distributed lineitem x orders hash join — at 100 TB the
+    exchange moves ~8% of the rows a join-then-filter plan would."""
+    from ifctordf_ray.functions.kernels import join_ready
+    from ifctordf_ray.tuning import join_kwargs
+
+    li = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "ship_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+                "revenue_cents": _cents(
+                    pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+                ),
+            }
+        )
+
+    li = attach_dimension(
+        li.map_batches(prep, batch_format="pyarrow"),
+        f"{sf_dir}/supplier.parquet",
+        key_col="s_suppkey",
+        probe_col="l_suppkey",
+        val_cols=["s_nationkey"],
+    )
+    li = attach_dimension(
+        li,
+        f"{sf_dir}/nation.parquet",
+        key_col="n_nationkey",
+        probe_col="s_nationkey",
+        val_cols=["n_name"],
+    )
+
+    def li_filter(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.is_in(t["n_name"], pa.array([nation_a, nation_b])))
+        return pa.table(
+            {
+                "l_orderkey": f["l_orderkey"],
+                "supp_nation": f["n_name"],
+                "ship_year": f["ship_year"],
+                "revenue_cents": f["revenue_cents"],
+            }
+        )
+
+    # both join inputs are heavily FILTERED (2/|nations| selectivity), so
+    # either can emit empty blocks -> join_ready armor with DISTINCT
+    # sentinel keys (-1 vs -2: a shared sentinel would join with itself)
+    li = join_ready(
+        li.map_batches(li_filter, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("supp_nation", pa.string()),
+                ("ship_year", pa.int64()),
+                ("revenue_cents", pa.int64()),
+            ]
+        ),
+        sentinel_row={
+            "l_orderkey": -1,
+            "supp_nation": "",
+            "ship_year": 0,
+            "revenue_cents": 0,
+        },
+    )
+
+    orders = _read(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    orders = attach_dimension(
+        orders,
+        f"{sf_dir}/customer.parquet",
+        key_col="c_custkey",
+        probe_col="o_custkey",
+        val_cols=["c_nationkey"],
+    )
+    orders = attach_dimension(
+        orders,
+        f"{sf_dir}/nation.parquet",
+        key_col="n_nationkey",
+        probe_col="c_nationkey",
+        val_cols=["n_name"],
+    )
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.is_in(t["n_name"], pa.array([nation_a, nation_b])))
+        return pa.table({"o_orderkey": f["o_orderkey"], "cust_nation": f["n_name"]})
+
+    orders = join_ready(
+        orders.map_batches(o_filter, batch_format="pyarrow"),
+        pa.schema([("o_orderkey", pa.int64()), ("cust_nation", pa.string())]),
+        sentinel_row={"o_orderkey": -2, "cust_nation": ""},
+    )
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        **join_kwargs(),
+    )
+
+    def cross_only(t: pa.Table) -> pa.Table:
+        keep = pc.or_(
+            pc.and_(
+                pc.equal(t["supp_nation"], nation_a),
+                pc.equal(t["cust_nation"], nation_b),
+            ),
+            pc.and_(
+                pc.equal(t["supp_nation"], nation_b),
+                pc.equal(t["cust_nation"], nation_a),
+            ),
+        )
+        f = t.filter(keep)
+        return pa.table(
+            {
+                "supp_nation": f["supp_nation"],
+                "cust_nation": f["cust_nation"],
+                "ship_year": f["ship_year"],
+                "revenue_cents": f["revenue_cents"],
+            }
+        )
+
+    return (
+        joined.map_batches(cross_only, batch_format="pyarrow")
+        .groupby(["supp_nation", "cust_nation", "ship_year"])
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+
+def volume_shipping_sql(nation_a: str = NATION_A, nation_b: str = NATION_B) -> str:
+    return f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    WHERE (ns.n_name = '{nation_a}' AND nc.n_name = '{nation_b}')
+       OR (ns.n_name = '{nation_b}' AND nc.n_name = '{nation_a}')
+    GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Q8-style: target nation's market share of one part type inside a region
+# ---------------------------------------------------------------------------
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_2"
+Q8_PTYPE = "ECONOMY"
+
+
+def market_share(
+    sf_dir: str,
+    region: str = Q8_REGION,
+    target_nation: str = Q8_NATION,
+    ptype: str = Q8_PTYPE,
+) -> ray.data.Dataset:
+    """(order_year, target_cents, total_cents, mkt_share): the target
+    nation's supplier share of revenue for one part type sold into one
+    region (TPC-H Q8 analog).  The lineitem side is pruned by the part
+    dimension FILTER (p_type) before the fact-fact join; customer/nation/
+    region prune the orders side, so the exchange carries only matching
+    rows of both facts."""
+    from ifctordf_ray.functions.kernels import join_ready
+    from ifctordf_ray.tuning import join_kwargs
+
+    li = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_partkey": t["l_partkey"],
+                "l_suppkey": t["l_suppkey"],
+                "revenue_cents": _cents(
+                    pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+                ),
+            }
+        )
+
+    li = attach_dimension(
+        li.map_batches(prep, batch_format="pyarrow"),
+        f"{sf_dir}/part.parquet",
+        key_col="p_partkey",
+        probe_col="l_partkey",
+        val_cols=["p_type"],
+    )
+    def type_filter(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["p_type"], ptype))
+        return pa.table(
+            {
+                "l_orderkey": f["l_orderkey"],
+                "l_suppkey": f["l_suppkey"],
+                "revenue_cents": f["revenue_cents"],
+            }
+        )
+
+    li = li.map_batches(type_filter, batch_format="pyarrow")
+    li = attach_dimension(
+        li,
+        f"{sf_dir}/supplier.parquet",
+        key_col="s_suppkey",
+        probe_col="l_suppkey",
+        val_cols=["s_nationkey"],
+    )
+    li = attach_dimension(
+        li,
+        f"{sf_dir}/nation.parquet",
+        key_col="n_nationkey",
+        probe_col="s_nationkey",
+        val_cols=["n_name"],
+    )
+    li = li.map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "supp_nation": t["n_name"],
+                "revenue_cents": t["revenue_cents"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    orders = _read(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    orders = attach_dimension(
+        orders,
+        f"{sf_dir}/customer.parquet",
+        key_col="c_custkey",
+        probe_col="o_custkey",
+        val_cols=["c_nationkey"],
+    )
+    orders = attach_dimension(
+        orders,
+        f"{sf_dir}/nation.parquet",
+        key_col="n_nationkey",
+        probe_col="c_nationkey",
+        val_cols=["n_regionkey"],
+    )
+    orders = attach_dimension(
+        orders,
+        f"{sf_dir}/region.parquet",
+        key_col="r_regionkey",
+        probe_col="n_regionkey",
+        val_cols=["r_name"],
+    )
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["r_name"], region))
+        return pa.table(
+            {
+                "o_orderkey": f["o_orderkey"],
+                "order_year": pc.cast(pc.year(f["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    # both inputs are filtered (p_type / region) -> join_ready with
+    # distinct sentinels (-1 / -2; a shared key would self-join)
+    li = join_ready(
+        li,
+        pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("supp_nation", pa.string()),
+                ("revenue_cents", pa.int64()),
+            ]
+        ),
+        sentinel_row={"l_orderkey": -1, "supp_nation": "", "revenue_cents": 0},
+    )
+    orders = join_ready(
+        orders.map_batches(o_filter, batch_format="pyarrow"),
+        pa.schema([("o_orderkey", pa.int64()), ("order_year", pa.int64())]),
+        sentinel_row={"o_orderkey": -2, "order_year": 0},
+    )
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        **join_kwargs(),
+    )
+
+    def split(t: pa.Table) -> pa.Table:
+        tgt = pc.if_else(
+            pc.equal(t["supp_nation"], target_nation),
+            t["revenue_cents"],
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.table(
+            {
+                "order_year": t["order_year"],
+                "target_cents": tgt,
+                "total_cents": t["revenue_cents"],
+            }
+        )
+
+    agg = (
+        joined.map_batches(split, batch_format="pyarrow")
+        .groupby("order_year")
+        .aggregate(
+            Sum("target_cents", alias_name="target_cents"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: t.append_column(
+            "mkt_share",
+            pc.divide(
+                pc.cast(t["target_cents"], pa.float64()),
+                pc.cast(t["total_cents"], pa.float64()),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def market_share_sql(
+    region: str = Q8_REGION, target_nation: str = Q8_NATION, ptype: str = Q8_PTYPE
+) -> str:
+    return f"""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+           CAST(sum(CASE WHEN ns.n_name = '{target_nation}' THEN cents ELSE 0 END) AS BIGINT) AS target_cents,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(sum(CASE WHEN ns.n_name = '{target_nation}' THEN cents ELSE 0 END) AS DOUBLE) / sum(cents) AS mkt_share
+    FROM (
+        SELECT l_orderkey, l_suppkey,
+               CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type = '{ptype}'
+    ) l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    JOIN region r   ON nc.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{region}'
+    GROUP BY year(o.o_orderdate)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Q9-style: product profit by supplier nation and order year
+# ---------------------------------------------------------------------------
+Q9_NAME_SUBSTR = "red"
+
+
+def product_profit(sf_dir: str, name_substr: str = Q9_NAME_SUBSTR) -> ray.data.Dataset:
+    """(n_name, order_year, profit_cents) for parts whose name contains
+    ``name_substr`` (TPC-H Q9 analog; the input hint has no partsupp
+    table, so supply cost is taken as p_retailprice — same join/aggregate
+    shape, different cost column).  profit = extprice*(1-disc) -
+    retailprice*qty, in exact integer cents.  Part prunes the fact before
+    the one lineitem x orders exchange."""
+    from ifctordf_ray.functions.kernels import join_ready
+    from ifctordf_ray.tuning import join_kwargs
+
+    li = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+    li = attach_dimension(
+        li,
+        f"{sf_dir}/part.parquet",
+        key_col="p_partkey",
+        probe_col="l_partkey",
+        val_cols=["p_name", "p_retailprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.match_substring(t["p_name"], name_substr))
+        profit = pc.subtract(
+            _cents(pc.multiply(f["l_extendedprice"], pc.subtract(1.0, f["l_discount"]))),
+            _cents(pc.multiply(f["p_retailprice"], f["l_quantity"])),
+        )
+        return pa.table(
+            {
+                "l_orderkey": f["l_orderkey"],
+                "l_suppkey": f["l_suppkey"],
+                "profit_cents": profit,
+            }
+        )
+
+    li = attach_dimension(
+        li.map_batches(prep, batch_format="pyarrow"),
+        f"{sf_dir}/supplier.parquet",
+        key_col="s_suppkey",
+        probe_col="l_suppkey",
+        val_cols=["s_nationkey"],
+    )
+    li = attach_dimension(
+        li,
+        f"{sf_dir}/nation.parquet",
+        key_col="n_nationkey",
+        probe_col="s_nationkey",
+        val_cols=["n_name"],
+    )
+
+    # the li side is filtered by part-name substring -> empty blocks
+    # possible; project to the join schema and arm it (orders side is an
+    # unfiltered map, never empty)
+    li = join_ready(
+        li.map_batches(
+            lambda t: pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "n_name": t["n_name"],
+                    "profit_cents": t["profit_cents"],
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("n_name", pa.string()),
+                ("profit_cents", pa.int64()),
+            ]
+        ),
+        sentinel_row={"l_orderkey": -1, "n_name": "", "profit_cents": 0},
+    )
+
+    orders = _read(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "order_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = li.join(
+        orders,
+        join_type="inner",
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        **join_kwargs(),
+    )
+    return (
+        joined.map_batches(
+            lambda t: pa.table(
+                {
+                    "n_name": t["n_name"],
+                    "order_year": t["order_year"],
+                    "profit_cents": t["profit_cents"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["n_name", "order_year"])
+        .aggregate(Sum("profit_cents", alias_name="profit_cents"))
+    )
+
+
+def product_profit_sql(name_substr: str = Q9_NAME_SUBSTR) -> str:
+    return f"""
+    SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+           CAST(sum(
+             CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)
+             - CAST(floor(p.p_retailprice * l.l_quantity * 100.0 + 0.5) AS BIGINT)
+           ) AS BIGINT) AS profit_cents
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE contains(p.p_name, '{name_substr}')
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Q15-style: top supplier(s) by revenue inside one ship-date quarter
+# ---------------------------------------------------------------------------
+Q15_START = "1996-01-01"
+Q15_END = "1996-04-01"
+
+
+def top_supplier(
+    sf_dir: str, start: str = Q15_START, end: str = Q15_END
+) -> ray.data.Dataset:
+    """(s_suppkey, s_name, total_revenue_cents) of the supplier(s) whose
+    quarterly revenue equals the global max — ties all kept (TPC-H Q15).
+    Physical plan: pruned fact scan -> per-supplier groupby (output is
+    |supplier|-sized, NOT fact-sized) -> that small aggregate is
+    materialized once and reused for the global max + the equality
+    filter; supplier names attach via the thresholded dimension probe."""
+    import datetime as _dt
+
+    lo = _dt.datetime.fromisoformat(start)
+    hi = _dt.datetime.fromisoformat(end)
+    li = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+            pc.less(t["l_shipdate"], pa.scalar(hi)),
+        )
+        f = t.filter(keep)
+        return pa.table(
+            {
+                "l_suppkey": f["l_suppkey"],
+                "revenue_cents": _cents(
+                    pc.multiply(f["l_extendedprice"], pc.subtract(1.0, f["l_discount"]))
+                ),
+            }
+        )
+
+    rev = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("revenue_cents", alias_name="total_revenue_cents"))
+        .materialize()  # |supplier|-sized (two consumers: max + filter)
+    )
+    best = rev.max("total_revenue_cents")
+
+    def keep_best(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["total_revenue_cents"], pa.scalar(best, pa.int64())))
+        return pa.table(
+            {
+                "s_suppkey": pc.cast(f["l_suppkey"], pa.int64()),
+                "total_revenue_cents": f["total_revenue_cents"],
+            }
+        )
+
+    out = rev.map_batches(keep_best, batch_format="pyarrow")
+    out = attach_dimension(
+        out,
+        f"{sf_dir}/supplier.parquet",
+        key_col="s_suppkey",
+        probe_col="s_suppkey",
+        val_cols=["s_name"],
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": t["s_suppkey"],
+                "s_name": t["s_name"],
+                "total_revenue_cents": t["total_revenue_cents"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def top_supplier_sql(start: str = Q15_START, end: str = Q15_END) -> str:
+    return f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_revenue_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{start}' AND l_shipdate < TIMESTAMP '{end}'
+        GROUP BY l_suppkey
+    )
+    SELECT CAST(rev.l_suppkey AS BIGINT) AS s_suppkey, s.s_name, rev.total_revenue_cents
+    FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+    WHERE rev.total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Q19-style: disjunctive brand/size/quantity predicate revenue
+# ---------------------------------------------------------------------------
+Q19_BANDS = (
+    ("Brand#1", 1, 10, 1.0, 15.0),
+    ("Brand#2", 1, 20, 10.0, 25.0),
+    ("Brand#3", 1, 30, 20.0, 35.0),
+)
+
+
+def disjunctive_revenue(sf_dir: str, bands=Q19_BANDS):
+    """One-row (revenue_cents,) over three OR'd (brand, size range,
+    quantity range) predicate bands (TPC-H Q19 analog).  The whole
+    disjunction evaluates as vectorized Arrow masks inside one
+    map_batches after the part attach; the global sum is an aggregate,
+    never a driver-side row loop."""
+    import pandas as pd
+
+    li = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    li = attach_dimension(
+        li,
+        f"{sf_dir}/part.parquet",
+        key_col="p_partkey",
+        probe_col="l_partkey",
+        val_cols=["p_brand", "p_size"],
+    )
+
+    def mask(t: pa.Table) -> pa.Table:
+        keep = None
+        for brand, size_lo, size_hi, qty_lo, qty_hi in bands:
+            m = pc.and_(
+                pc.and_(
+                    pc.equal(t["p_brand"], brand),
+                    pc.and_(
+                        pc.greater_equal(pc.cast(t["p_size"], pa.int64()), size_lo),
+                        pc.less_equal(pc.cast(t["p_size"], pa.int64()), size_hi),
+                    ),
+                ),
+                pc.and_(
+                    pc.greater_equal(t["l_quantity"], qty_lo),
+                    pc.less_equal(t["l_quantity"], qty_hi),
+                ),
+            )
+            keep = m if keep is None else pc.or_(keep, m)
+        f = t.filter(keep)
+        return pa.table(
+            {
+                "revenue_cents": _cents(
+                    pc.multiply(f["l_extendedprice"], pc.subtract(1.0, f["l_discount"]))
+                )
+            }
+        )
+
+    total = li.map_batches(mask, batch_format="pyarrow").sum("revenue_cents")
+    return pd.DataFrame({"revenue_cents": [int(total or 0)]})
+
+
+def disjunctive_revenue_sql(bands=Q19_BANDS) -> str:
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}"
+        f" AND l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in bands
+    )
+    return f"""
+    SELECT CAST(coalesce(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)), 0) AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE {ors}
+    """

@@ -67,6 +67,19 @@ class Chunker:
         )
 
 
+_TASK_CHUNKER = Chunker()
+
+
+def chunk_batch(t: pa.Table) -> pa.Table:
+    """Task-pool form of Chunker (stateless default geometry): use in
+    pipelines that already hold actor pools + join aggregators, where one
+    more RESERVED actor CPU would deadlock a small session (the 4-CPU
+    corpus-build hang: 2 join aggregator pools + FunnelScorer + a Chunker
+    actor pinned every CPU, leaving none for the map tasks feeding
+    them)."""
+    return _TASK_CHUNKER(t)
+
+
 def doc_chunks(sf_dir: str) -> ray.data.Dataset:
     ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(Chunker, batch_format="pyarrow", concurrency=(1, 4))

@@ -573,3 +573,95 @@ UNION ALL
 SELECT doc_id, 'audio', CAST({wav_bytes} AS BIGINT), out_md5
 FROM wav
 """
+
+
+# ---------------------------------------------------------------------------
+# frame sampling: audio -> fixed windows, per-frame integer stats
+# ---------------------------------------------------------------------------
+FRAME_LEN = 32
+N_FRAMES = WAV_N // FRAME_LEN  # 4
+
+
+class AudioFramer:
+    """Actor-pool frame-sample stage: REAL WAV decode -> reshape into
+    N_FRAMES fixed windows -> one row per (item, frame) with exact
+    integer stats (sum|s|, peak |s|, in-frame zero crossings).  The
+    frame-sample analog for video keyframe extraction on the audio
+    modality; binary batches stay small (see module scale notes)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        items, frames, sums, peaks, zcs = [], [], [], [], []
+        for item, payload in zip(
+            batch["item_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            _, s = decode_wav(payload)
+            f = s.astype(np.int64).reshape(N_FRAMES, FRAME_LEN)
+            neg = f < 0
+            zc_per = (neg[:, 1:] != neg[:, :-1]).sum(axis=1)
+            a = np.abs(f)
+            for k in range(N_FRAMES):
+                items.append(item)
+                frames.append(k)
+                sums.append(int(a[k].sum()))
+                peaks.append(int(a[k].max()))
+                zcs.append(int(zc_per[k]))
+        return pa.table(
+            {
+                "item_id": pa.array(items, pa.int64()),
+                "frame_idx": pa.array(frames, pa.int64()),
+                "sum_abs": pa.array(sums, pa.int64()),
+                "peak": pa.array(peaks, pa.int64()),
+                "n_zero_cross": pa.array(zcs, pa.int64()),
+            }
+        )
+
+
+def audio_frames(sf_dir: str, batch_size: int = 64) -> ray.data.Dataset:
+    """queries() entry: frame-sample every derived audio item (odd
+    doc_id) into N_FRAMES windows with exact per-frame integer stats."""
+    media = media_from_documents(sf_dir)
+
+    def audio_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["media_type"], "audio"))
+
+    return media.map_batches(audio_only, batch_format="pyarrow").map_batches(
+        AudioFramer,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 4),
+        max_restarts=0,  # silence ray#53727 actor-restart warning
+    )
+
+
+def audio_frames_sql() -> str:
+    """Exact replica: rebuild the sample stream from text (same canon +
+    padding + center/scale as text_to_wav), window by (i-1) / FRAME_LEN,
+    count in-frame sign changes with a per-(doc, frame) lag."""
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           regexp_replace(coalesce(text, ''), '[^ -~]', ' ', 'g') AS txt
+    FROM documents
+),
+ab AS (
+    SELECT doc_id, i,
+           CAST((i - 1) // {FRAME_LEN} AS BIGINT) AS frame_idx,
+           (CASE WHEN i <= length(txt) THEN unicode(substr(txt, i, 1))
+                 ELSE {PAD_BYTE} END - {0x61}) * 256 AS s
+    FROM t CROSS JOIN (SELECT unnest(range(1, {WAV_N + 1})) AS i)
+    WHERE doc_id % 2 = 1
+),
+aw AS (
+    SELECT doc_id, frame_idx, s,
+           lag(s) OVER (PARTITION BY doc_id, frame_idx ORDER BY i) AS ls
+    FROM ab
+)
+SELECT doc_id AS item_id, frame_idx,
+       CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+       CAST(max(abs(s)) AS BIGINT) AS peak,
+       CAST(sum(CASE WHEN ls IS NOT NULL AND (s < 0) != (ls < 0)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
+FROM aw GROUP BY doc_id, frame_idx
+"""

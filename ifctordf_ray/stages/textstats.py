@@ -40,7 +40,8 @@ FALLBACK_LANG = "und"  # no marker hit at all
 
 
 class TokenCounter:
-    def __init__(self):
+    def __init__(self, keep_text: bool = False):
+        self.keep_text = keep_text
         self.token_re = re.compile(TOKEN_RE)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -75,7 +76,8 @@ class QualityScorer:
     Ratios are quotients of identical integers on both sides -> exact
     float parity."""
 
-    def __init__(self):
+    def __init__(self, keep_text: bool = False):
+        self.keep_text = keep_text
         self.token_re = re.compile(TOKEN_RE)
         self.digit_re = re.compile(DIGIT_RE)
         self.punct_re = re.compile(PUNCT_RE)
@@ -345,7 +347,8 @@ class FunnelScorer:
     id and the canonical fingerprint — four operators' worth of state
     compiled once per worker, one traversal per batch."""
 
-    def __init__(self):
+    def __init__(self, keep_text: bool = False):
+        self.keep_text = keep_text
         self.token_re = re.compile(TOKEN_RE)
         self.stop_re = re.compile(STOP_RE)
         self.ws_re = re.compile(r"\s+")
@@ -372,15 +375,16 @@ class FunnelScorer:
             fps.append(
                 hashlib.md5(self.ws_re.sub(" ", low).encode("utf-8")).hexdigest()
             )
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "n_tokens": pa.array(n_tok, pa.int64()),
-                "stop_ratio": pa.array(ratios, pa.float64()),
-                "pred_lang": pa.array(langs, pa.string()),
-                "fingerprint": pa.array(fps, pa.string()),
-            }
-        )
+        cols = {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "stop_ratio": pa.array(ratios, pa.float64()),
+            "pred_lang": pa.array(langs, pa.string()),
+            "fingerprint": pa.array(fps, pa.string()),
+        }
+        if self.keep_text:
+            cols["text"] = batch["text"]
+        return pa.table(cols)
 
 
 def training_funnel(
@@ -389,14 +393,23 @@ def training_funnel(
     min_stop_ratio: float = FUNNEL_MIN_STOP_RATIO,
     lang: str = FUNNEL_LANG,
     num_partitions: int | None = None,
+    with_text: bool = False,
 ) -> ray.data.Dataset:
-    """(doc_id, n_tokens) of the docs that survive the funnel: quality
+    """(doc_id, n_tokens[, text]) of the docs that survive the funnel: quality
     (token count + stopword ratio) AND language AND exact dedup among
     the filtered survivors (keeper = min doc_id per fingerprint —
     dedup runs AFTER filtering, as a real corpus build orders it).
     Physical shape: fused scoring map -> filter -> keeper groupby ->
     join back (join_ready-armored; the groupby side can emit
-    empty-schema partitions)."""
+    empty-schema partitions).
+
+    ``with_text=True`` threads the document TEXT through the ONE
+    existing join instead of letting callers add a second text
+    join-back: two chained joins' aggregator pools plus this stage's
+    autoscaling actor pool pin every CPU of a small session and
+    deadlock it (observed at num_cpus=4 in the corpus build) — and at
+    any scale one exchange of the text is strictly cheaper than two.
+    The keeper groupby always runs on a text-FREE projection."""
     from ifctordf_ray.functions.kernels import join_ready
     from ifctordf_ray.tuning import join_kwargs
     from ray.data.aggregate import Min as _Min
@@ -404,7 +417,13 @@ def training_funnel(
     ds = _clean_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    scored = ds.map_batches(FunnelScorer, batch_format="pyarrow", concurrency=(1, 4))
+    scored = ds.map_batches(
+        FunnelScorer,
+        fn_constructor_kwargs={"keep_text": with_text},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        max_restarts=0,
+    )
 
     def flt(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -416,11 +435,18 @@ def training_funnel(
             ),
             pc.equal(t["pred_lang"], lang),
         )
-        return t.filter(keep).select(["doc_id", "n_tokens", "fingerprint"])
+        cols = ["doc_id", "n_tokens", "fingerprint"]
+        if with_text:
+            cols.append("text")
+        return t.filter(keep).select(cols)
 
     survivors = scored.map_batches(flt, batch_format="pyarrow")
+    # keeper groupby over a text-free projection (never shuffle text here)
+    keeper_in = survivors.map_batches(
+        lambda t: t.select(["doc_id", "fingerprint"]), batch_format="pyarrow"
+    )
     keepers = join_ready(
-        survivors.groupby("fingerprint").aggregate(
+        keeper_in.groupby("fingerprint").aggregate(
             _Min("doc_id", alias_name="keep_doc_id")
         ).map_batches(
             lambda t: pa.table(
@@ -439,9 +465,10 @@ def training_funnel(
     def keep_first(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return t.filter(pc.equal(t["doc_id"], t["keep_doc_id"])).select(
-            ["doc_id", "n_tokens"]
-        )
+        cols = ["doc_id", "n_tokens"]
+        if with_text:
+            cols.append("text")
+        return t.filter(pc.equal(t["doc_id"], t["keep_doc_id"])).select(cols)
 
     return joined.map_batches(keep_first, batch_format="pyarrow")
 

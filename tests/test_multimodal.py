@@ -111,3 +111,30 @@ def test_media_transform_real_containers():
     )
     assert out[0]["out_bytes"] == len(exp)
     assert out[0]["out_md5"] == hashlib.md5(exp.hex().encode()).hexdigest()
+
+
+def test_audio_frames_parity(sf_small):
+    import duckdb
+    import pandas as pd
+
+    from ifctordf_ray.stages.multimodal import (
+        FRAME_LEN,
+        N_FRAMES,
+        audio_frames,
+        audio_frames_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_small}/documents.parquet')"
+    )
+    a = audio_frames(sf_small).to_pandas()
+    b = con.execute(audio_frames_sql()).df()
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True).astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b)
+    # every audio item emits exactly N_FRAMES frames, peaks bounded by int16 scale
+    assert (a.groupby("item_id").frame_idx.count() == N_FRAMES).all()
+    assert (a.peak <= 32768).all() and (a.n_zero_cross < FRAME_LEN).all()
