@@ -304,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_quantized_codes": _stage("similarity", "quantized_codes"),
         "emb_dim_covariance": _stage("similarity", "dim_covariance"),
         "emb_kmeans_assign": _stage("similarity", "kmeans_assign"),
+        "emb_kmeans_train": _stage("similarity", "kmeans_train"),
         "emb_pq_codes": _stage("similarity", "pq_codes"),
         "emb_knn_recall": _stage("similarity", "knn_recall"),
         "kg_conv_role_sequence": _stage("graphq", "conv_role_sequence"),
@@ -462,6 +463,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_quantized_codes": SIM.quantized_codes_sql(),
         "emb_dim_covariance": SIM.dim_covariance_sql(),
         "emb_kmeans_assign": SIM.kmeans_assign_sql(),
+        "emb_kmeans_train": SIM.kmeans_train_sql(),
         "emb_pq_codes": SIM.pq_codes_sql(),
         "emb_knn_recall": SIM.knn_recall_sql(),
         "kg_conv_role_sequence": GQ.conv_role_sequence_sql(),

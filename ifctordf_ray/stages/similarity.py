@@ -1460,3 +1460,162 @@ def centroid_similarity_sql() -> str:
            CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END AS cosine
     FROM p
     """
+
+
+# ---------------------------------------------------------------------------
+# Iterative k-means (Lloyd) training: the distributed ML training loop.
+# Each round is one streaming pass over the corpus (assign + per-cluster
+# partial sums fused in ONE map stage, then a k-row groupby); the only
+# driver-side state is the k x d centroid matrix (re-broadcast via
+# ray.put each round).  Centroids are re-QUANTIZED to integers after
+# every mean so distances stay exact int64 and the unrolled SQL oracle
+# reproduces the whole trajectory bit-for-bit (sum(qv) < 2^53 is exact
+# in DOUBLE, so floor(sum/cnt + 0.5) matches numpy's identical
+# expression).  Empty clusters keep their previous centroid in BOTH
+# engines (COALESCE arm in the SQL).
+# ---------------------------------------------------------------------------
+KMEANS_ITERS = 2
+
+
+class _KmeansPartials:
+    """Fused assign + combine: per batch, per-cluster qv sums and counts
+    (k x (d+1) partial rows) — the map-side pre-aggregation that keeps
+    the per-round exchange k-sized instead of corpus-sized."""
+
+    def __init__(self, cent_ref):
+        self.cent_q = ray.get(cent_ref)  # (K, d) int64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        embs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        q = np.floor(embs * COV_Q + 0.5).astype(np.int64)
+        d = ((q[:, None, :] - self.cent_q[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        k = self.cent_q.shape[0]
+        onehot = np.zeros((len(q), k), dtype=np.int64)
+        onehot[np.arange(len(q)), assign] = 1
+        sums = onehot.T @ q                      # (K, d)
+        cnts = onehot.sum(axis=0)                # (K,)
+        cols = {"cluster": pa.array(np.arange(k, dtype=np.int64), pa.int64())}
+        for i in range(q.shape[1]):
+            cols[f"s{i}"] = pa.array(sums[:, i], pa.int64())
+        cols["cnt"] = pa.array(cnts, pa.int64())
+        return pa.table(cols)
+
+
+def kmeans_train(
+    sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> ray.data.Dataset:
+    """(vec_id, cluster, dist): assignment after ``iters`` Lloyd centroid
+    updates from the deterministic seeds (k lowest vec_ids).  Per round:
+    one streaming corpus pass -> k partial rows per block -> Sum groupby
+    -> driver updates the k x d integer centroid matrix.  Nothing
+    corpus-sized ever reaches the driver."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ids, mat = _load_queries(sf_dir, k)
+    cent_q = np.floor(mat * COV_Q + 0.5).astype(np.int64)
+
+    for _ in range(iters):
+        ref = ray.put(cent_q)
+        ds = _clean_read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        partials = ds.map_batches(
+            _KmeansPartials,
+            fn_constructor_kwargs={"cent_ref": ref},
+            max_restarts=0,  # ObjectRef constructor arg (ray#53727 warning)
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        aggs = [_Sum(f"s{i}", alias_name=f"s{i}") for i in range(EMB_DIM)]
+        aggs.append(_Sum("cnt", alias_name="cnt"))
+        rows = partials.groupby("cluster").aggregate(*aggs).take_all()  # k rows
+        new_q = cent_q.copy()
+        for r in rows:
+            c, n = int(r["cluster"]), int(r["cnt"])
+            if n == 0:
+                continue  # empty cluster keeps its previous centroid
+            s = np.array([r[f"s{i}"] for i in range(EMB_DIM)], dtype=np.float64)
+            new_q[c] = np.floor(s / n + 0.5).astype(np.int64)
+        cent_q = new_q
+
+    ref = ray.put((ids.astype(np.float64), cent_q.astype(np.float64) / COV_Q))
+    ds = _clean_read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ds.map_batches(
+        _KmeansAssign,
+        fn_constructor_kwargs={"cent_ref": ref},
+        max_restarts=0,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+def kmeans_train_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """Unrolled Lloyd trajectory: cent_0 = quantized seeds; per round t,
+    a_{t} assigns against cent_{t-1} and cent_t re-quantizes the cluster
+    means (COALESCE keeps empty clusters' previous centroids)."""
+    parts = [
+        f"""q AS (
+        SELECT vec_id, CAST(t.i AS BIGINT) AS i,
+               CAST(floor(CAST(embedding[CAST(t.i + 1 AS INTEGER)] AS DOUBLE)
+                          * {COV_Q} + 0.5) AS BIGINT) AS qv
+        FROM embeddings CROSS JOIN (SELECT unnest(range({EMB_DIM})) AS i) t
+    )""",
+        f"""seeds AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+    )""",
+        """cent_0 AS (
+        SELECT s.cluster, q.i, q.qv FROM seeds s JOIN q ON q.vec_id = s.vec_id
+    )""",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"cent_{t - 1}"
+        parts.append(
+            f"""d_{t} AS (
+        SELECT q.vec_id, c.cluster,
+               CAST(sum((q.qv - c.qv) * (q.qv - c.qv)) AS BIGINT) AS dist
+        FROM q JOIN {prev} c ON q.i = c.i
+        GROUP BY q.vec_id, c.cluster
+    )""")
+        parts.append(
+            f"""a_{t} AS (
+        SELECT vec_id, cluster FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cluster) AS rn
+            FROM d_{t}
+        ) WHERE rn = 1
+    )""")
+        parts.append(
+            f"""m_{t} AS (
+        SELECT a.cluster, q.i,
+               CAST(floor(CAST(sum(q.qv) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+                   AS qc
+        FROM a_{t} a JOIN q ON q.vec_id = a.vec_id
+        GROUP BY a.cluster, q.i
+    )""")
+        parts.append(
+            f"""cent_{t} AS (
+        SELECT c.cluster, c.i, COALESCE(m.qc, c.qv) AS qv
+        FROM {prev} c LEFT JOIN m_{t} m
+          ON m.cluster = c.cluster AND m.i = c.i
+    )""")
+    final = iters + 1
+    parts.append(
+        f"""d_{final} AS (
+        SELECT q.vec_id, c.cluster,
+               CAST(sum((q.qv - c.qv) * (q.qv - c.qv)) AS BIGINT) AS dist
+        FROM q JOIN cent_{iters} c ON q.i = c.i
+        GROUP BY q.vec_id, c.cluster
+    )""")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cluster) AS rn
+        FROM d_{final}
+    ) WHERE rn = 1
+    """

@@ -71,3 +71,31 @@ def test_knn_ivf_recall_and_sim_parity():
         key = (r["query_id"], r["neighbor_id"])
         if key in sim_e:
             assert r["sim"] == sim_e[key]
+
+
+def test_kmeans_train_parity(sf_small):
+    """Iterative Lloyd training: the full 2-update trajectory matches the
+    unrolled SQL oracle bit-for-bit (quantized-integer centroids), and
+    training strictly improves (or preserves) total inertia vs seeds."""
+    import duckdb
+    import pandas as pd
+
+    from ifctordf_ray.stages.similarity import (
+        kmeans_assign,
+        kmeans_train,
+        kmeans_train_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_small}/embeddings.parquet')"
+    )
+    a = kmeans_train(sf_small).to_pandas()
+    b = con.execute(kmeans_train_sql()).df()
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True).astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b)
+    seed_inertia = int(kmeans_assign(sf_small).to_pandas().dist.sum())
+    assert int(a.dist.sum()) <= seed_inertia
