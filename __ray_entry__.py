@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_top_terms": _stage("terms", "tfidf_top_terms"),
         "doc_pii_screen": _stage("terms", "pii_screen"),
         "doc_hll_registers": _stage("sketches", "hll_registers"),
+        "doc_table_checksum": _stage("sketches", "table_checksum"),
         "doc_cms_registers": _stage("sketches", "cms_registers"),
         "rel_dau_hll": _stage("sketches", "dau_hll_registers"),
         "doc_heavy_hitters": _stage("sketches", "heavy_hitters"),
@@ -405,6 +406,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_tfidf_top_terms": TERMS.tfidf_top_terms_sql(),
         "doc_pii_screen": TERMS.pii_screen_sql(),
         "doc_hll_registers": SK.hll_registers_sql(),
+        "doc_table_checksum": SK.table_checksum_sql(),
         "doc_cms_registers": SK.cms_registers_sql(),
         "rel_dau_hll": SK.dau_hll_registers_sql(),
         "doc_heavy_hitters": SK.heavy_hitters_sql(),

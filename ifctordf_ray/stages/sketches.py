@@ -411,3 +411,99 @@ def heavy_hitters_sql(min_est: int = HH_MIN_EST) -> str:
     )
     SELECT word, est FROM est WHERE est >= {min_est}
     """
+
+
+# ---------------------------------------------------------------------------
+# Table-audit checksum: the cross-replica content-verification fingerprint
+# (how two 100-TB copies on different clusters are compared without moving
+# either).  Per-row stable hash -> 256 audit buckets -> per-bucket
+# (row count, modular hash sum).  Order-independent (sums commute),
+# mergeable across any partitioning, and corruption LOCALIZES to a
+# bucket so only 1/256 of the table needs re-shipping on mismatch.
+# ---------------------------------------------------------------------------
+AUDIT_BUCKETS = 256
+_AUDIT_P = 1_000_000_007  # keeps per-bucket sums < 2^63 up to ~9e9 rows/bucket
+_AUDIT_SEP = "\x1f"
+_AUDIT_NULL = "\x00"
+
+
+class _AuditHasher:
+    """Actor-pool stage: per-row md5-derived hash (same md5_number_upper
+    spec as every hash operator here) -> per-batch per-bucket partial
+    (n_rows, hash_sum) — the map-side combine that keeps the exchange at
+    256 rows per block."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ifctordf_ray.functions.kernels import stable_hash64
+
+        buckets = np.zeros(AUDIT_BUCKETS, dtype=np.int64)
+        sums = np.zeros(AUDIT_BUCKETS, dtype=np.int64)
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            key = f"{did}{_AUDIT_SEP}{_AUDIT_NULL if text is None else text}"
+            h = stable_hash64(key)
+            b = h % AUDIT_BUCKETS
+            buckets[b] += 1
+            sums[b] = (sums[b] + (h // AUDIT_BUCKETS) % _AUDIT_P) % _AUDIT_P
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(AUDIT_BUCKETS, dtype=np.int64)),
+                "n_rows": pa.array(buckets),
+                "hash_sum": pa.array(sums),
+            }
+        )
+
+
+def table_checksum(sf_dir: str) -> ray.data.Dataset:
+    """(bucket, n_rows, hash_sum) x 256 over the documents table.  The
+    modular per-bucket sum folds under the final Sum groupby exactly
+    because (a+b) mod P folds — re-applied once more after the global
+    sum for the canonical value."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    partials = ds.map_batches(
+        _AuditHasher, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0
+    )
+    agg = partials.groupby("bucket").aggregate(
+        _Sum("n_rows", alias_name="n_rows"),
+        _Sum("hash_sum", alias_name="hash_sum"),
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # drop never-hit buckets (the SQL arm only emits buckets with rows)
+        t = t.filter(pc.greater(t["n_rows"], 0))
+        hs = pc.cast(t["hash_sum"], pa.int64())
+        p = pa.scalar(_AUDIT_P, pa.int64())
+        # h mod P via trunc-divide (all values non-negative)
+        hmod = pc.subtract(hs, pc.multiply(pc.divide(hs, p), p))
+        return pa.table(
+            {
+                "bucket": t["bucket"],
+                "n_rows": pc.cast(t["n_rows"], pa.int64()),
+                "hash_sum": hmod,
+            }
+        )
+
+    return agg.map_batches(fold, batch_format="pyarrow")
+
+
+def table_checksum_sql() -> str:
+    return f"""
+    SELECT CAST(h % {AUDIT_BUCKETS} AS BIGINT) AS bucket,
+           count(*) AS n_rows,
+           CAST(sum((h // {AUDIT_BUCKETS}) % {_AUDIT_P}) % {_AUDIT_P} AS BIGINT)
+               AS hash_sum
+    FROM (
+        SELECT md5_number_upper(
+                   CAST(doc_id AS VARCHAR) || chr(31)
+                   || coalesce(text, chr(0))) AS h
+        FROM documents
+    )
+    GROUP BY h % {AUDIT_BUCKETS}
+    """

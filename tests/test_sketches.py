@@ -136,3 +136,27 @@ def test_cms_parity_and_point_queries(sf_small):
     assert (per_row == total_mass).all()
     for _, r in true.iterrows():
         assert cms_estimate(cells, r["word"]) >= r["n"]
+
+
+def test_table_checksum_parity_and_merge(sf_small):
+    """Audit checksum matches DuckDB exactly, covers every row once, and
+    is invariant to input partitioning (merge of modular sums)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ifctordf_ray.stages.sketches import table_checksum, table_checksum_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_small}/documents.parquet')"
+    )
+    a = table_checksum(sf_small).to_pandas()
+    b = con.execute(table_checksum_sql()).df()
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True).astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b)
+    n_docs = pq.ParquetFile(f"{sf_small}/documents.parquet").metadata.num_rows
+    assert int(a.n_rows.sum()) == n_docs
