@@ -232,6 +232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": _stage("textstats", "token_counts"),
         "doc_bpe_token_counts": _stage("textstats", "bpe_token_counts"),
         "doc_quality_scores": _stage("textstats", "quality_scores"),
+        "doc_quality_top_decile": _stage("textstats", "quality_top_decile"),
+        "doc_lang_token_quantiles": _stage("textstats", "lang_token_quantiles"),
         "doc_lang_id": _stage("textstats", "lang_id"),
         "doc_fingerprints": _stage("textstats", "fingerprints"),
         "doc_winnow_fingerprints": _stage("textstats", "winnow_fingerprints"),
@@ -295,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fuzzy_word_pairs": _stage("terms", "fuzzy_word_pairs"),
         # --- similarity search ---
         "emb_knn_brute_force": _stage("similarity", "knn_brute_force"),
+        "emb_knn_filtered": _stage("similarity", "knn_filtered"),
         "emb_knn_lsh": _stage("similarity", "knn_lsh"),
         "emb_knn_ivf": _stage("similarity", "knn_ivf"),
         "emb_near_dup_pairs": _stage("similarity", "near_dup_pairs_cosine"),
@@ -390,6 +393,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_counts": T.token_counts_sql(),
         "doc_bpe_token_counts": T.bpe_token_counts_sql(),
         "doc_quality_scores": T.quality_scores_sql(),
+        "doc_quality_top_decile": T.quality_top_decile_sql(),
+        "doc_lang_token_quantiles": T.lang_token_quantiles_sql(),
         "doc_lang_id": T.lang_id_sql(),
         "doc_fingerprints": T.fingerprints_sql(),
         "doc_winnow_fingerprints": T.winnow_fingerprints_sql(),
@@ -455,6 +460,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_bigram_scores": TERMS.lm_bigram_scores_sql(),
         "doc_fuzzy_word_pairs": TERMS.fuzzy_word_pairs_sql(),
         "emb_knn_brute_force": SIM.knn_brute_force_sql(),
+        "emb_knn_filtered": SIM.knn_filtered_sql(),
         "emb_knn_lsh": SIM.knn_lsh_sql(),
         "emb_knn_ivf": SIM.knn_ivf_sql(),
         "emb_near_dup_pairs": SIM.near_dup_pairs_cosine_sql(),

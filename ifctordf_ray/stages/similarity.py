@@ -1619,3 +1619,68 @@ def kmeans_train_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
         FROM d_{final}
     ) WHERE rn = 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN: top-k restricted to a metadata predicate (label match) —
+# the "filtered vector search" shape.  The predicate prunes the corpus
+# INSIDE the scoring map (before any matmul), so selectivity directly
+# reduces compute; queries stay the global nq lowest vec_ids.
+# ---------------------------------------------------------------------------
+FILTER_LABEL = 1
+
+
+def knn_filtered(
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    nq: int = DEFAULT_NQ,
+    label: int = FILTER_LABEL,
+) -> ray.data.Dataset:
+    """(query_id, neighbor_id, sim, rank): exact cosine top-k among
+    corpus vectors with ``label == label`` only."""
+    import pyarrow.compute as pc
+
+    q_ref = ray.put(_load_queries(sf_dir, nq))
+    ds = _clean_read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    filtered = ds.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.cast(t["label"], pa.int64()), label)
+        ).select(["vec_id", "embedding"]),
+        batch_format="pyarrow",
+    )
+    scored = filtered.map_batches(
+        CosineScorer,
+        fn_constructor_kwargs={"queries_ref": q_ref},
+        max_restarts=0,
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    return scored.groupby("query_id").map_groups(
+        lambda g: _topk_per_query(g, k), batch_format="pyarrow"
+    )
+
+
+def knn_filtered_sql(
+    k: int = DEFAULT_K, nq: int = DEFAULT_NQ, label: int = FILTER_LABEL
+) -> str:
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings ORDER BY vec_id LIMIT {nq}
+    ), scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]),
+                   CAST(q.qe AS DOUBLE[])), {ROUND_DP}) AS sim
+        FROM embeddings e, q
+        WHERE e.label = {label}
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {k}
+    """

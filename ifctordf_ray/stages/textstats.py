@@ -962,3 +962,132 @@ def oov_rate_sql(top_k: int = OOV_VOCAB_K) -> str:
                 ELSE 0.0 END AS oov_rate
     FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Percentile-cutoff selection: statistic -> broadcast threshold -> filter.
+# The "keep the top decile" corpus-curation shape: the cutoff is computed
+# from a pre-combined value HISTOGRAM (one row per distinct token count —
+# bounded by max doc length, NOT corpus-sized), collected once to the
+# driver, and applied as a broadcast filter in a second streaming pass.
+# ---------------------------------------------------------------------------
+TOP_DECILE_Q = 0.9
+
+
+def quality_top_decile(sf_dir: str, q: float = TOP_DECILE_Q) -> ray.data.Dataset:
+    """(doc_id, n_tokens) of docs at or above the corpus p90 token count
+    (percentile_disc semantics: first value whose cumulative fraction
+    reaches q)."""
+    import numpy as np
+    from ray.data.aggregate import Count as _Count
+
+    tc = token_counts(sf_dir)
+    hist = (
+        tc.map_batches(
+            lambda t: pa.table({"n_tokens": t["n_tokens"]}), batch_format="pyarrow"
+        )
+        .groupby("n_tokens")
+        .aggregate(_Count(alias_name="n"))
+        .take_all()  # histogram-sized (distinct token counts), not corpus-sized
+    )
+    vals = np.array(sorted(r["n_tokens"] for r in hist), dtype=np.int64)
+    cnts = np.array(
+        [n for _, n in sorted((r["n_tokens"], r["n"]) for r in hist)],
+        dtype=np.int64,
+    )
+    cum = np.cumsum(cnts)
+    total = int(cum[-1])
+    i = int(np.searchsorted(cum, q * total, side="left"))
+    if cum[i] < q * total:
+        i += 1
+    cutoff = int(vals[i])
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        f = t.filter(pc.greater_equal(t["n_tokens"], cutoff))
+        return pa.table({"doc_id": f["doc_id"], "n_tokens": f["n_tokens"]})
+
+    return token_counts(sf_dir).map_batches(keep, batch_format="pyarrow")
+
+
+def quality_top_decile_sql(q: float = TOP_DECILE_Q) -> str:
+    return f"""
+    WITH tc AS ({token_counts_sql()})
+    SELECT doc_id, n_tokens FROM tc
+    WHERE n_tokens >= (
+        SELECT percentile_disc({q}) WITHIN GROUP (ORDER BY n_tokens) FROM tc
+    )
+    """
+
+
+# ---------------------------------------------------------------------------
+# Grouped exact quantiles: per-language token-count percentiles via the
+# same pre-combined histogram trick (shuffle moves one row per
+# (lang, distinct count), never raw docs).
+# ---------------------------------------------------------------------------
+LANG_QUANTILES = (("p25", 0.25), ("p50", 0.5), ("p90", 0.9))
+
+
+def lang_token_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """(pred_lang, p25, p50, p90) of n_tokens per predicted language."""
+    from ray.data.aggregate import Count as _Count
+
+    tc = token_counts(sf_dir)
+    li = lang_id(sf_dir)
+    from ifctordf_ray.functions.kernels import join_ready
+    from ifctordf_ray.tuning import join_kwargs
+
+    li2 = join_ready(
+        li.map_batches(
+            lambda t: pa.table({"lid": t["doc_id"], "pred_lang": t["pred_lang"]}),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("lid", pa.int64()), ("pred_lang", pa.string())]),
+        sentinel_row={"lid": -1, "pred_lang": ""},
+    )
+    joined = tc.join(
+        li2, join_type="inner", on=("doc_id",), right_on=("lid",), **join_kwargs()
+    )
+    hist = (
+        joined.map_batches(
+            lambda t: pa.table(
+                {"pred_lang": t["pred_lang"], "n_tokens": t["n_tokens"]}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["pred_lang", "n_tokens"])
+        .aggregate(_Count(alias_name="n"))
+    )
+
+    def pick(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        g = group.sort_by("n_tokens")
+        v = g["n_tokens"].to_numpy()
+        n = g["n"].to_numpy()
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        row = {"pred_lang": pa.array([g["pred_lang"][0].as_py()], pa.string())}
+        for name, q in LANG_QUANTILES:
+            i = int(np.searchsorted(cum, q * total, side="left"))
+            if cum[i] < q * total:
+                i += 1
+            row[name] = pa.array([int(v[i])], pa.int64())
+        return pa.table(row)
+
+    return hist.groupby("pred_lang").map_groups(pick, batch_format="pyarrow")
+
+
+def lang_token_quantiles_sql() -> str:
+    cols = ",\n           ".join(
+        f"CAST(percentile_disc({q}) WITHIN GROUP (ORDER BY n_tokens) AS BIGINT) AS {name}"
+        for name, q in LANG_QUANTILES
+    )
+    return f"""
+    WITH tc AS ({token_counts_sql()}), li AS ({lang_id_sql()})
+    SELECT li.pred_lang,
+           {cols}
+    FROM tc JOIN li ON tc.doc_id = li.doc_id
+    GROUP BY li.pred_lang
+    """
