@@ -280,6 +280,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_fully_returned_orders": _rel("fully_returned_orders"),
         "rel_new_users_daily": _rel("new_users_daily"),
         "rel_filtered_scan": _rel("filtered_scan"),
+        "rel_order_ntile": _rel("order_ntile"),
+        "rel_users_both_halves": _rel("users_both_halves"),
+        "rel_user_days_except": _rel("user_days_except"),
+        "rel_region_nation_cross": _rel("region_nation_cross"),
+        "rel_user_first_last": _rel("user_first_last_event"),
+        "rel_user_rolling_median": _rel("user_rolling_median"),
         # --- dedup ---
         "doc_exact_duplicates": _stage("dedup", "exact_duplicates"),
         "doc_deduped_ids": _stage("dedup", "deduped_doc_ids"),
@@ -443,6 +449,12 @@ def oracle_sql() -> dict[str, str]:
         "rel_fully_returned_orders": R.fully_returned_orders_sql(),
         "rel_new_users_daily": R.new_users_daily_sql(),
         "rel_filtered_scan": R.filtered_scan_sql(),
+        "rel_order_ntile": R.order_ntile_sql(),
+        "rel_users_both_halves": R.users_both_halves_sql(),
+        "rel_user_days_except": R.user_days_except_sql(),
+        "rel_region_nation_cross": R.region_nation_cross_sql(),
+        "rel_user_first_last": R.user_first_last_event_sql(),
+        "rel_user_rolling_median": R.user_rolling_median_sql(),
         "doc_exact_duplicates": D.exact_duplicates_sql(),
         "doc_deduped_ids": D.deduped_doc_ids_sql(),
         "doc_decontaminated": D.decontaminate_sql(),

@@ -2480,3 +2480,449 @@ def filtered_scan_sql() -> str:
       AND l_shipdate < TIMESTAMP '{PUSHDOWN_SHIP_TO}'
     GROUP BY l_returnflag
     """
+
+
+# ---------------------------------------------------------------------------
+# Global NTILE via distributed two-phase scan (no global sort barrier)
+# ---------------------------------------------------------------------------
+NTILE_K = 4
+NTILE_BUCKET_CENTS = 500_000_00  # $500k of o_totalprice per range bucket
+
+
+def order_ntile(sf_dir: str, k: int = NTILE_K) -> ray.data.Dataset:
+    """(o_orderkey, tile): NTILE(k) over the GLOBAL ordering
+    (o_totalprice, o_orderkey) — the global-rank operator family
+    (ntile/percent_rank/row_number over the whole table), which a naive
+    engine does with a single-node sort.
+
+    Distributed shape (same two-phase scan as chunking.packed_sequences,
+    but bucketed by VALUE RANGE so bucket order == sort order):
+      1. narrow map: price -> exact integer cents; bucket = cents //
+         NTILE_BUCKET_CENTS (deterministic range partitioning — ordering
+         between buckets is total, so no global sort is ever run);
+      2. per-bucket row counts via groupby -> tiny driver table
+         (#buckets rows) -> exclusive scan = each bucket's global offset
+         plus the exact total row count n;
+      3. groupby(bucket).map_groups: local (cents, key) sort + the
+         bucket's offset -> exact global 0-based rank -> standard NTILE
+         fill (first n%k tiles get the extra row).
+
+    At 100 TB only step 2's #buckets-row table touches the driver; skew
+    is bounded by the value-range width (tune NTILE_BUCKET_CENTS; a
+    pathological single-price corpus degrades to one group, the same
+    failure mode as any range partitioner — document, don't hide)."""
+    from ray.data.aggregate import Count as _Count
+
+    ds = _clean_read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = _cents(t["o_totalprice"])
+        bucket = pc.cast(
+            pc.floor(pc.divide(pc.cast(cents, pa.float64()), NTILE_BUCKET_CENTS)),
+            pa.int64(),
+        )
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"], "cents": cents, "bucket": bucket}
+        )
+
+    narrow = ds.map_batches(prep, batch_format="pyarrow")
+
+    counts = narrow.groupby("bucket").aggregate(_Count(alias_name="n")).take_all()
+    offsets: dict[int, int] = {}
+    total = 0
+    for row in sorted(counts, key=lambda r: r["bucket"]):
+        offsets[row["bucket"]] = total
+        total += row["n"]
+
+    size, rem = divmod(total, k)
+
+    def assign(group: pa.Table) -> pa.Table:
+        group = group.sort_by(
+            [("cents", "ascending"), ("o_orderkey", "ascending")]
+        )
+        idx = offsets[group["bucket"][0].as_py()] + np.arange(group.num_rows)
+        big_span = rem * (size + 1)
+        tile = np.where(
+            idx < big_span,
+            idx // (size + 1) + 1 if size + 1 > 0 else 1,
+            rem + (np.maximum(idx - big_span, 0) // max(size, 1)) + 1,
+        )
+        return pa.table(
+            {
+                "o_orderkey": group["o_orderkey"],
+                "tile": pa.array(tile, pa.int64()),
+            }
+        )
+
+    return narrow.groupby("bucket").map_groups(assign, batch_format="pyarrow")
+
+
+def order_ntile_sql(k: int = NTILE_K) -> str:
+    return f"""
+    SELECT o_orderkey,
+           CAST(NTILE({k}) OVER (
+               ORDER BY CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT),
+                        o_orderkey) AS BIGINT) AS tile
+    FROM orders
+    """
+
+
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT as distinct + hash join
+# ---------------------------------------------------------------------------
+def _half_user_sets(sf_dir: str):
+    """Distinct user_id sets for the early and late halves of the event
+    timeline (midpoint = mean of min/max ts, computed by a scalar
+    aggregate — never a driver scan)."""
+    ds = _clean_read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    narrow = ds.map_batches(to_us, batch_format="pyarrow")
+    bounds = narrow.aggregate(Min("ts_us"), Max("ts_us"))
+    mid = (bounds["min(ts_us)"] + bounds["max(ts_us)"]) // 2
+
+    def split(t: pa.Table, early: bool) -> pa.Table:
+        mask = (
+            pc.less(t["ts_us"], mid) if early else pc.greater_equal(t["ts_us"], mid)
+        )
+        # per-block distinct: shrink the shuffle before the global dedup
+        return pa.table({"user_id": pc.unique(t.filter(mask)["user_id"])})
+
+    def _distinct(early: bool):
+        return (
+            narrow.map_batches(
+                lambda t, e=early: split(t, e), batch_format="pyarrow"
+            )
+            .groupby("user_id")
+            .aggregate(Count(alias_name="_n"))
+            .map_batches(
+                lambda t: t.select(["user_id"]), batch_format="pyarrow"
+            )
+        )
+
+    return _distinct(True), _distinct(False)
+
+
+_SET_SQL_BOUNDS = """
+    b AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid FROM events),
+    early AS (SELECT DISTINCT user_id FROM events, b WHERE epoch_us(ts) < mid),
+    late  AS (SELECT DISTINCT user_id FROM events, b WHERE epoch_us(ts) >= mid)
+"""
+
+
+def users_both_halves(sf_dir: str) -> ray.data.Dataset:
+    """INTERSECT: users active in BOTH halves of the timeline.  Set
+    intersection = distinct each side (per-block pre-dedup + one
+    groupby), then an inner hash join on the key — every stage
+    partition-parallel, nothing corpus-sized on the driver."""
+    from ifctordf_ray.functions.kernels import join_ready
+    from ifctordf_ray.tuning import join_kwargs
+
+    early, late = _half_user_sets(sf_dir)
+    key_schema = pa.schema([("user_id", pa.int64())])
+    joined = join_ready(early, key_schema).join(
+        join_ready(late.map_batches(
+            lambda t: t.rename_columns(["late_user_id"]), batch_format="pyarrow"
+        ), pa.schema([("late_user_id", pa.int64())])),
+        join_type="inner",
+        on=("user_id",),
+        right_on=("late_user_id",),
+        **join_kwargs(),
+    )
+    return joined.map_batches(
+        lambda t: t.select(["user_id"]), batch_format="pyarrow"
+    )
+
+
+def users_both_halves_sql() -> str:
+    return f"""
+    WITH {_SET_SQL_BOUNDS}
+    SELECT user_id FROM early INTERSECT SELECT user_id FROM late
+    """
+
+
+def user_days_except(sf_dir: str) -> ray.data.Dataset:
+    """EXCEPT: distinct (user_id, day) pairs with ANY event minus pairs
+    with a purchase — the general two-dataset set-difference shape
+    (distinct each side with per-block pre-dedup, then a left_anti hash
+    join on the composite key), kept deliberately as two datasets + anti
+    join rather than one groupby so it covers EXCEPT over arbitrary
+    inputs.  Days are integer epoch days (exact in both engines)."""
+    from ifctordf_ray.functions.kernels import join_ready
+    from ifctordf_ray.tuning import join_kwargs
+
+    ds = _clean_read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    US_PER_DAY = 86_400_000_000
+
+    def days(t: pa.Table, purchases_only: bool) -> pa.Table:
+        if purchases_only:
+            t = t.filter(pc.equal(t["event_type"], "purchase"))
+        # integer division (ts is always positive, so trunc == floor)
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), US_PER_DAY)
+        # per-block distinct: shrink the shuffle before the global dedup
+        return (
+            pa.table({"user_id": t["user_id"], "day_id": day})
+            .group_by(["user_id", "day_id"])
+            .aggregate([])
+        )
+
+    def _distinct(purchases_only: bool):
+        return (
+            ds.map_batches(
+                lambda t, p=purchases_only: days(t, p), batch_format="pyarrow"
+            )
+            .groupby(["user_id", "day_id"])
+            .aggregate(Count(alias_name="_n"))
+            .map_batches(
+                lambda t: t.select(["user_id", "day_id"]), batch_format="pyarrow"
+            )
+        )
+
+    key_schema = pa.schema([("user_id", pa.int64()), ("day_id", pa.int64())])
+    rkey_schema = pa.schema([("p_user_id", pa.int64()), ("p_day_id", pa.int64())])
+    anti = join_ready(_distinct(False), key_schema).join(
+        join_ready(
+            _distinct(True).map_batches(
+                lambda t: t.rename_columns(["p_user_id", "p_day_id"]),
+                batch_format="pyarrow",
+            ),
+            rkey_schema,
+        ),
+        join_type="left_anti",
+        on=("user_id", "day_id"),
+        right_on=("p_user_id", "p_day_id"),
+        **join_kwargs(),
+    )
+    return anti.map_batches(
+        lambda t: t.select(["user_id", "day_id"]), batch_format="pyarrow"
+    )
+
+
+def user_days_except_sql() -> str:
+    return """
+    WITH a AS (SELECT DISTINCT user_id,
+                      epoch_us(ts) // 86400000000 AS day_id FROM events),
+         p AS (SELECT DISTINCT user_id,
+                      epoch_us(ts) // 86400000000 AS day_id FROM events
+               WHERE event_type = 'purchase')
+    SELECT user_id, day_id FROM a EXCEPT SELECT user_id, day_id FROM p
+    """
+
+
+# ---------------------------------------------------------------------------
+# Cross join (small x small broadcast cartesian)
+# ---------------------------------------------------------------------------
+def region_nation_cross(sf_dir: str) -> ray.data.Dataset:
+    """Every (region, nation) combination + home-region flag: CROSS JOIN
+    as a broadcast cartesian — the 5-row region table rides into every
+    map task via the closure (constant-sized dimension, same rule as
+    nation_revenue's broadcast side), so no shuffle at any scale of the
+    streamed side."""
+    import pyarrow.parquet as pq
+
+    regions = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )  # 5 rows — constant-sized dimension, never scales with SF
+    r_keys = regions["r_regionkey"].to_numpy()
+    r_names = regions["r_name"].to_pylist()
+
+    nations = _clean_read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+
+    def cartesian(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        m = len(r_keys)
+        n_name = pc.take(t["n_name"], pa.array(np.repeat(np.arange(n), m)))
+        n_region = np.repeat(t["n_regionkey"].to_numpy(), m).astype(np.int64)
+        r_name = pa.array(r_names * n, pa.string())
+        rk = np.tile(r_keys, n).astype(np.int64)
+        return pa.table(
+            {
+                "r_name": r_name,
+                "n_name": n_name,
+                "is_home": pa.array((rk == n_region).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return nations.map_batches(cartesian, batch_format="pyarrow")
+
+
+def region_nation_cross_sql() -> str:
+    return """
+    SELECT r_name, n_name,
+           CAST(n_regionkey = r_regionkey AS BIGINT) AS is_home
+    FROM nation CROSS JOIN region
+    """
+
+
+# ---------------------------------------------------------------------------
+# first_value / last_value window frame (per-partition edge picks)
+# ---------------------------------------------------------------------------
+def _first_last_group(g: pa.Table) -> pa.Table:
+    g = g.sort_by([("ts_us", "ascending"), ("event_id", "ascending")])
+    return pa.table(
+        {
+            "user_id": g["user_id"].slice(0, 1),
+            "first_type": g["event_type"].slice(0, 1),
+            "last_type": g["event_type"].slice(g.num_rows - 1, 1),
+            "n_events": pa.array([g.num_rows], pa.int64()),
+        }
+    )
+
+
+def user_first_last_event(sf_dir: str) -> ray.data.Dataset:
+    """(user_id, first_type, last_type, n_events): the
+    first_value/last_value window frame.  Shuffle-thinning: a per-block
+    pre-combine keeps only each user's edge rows (argmin/argmax by
+    (ts, event_id)) before the groupby, so the exchange moves <=2 rows
+    per (block, user) instead of the fact table; the final map_groups
+    combines the partials (bounded by #blocks rows per user)."""
+    ds = _clean_read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def edges(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "event_type": t["event_type"],
+            }
+        ).sort_by([("ts_us", "ascending"), ("event_id", "ascending")])
+        uid = tb["user_id"].to_numpy()
+        order = np.argsort(uid, kind="stable")
+        sorted_uid = uid[order]
+        # first/last position of each user in (ts, event_id) order
+        firsts = order[np.concatenate(([True], sorted_uid[1:] != sorted_uid[:-1]))]
+        lasts = order[np.concatenate((sorted_uid[1:] != sorted_uid[:-1], [True]))]
+        counts = tb.group_by(["user_id"]).aggregate([("event_id", "count")])
+        keep = np.unique(np.concatenate((firsts, lasts)))
+        kept = tb.take(pa.array(keep))
+        # carry the per-block count so n_events survives the thinning
+        cmap = dict(
+            zip(
+                counts["user_id"].to_pylist(),
+                counts["event_id_count"].to_pylist(),
+            )
+        )
+        # one partial count row per user (attached to its first edge row)
+        is_first = np.isin(keep, firsts)
+        n_partial = np.where(
+            is_first, [cmap[u] for u in kept["user_id"].to_pylist()], 0
+        )
+        return kept.append_column("n_partial", pa.array(n_partial, pa.int64()))
+
+    def combine(g: pa.Table) -> pa.Table:
+        out = _first_last_group(g)
+        n = int(pc.sum(g["n_partial"]).as_py() or 0)
+        return out.set_column(
+            out.schema.get_field_index("n_events"),
+            "n_events",
+            pa.array([n], pa.int64()),
+        )
+
+    return (
+        ds.map_batches(edges, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+
+def user_first_last_event_sql() -> str:
+    return """
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_type,
+           CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Rolling median over a bounded row frame (6 PRECEDING .. CURRENT ROW)
+# ---------------------------------------------------------------------------
+ROLLMED_FRAME = 7  # current row + 6 preceding
+
+
+def _rolling_median_group(g: pa.Table) -> pa.Table:
+    g = g.sort_by([("ts_us", "ascending"), ("event_id", "ascending")])
+    cents = g["value_cents"].to_numpy().astype(np.float64)
+    n = len(cents)
+    med = np.empty(n)
+    if n >= ROLLMED_FRAME:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        med[ROLLMED_FRAME - 1 :] = np.median(
+            sliding_window_view(cents, ROLLMED_FRAME), axis=1
+        )
+    head = min(n, ROLLMED_FRAME - 1)
+    for i in range(head):  # ramp-up rows only: <= 6 per user, not the hot path
+        med[i] = np.median(cents[: i + 1])
+    return pa.table(
+        {
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "rolling_median_cents": pa.array(med, pa.float64()),
+        }
+    )
+
+
+def user_rolling_median(sf_dir: str) -> ray.data.Dataset:
+    """(event_id, user_id, rolling_median_cents): median(value) over the
+    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW frame per user — the
+    order-statistic window, which unlike sum/avg has no algebraic
+    combiner and therefore NEEDS the per-partition sorted pass.  Values
+    are exact integer cents so the only float op is the even-frame
+    midpoint average ((a+b)/2 — exact for ints < 2^53, identical in
+    numpy and DuckDB's median interpolation).  Scale: one hash exchange
+    on user_id; group memory is one user's history (bounded)."""
+    ds = _clean_read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "value_cents": _cents(t["value"]),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(_rolling_median_group, batch_format="pyarrow")
+    )
+
+
+def user_rolling_median_sql() -> str:
+    return """
+    SELECT event_id, user_id,
+           median(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS rolling_median_cents
+    FROM events
+    """
