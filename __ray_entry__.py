@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_small_quantity_revenue": _sq("small_quantity_revenue"),
         "rel_priority_semi_orders": _sq("priority_semi_orders"),
         "rel_event_funnel": _sq("event_funnel"),
+        "rel_blame_suppliers": _sq("blame_suppliers"),
         # --- text analysis ---
         "doc_token_counts": _stage("textstats", "token_counts"),
         "doc_bpe_token_counts": _stage("textstats", "bpe_token_counts"),
@@ -250,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hll_registers": _stage("sketches", "hll_registers"),
         "doc_table_checksum": _stage("sketches", "table_checksum"),
         "doc_cms_registers": _stage("sketches", "cms_registers"),
+        "rel_value_hist_quantiles": _stage("sketches", "hist_quantiles"),
         "rel_dau_hll": _stage("sketches", "dau_hll_registers"),
         "doc_heavy_hitters": _stage("sketches", "heavy_hitters"),
         "kg_top_hub_triples": _stage("graphq", "top_hub_triples"),
@@ -301,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25_search": _stage("terms", "bm25_search"),
         "doc_lm_bigram_scores": _stage("terms", "lm_bigram_scores"),
         "doc_fuzzy_word_pairs": _stage("terms", "fuzzy_word_pairs"),
+        "doc_feature_hashing": _stage("terms", "feature_hashing"),
         # --- similarity search ---
         "emb_knn_brute_force": _stage("similarity", "knn_brute_force"),
         "emb_knn_filtered": _stage("similarity", "knn_filtered"),
@@ -396,6 +399,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_small_quantity_revenue": SQ.small_quantity_revenue_sql(),
         "rel_priority_semi_orders": SQ.priority_semi_orders_sql(),
         "rel_event_funnel": SQ.event_funnel_sql(),
+        "rel_blame_suppliers": SQ.blame_suppliers_sql(),
         "doc_token_counts": T.token_counts_sql(),
         "doc_bpe_token_counts": T.bpe_token_counts_sql(),
         "doc_quality_scores": T.quality_scores_sql(),
@@ -419,6 +423,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_hll_registers": SK.hll_registers_sql(),
         "doc_table_checksum": SK.table_checksum_sql(),
         "doc_cms_registers": SK.cms_registers_sql(),
+        "rel_value_hist_quantiles": SK.hist_quantiles_sql(),
         "rel_dau_hll": SK.dau_hll_registers_sql(),
         "doc_heavy_hitters": SK.heavy_hitters_sql(),
         "kg_top_hub_triples": GQ.top_hub_triples_sql(),
@@ -471,6 +476,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_search": TERMS.bm25_search_sql(),
         "doc_lm_bigram_scores": TERMS.lm_bigram_scores_sql(),
         "doc_fuzzy_word_pairs": TERMS.fuzzy_word_pairs_sql(),
+        "doc_feature_hashing": TERMS.feature_hashing_sql(),
         "emb_knn_brute_force": SIM.knn_brute_force_sql(),
         "emb_knn_filtered": SIM.knn_filtered_sql(),
         "emb_knn_lsh": SIM.knn_lsh_sql(),

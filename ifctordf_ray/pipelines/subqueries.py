@@ -421,3 +421,127 @@ def event_funnel_sql() -> str:
     UNION ALL SELECT 'click', (SELECT count(*) FROM c)
     UNION ALL SELECT 'purchase', (SELECT count(*) FROM p)
     """
+
+
+# ---------------------------------------------------------------------------
+# Q21-shaped sole-blame attribution (multi-level self-aggregation + re-join)
+# ---------------------------------------------------------------------------
+BLAME_TOPK = 10
+
+
+def blame_suppliers(sf_dir: str) -> ray.data.Dataset:
+    """(s_name, numwait): TPC-H Q21's shape over the columns this schema
+    has — suppliers who were the SOLE supplier with a returned ('R')
+    line on a multi-supplier order, ranked by how often
+    (TPCH-21.sql's waiting-supplier blame, with l_returnflag standing in
+    for the receipt>commit lateness predicate this lineitem lacks).
+
+    Distributed shape (the decorrelated form of Q21's EXISTS/NOT
+    EXISTS pair): per-(order, supplier) any_r flags via one pre-combined
+    groupby -> per-order supplier/blame counts via a second groupby over
+    the ALREADY order-supplier-sized table -> hash join back on orderkey
+    -> filter (any_r AND n_supp > 1 AND n_r = 1) -> per-supplier count
+    -> size-thresholded supplier-name attach -> global top-k.  The fact
+    table shuffles once, pre-aggregated; everything after is
+    order-supplier-sized or smaller."""
+    ds = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        r = pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64())
+        # per-block pre-combine: one row per (order, supplier) per block
+        return (
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "l_suppkey": t["l_suppkey"],
+                    "any_r": r,
+                }
+            )
+            .group_by(["l_orderkey", "l_suppkey"])
+            .aggregate([("any_r", "max")])
+            .rename_columns(["l_orderkey", "l_suppkey", "any_r"])
+        )
+
+    from ray.data.aggregate import Max
+
+    os = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_suppkey"])
+        .aggregate(Max("any_r", alias_name="any_r"))
+    )
+
+    ord_stats = (
+        os.map_batches(
+            lambda t: pa.table({"o_key": t["l_orderkey"], "r": t["any_r"]}),
+            batch_format="pyarrow",
+        )
+        .groupby("o_key")
+        .aggregate(Count(alias_name="n_supp"), Sum("r", alias_name="n_r"))
+    )
+
+    os_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()), ("any_r", pa.int64())]
+    )
+    st_schema = pa.schema(
+        [("o_key", pa.int64()), ("n_supp", pa.int64()), ("n_r", pa.int64())]
+    )
+    joined = join_ready(os, os_schema).join(
+        join_ready(ord_stats, st_schema),
+        join_type="inner",
+        on=("l_orderkey",),
+        right_on=("o_key",),
+        **join_kwargs(),
+    )
+
+    def blame(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.equal(t["any_r"], 1), pc.greater(t["n_supp"], 1)),
+            pc.equal(t["n_r"], 1),
+        )
+        return pa.table({"l_suppkey": t.filter(mask)["l_suppkey"]})
+
+    per_supp = (
+        joined.map_batches(blame, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Count(alias_name="numwait"))
+    )
+    named = attach_dimension(
+        per_supp,
+        f"{sf_dir}/supplier.parquet",
+        key_col="s_suppkey",
+        probe_col="l_suppkey",
+        val_cols=["s_name"],
+    ).map_batches(
+        lambda t: pa.table(
+            {"s_name": t["s_name"], "numwait": pc.cast(t["numwait"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return named.sort(
+        ["numwait", "s_name"], descending=[True, False]
+    ).limit(BLAME_TOPK)
+
+
+def blame_suppliers_sql(k: int = BLAME_TOPK) -> str:
+    return f"""
+    WITH os AS (
+        SELECT l_orderkey, l_suppkey,
+               max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS any_r
+        FROM lineitem GROUP BY 1, 2
+    ),
+    o AS (
+        SELECT l_orderkey, count(*) AS n_supp, sum(any_r) AS n_r
+        FROM os GROUP BY 1
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM os
+    JOIN o USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE any_r = 1 AND n_supp > 1 AND n_r = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT {k}
+    """

@@ -507,3 +507,90 @@ def table_checksum_sql() -> str:
     )
     GROUP BY h % {AUDIT_BUCKETS}
     """
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-bin histogram sketch -> grouped approximate quantiles
+# ---------------------------------------------------------------------------
+HIST_BIN_CENTS = 500  # $5-wide value bins
+
+
+def hist_quantiles(sf_dir: str, bin_cents: int = HIST_BIN_CENTS) -> ray.data.Dataset:
+    """(event_type, total, p50_bin, p90_bin): per-group approximate
+    quantiles from a MERGEABLE fixed-width histogram — the
+    t-digest/KLL-family answer for quantiles over data too large to
+    sort, reduced to its deterministic core so it has an exact SQL
+    oracle.  Registers are (group, bin) counts: per-block partial
+    histograms merge by SUM under any partitioning (reaggregation-safe,
+    like the HLL/CMS registers above); the register table is
+    #groups x #bins however large the input.  pXX_bin = first bin whose
+    cumulative count reaches the rank (integer cross-multiplication, no
+    floats anywhere)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum as _Sum
+
+    from ifctordf_ray.functions.kernels import cents as _cents
+
+    ev = _clean_read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial_hist(t: pa.Table) -> pa.Table:
+        bins = pc.divide(_cents(t["value"]), bin_cents)  # int division
+        return (
+            pa.table({"event_type": t["event_type"], "bin": bins})
+            .group_by(["event_type", "bin"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "bin", "n"])
+        )
+
+    registers = (
+        ev.map_batches(partial_hist, batch_format="pyarrow")
+        .groupby(["event_type", "bin"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+
+    def quantiles(g: pa.Table) -> pa.Table:
+        import numpy as np
+
+        g = g.sort_by([("bin", "ascending")])
+        n = g["n"].to_numpy().astype(np.int64)
+        bins = g["bin"].to_numpy().astype(np.int64)
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        p50 = int(bins[np.argmax(cum * 2 >= total)])
+        p90 = int(bins[np.argmax(cum * 10 >= total * 9)])
+        return pa.table(
+            {
+                "event_type": g["event_type"].slice(0, 1),
+                "total": pa.array([total], pa.int64()),
+                "p50_bin": pa.array([p50], pa.int64()),
+                "p90_bin": pa.array([p90], pa.int64()),
+            }
+        )
+
+    return registers.groupby("event_type").map_groups(
+        quantiles, batch_format="pyarrow"
+    )
+
+
+def hist_quantiles_sql(bin_cents: int = HIST_BIN_CENTS) -> str:
+    return f"""
+    WITH b AS (
+        SELECT event_type,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) // {bin_cents} AS bin,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT event_type, bin, n,
+               sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+               sum(n) OVER (PARTITION BY event_type) AS total
+        FROM b
+    )
+    SELECT event_type,
+           CAST(max(total) AS BIGINT) AS total,
+           CAST(min(CASE WHEN cum * 2 >= total THEN bin END) AS BIGINT) AS p50_bin,
+           CAST(min(CASE WHEN cum * 10 >= total * 9 THEN bin END) AS BIGINT) AS p90_bin
+    FROM c GROUP BY event_type
+    """

@@ -1126,3 +1126,75 @@ def fuzzy_word_pairs_sql(
     FROM cand
     WHERE levenshtein(w_a, w_b) BETWEEN 1 AND {max_dist}
     """
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the "hashing trick" vectorizer): hashed bag-of-words
+# ---------------------------------------------------------------------------
+FEATHASH_DIM = 32
+
+
+def feature_hashing(sf_dir: str, dim: int = FEATHASH_DIM) -> ray.data.Dataset:
+    """(doc_id, bucket, n): fixed-``dim`` hashed bag-of-words — the
+    vectorizer that needs NO vocabulary pass (bucket =
+    stable_hash64(word) % dim), so it is one narrow map + one
+    (doc, bucket)-keyed combine; the shuffle moves <= dim rows per doc
+    however large the vocabulary.  The md5 hash spec keeps it exactly
+    SQL-replicable (DuckDB md5_number_upper)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum as _Sum
+
+    from ifctordf_ray.functions.kernels import stable_hash64, word_runs
+
+    docs = _clean_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def hash_counts(t: pa.Table) -> pa.Table:
+        parents, flat = word_runs(t["text"])
+        # per-actor-process cache would need an actor; per-batch dict
+        # over UNIQUE words keeps md5 calls at vocab-per-batch, not tokens
+        uniq = pc.unique(flat)
+        bmap = {w: stable_hash64(w) % dim for w in uniq.to_pylist()}
+        buckets = pa.array(
+            [bmap[w] for w in flat.to_pylist()], pa.int64()
+        )
+        doc_ids = pc.take(t["doc_id"], parents)
+        # per-block pre-combine before the global groupby
+        return (
+            pa.table({"doc_id": doc_ids, "bucket": buckets})
+            .group_by(["doc_id", "bucket"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["doc_id", "bucket", "n"])
+        )
+
+    return (
+        docs.map_batches(hash_counts, batch_format="pyarrow")
+        .groupby(["doc_id", "bucket"])
+        .aggregate(_Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "bucket": t["bucket"],
+                    "n": pc.cast(t["n"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def feature_hashing_sql(dim: int = FEATHASH_DIM) -> str:
+    return f"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                         '[a-z0-9]+')) AS word
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(md5_number_upper(word) % {dim} AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM w GROUP BY 1, 2
+    """
