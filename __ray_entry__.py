@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_new_users_daily": _rel("new_users_daily"),
         "rel_filtered_scan": _rel("filtered_scan"),
         "rel_order_ntile": _rel("order_ntile"),
+        "rel_order_global_rank": _rel("order_global_rank"),
         "rel_users_both_halves": _rel("users_both_halves"),
         "rel_user_days_except": _rel("user_days_except"),
         "rel_region_nation_cross": _rel("region_nation_cross"),
@@ -455,6 +456,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_new_users_daily": R.new_users_daily_sql(),
         "rel_filtered_scan": R.filtered_scan_sql(),
         "rel_order_ntile": R.order_ntile_sql(),
+        "rel_order_global_rank": R.order_global_rank_sql(),
         "rel_users_both_halves": R.users_both_halves_sql(),
         "rel_user_days_except": R.user_days_except_sql(),
         "rel_region_nation_cross": R.region_nation_cross_sql(),

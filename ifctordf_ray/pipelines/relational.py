@@ -2489,28 +2489,11 @@ NTILE_K = 4
 NTILE_BUCKET_CENTS = 500_000_00  # $500k of o_totalprice per range bucket
 
 
-def order_ntile(sf_dir: str, k: int = NTILE_K) -> ray.data.Dataset:
-    """(o_orderkey, tile): NTILE(k) over the GLOBAL ordering
-    (o_totalprice, o_orderkey) — the global-rank operator family
-    (ntile/percent_rank/row_number over the whole table), which a naive
-    engine does with a single-node sort.
-
-    Distributed shape (same two-phase scan as chunking.packed_sequences,
-    but bucketed by VALUE RANGE so bucket order == sort order):
-      1. narrow map: price -> exact integer cents; bucket = cents //
-         NTILE_BUCKET_CENTS (deterministic range partitioning — ordering
-         between buckets is total, so no global sort is ever run);
-      2. per-bucket row counts via groupby -> tiny driver table
-         (#buckets rows) -> exclusive scan = each bucket's global offset
-         plus the exact total row count n;
-      3. groupby(bucket).map_groups: local (cents, key) sort + the
-         bucket's offset -> exact global 0-based rank -> standard NTILE
-         fill (first n%k tiles get the extra row).
-
-    At 100 TB only step 2's #buckets-row table touches the driver; skew
-    is bounded by the value-range width (tune NTILE_BUCKET_CENTS; a
-    pathological single-price corpus degrades to one group, the same
-    failure mode as any range partitioner — document, don't hide)."""
+def _order_rank_scan(sf_dir: str):
+    """Shared two-phase global-rank scan over orders: returns
+    (narrow_ds[o_orderkey, cents, bucket], bucket->global offset, total
+    rows).  Bucket = value range, so inter-bucket order is total and the
+    driver only ever holds the #buckets-row count table."""
     from ray.data.aggregate import Count as _Count
 
     ds = _clean_read_parquet(
@@ -2535,7 +2518,32 @@ def order_ntile(sf_dir: str, k: int = NTILE_K) -> ray.data.Dataset:
     for row in sorted(counts, key=lambda r: r["bucket"]):
         offsets[row["bucket"]] = total
         total += row["n"]
+    return narrow, offsets, total
 
+
+def order_ntile(sf_dir: str, k: int = NTILE_K) -> ray.data.Dataset:
+    """(o_orderkey, tile): NTILE(k) over the GLOBAL ordering
+    (o_totalprice, o_orderkey) — the global-rank operator family
+    (ntile/percent_rank/row_number over the whole table), which a naive
+    engine does with a single-node sort.
+
+    Distributed shape (same two-phase scan as chunking.packed_sequences,
+    but bucketed by VALUE RANGE so bucket order == sort order):
+      1. narrow map: price -> exact integer cents; bucket = cents //
+         NTILE_BUCKET_CENTS (deterministic range partitioning — ordering
+         between buckets is total, so no global sort is ever run);
+      2. per-bucket row counts via groupby -> tiny driver table
+         (#buckets rows) -> exclusive scan = each bucket's global offset
+         plus the exact total row count n;
+      3. groupby(bucket).map_groups: local (cents, key) sort + the
+         bucket's offset -> exact global 0-based rank -> standard NTILE
+         fill (first n%k tiles get the extra row).
+
+    At 100 TB only step 2's #buckets-row table touches the driver; skew
+    is bounded by the value-range width (tune NTILE_BUCKET_CENTS; a
+    pathological single-price corpus degrades to one group, the same
+    failure mode as any range partitioner — document, don't hide)."""
+    narrow, offsets, total = _order_rank_scan(sf_dir)
     size, rem = divmod(total, k)
 
     def assign(group: pa.Table) -> pa.Table:
@@ -2566,6 +2574,42 @@ def order_ntile_sql(k: int = NTILE_K) -> str:
                ORDER BY CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT),
                         o_orderkey) AS BIGINT) AS tile
     FROM orders
+    """
+
+
+def order_global_rank(sf_dir: str) -> ray.data.Dataset:
+    """(o_orderkey, rn, pct_rank): global row_number + percent_rank over
+    (o_totalprice, o_orderkey) — same two-phase value-range scan as
+    order_ntile (one tiny driver count table, no global sort).
+    pct_rank = (rn-1)/(n-1) as one exact-int division, bit-identical in
+    numpy and DuckDB."""
+    narrow, offsets, total = _order_rank_scan(sf_dir)
+    denom = max(total - 1, 1)
+
+    def assign(group: pa.Table) -> pa.Table:
+        group = group.sort_by(
+            [("cents", "ascending"), ("o_orderkey", "ascending")]
+        )
+        idx = offsets[group["bucket"][0].as_py()] + np.arange(group.num_rows)
+        return pa.table(
+            {
+                "o_orderkey": group["o_orderkey"],
+                "rn": pa.array(idx + 1, pa.int64()),
+                "pct_rank": pa.array(idx.astype(np.float64) / denom, pa.float64()),
+            }
+        )
+
+    return narrow.groupby("bucket").map_groups(assign, batch_format="pyarrow")
+
+
+def order_global_rank_sql() -> str:
+    return """
+    SELECT o_orderkey,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           percent_rank() OVER w AS pct_rank
+    FROM orders
+    WINDOW w AS (ORDER BY CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT),
+                 o_orderkey)
     """
 
 

@@ -103,3 +103,16 @@ def test_rolling_median_parity(sf_small):
     a = _compare(user_rolling_median(sf_small), user_rolling_median_sql(), con)
     n = con.execute("SELECT count(*) FROM events").fetchone()[0]
     assert len(a) == n
+
+
+def test_order_global_rank_parity(sf_small):
+    from ifctordf_ray.pipelines.relational import (
+        order_global_rank,
+        order_global_rank_sql,
+    )
+
+    con = _duck(sf_small, ["orders"])
+    a = _compare(order_global_rank(sf_small), order_global_rank_sql(), con)
+    n = len(a)
+    assert sorted(a["rn"]) == list(range(1, n + 1))
+    assert a["pct_rank"].min() == 0.0 and a["pct_rank"].max() == 1.0
