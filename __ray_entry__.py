@@ -317,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_label_token_stats": _stage("similarity", "label_token_stats"),
         "emb_quantized_codes": _stage("similarity", "quantized_codes"),
         "emb_dim_covariance": _stage("similarity", "dim_covariance"),
+        "emb_dim_minmax": _stage("similarity", "dim_minmax"),
         "emb_kmeans_assign": _stage("similarity", "kmeans_assign"),
         "emb_kmeans_train": _stage("similarity", "kmeans_train"),
         "emb_pq_codes": _stage("similarity", "pq_codes"),
@@ -490,6 +491,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_label_token_stats": SIM.label_token_stats_sql(),
         "emb_quantized_codes": SIM.quantized_codes_sql(),
         "emb_dim_covariance": SIM.dim_covariance_sql(),
+        "emb_dim_minmax": SIM.dim_minmax_sql(),
         "emb_kmeans_assign": SIM.kmeans_assign_sql(),
         "emb_kmeans_train": SIM.kmeans_train_sql(),
         "emb_pq_codes": SIM.pq_codes_sql(),

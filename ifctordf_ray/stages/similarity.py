@@ -1684,3 +1684,46 @@ def knn_filtered_sql(
     )
     SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {k}
     """
+
+
+def dim_minmax(sf_dir: str) -> ray.data.Dataset:
+    """(dim, min_val, max_val): per-dimension min-max scaling parameters
+    — the normalization-stats pass a feature pipeline runs before
+    quantization.  Map-side combine: each block emits EMB_DIM partial
+    rows (np.min/np.max columnwise), the groupby merges by Min/Max —
+    mergeable under any partitioning, register table is EMB_DIM rows at
+    any corpus size.  Min/max PICK existing float values (no arithmetic),
+    so parity with SQL is exact."""
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Min as _Min
+
+    ds = _clean_read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        embs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(EMB_DIM), pa.int64()),
+                "min_val": pa.array(embs.min(axis=0), pa.float64()),
+                "max_val": pa.array(embs.max(axis=0), pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(
+            _Min("min_val", alias_name="min_val"),
+            _Max("max_val", alias_name="max_val"),
+        )
+    )
+
+
+def dim_minmax_sql() -> str:
+    return f"""
+    SELECT CAST(t.i AS BIGINT) AS dim,
+           min(CAST(embedding[CAST(t.i + 1 AS INTEGER)] AS DOUBLE)) AS min_val,
+           max(CAST(embedding[CAST(t.i + 1 AS INTEGER)] AS DOUBLE)) AS max_val
+    FROM embeddings CROSS JOIN (SELECT unnest(range({EMB_DIM})) AS i) t
+    GROUP BY t.i
+    """

@@ -71,3 +71,12 @@ def test_hist_quantiles_parity_and_bounds(sf_small):
     ).df()
     m = a.merge(exact, on="event_type")
     assert (m["p50_bin"] - m["med_bin"]).abs().max() <= 1
+
+
+def test_dim_minmax_parity(sf_small):
+    from ifctordf_ray.stages.similarity import EMB_DIM, dim_minmax, dim_minmax_sql
+
+    con = _duck(sf_small, ["embeddings"])
+    a = _compare(dim_minmax(sf_small), dim_minmax_sql(), con)
+    assert len(a) == EMB_DIM
+    assert (a["min_val"] <= a["max_val"]).all()
