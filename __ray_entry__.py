@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_product_profit": _mj("product_profit"),
         "rel_top_supplier": _mj("top_supplier"),
         "rel_disjunctive_revenue": _mj("disjunctive_revenue"),
+        "rel_part_supplier_counts": _mj("part_supplier_counts"),
         "rel_purchase_follow_events": _pipeline_rangejoin,
         "rel_user_type_unpivot": _pipeline_reshape("user_type_unpivot"),
         "rel_priority_mode": _pipeline_reshape("nation_priority_mode"),
@@ -391,6 +392,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_product_profit": MJ.product_profit_sql(),
         "rel_top_supplier": MJ.top_supplier_sql(),
         "rel_disjunctive_revenue": MJ.disjunctive_revenue_sql(),
+        "rel_part_supplier_counts": MJ.part_supplier_counts_sql(),
         "rel_purchase_follow_events": __import__(
             "ifctordf_ray.pipelines.rangejoin", fromlist=["purchase_follow_events_sql"]
         ).purchase_follow_events_sql(),

@@ -1105,3 +1105,120 @@ def disjunctive_revenue_sql(bands=Q19_BANDS) -> str:
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE {ors}
     """
+
+
+# ---------------------------------------------------------------------------
+# Q16-shaped: distinct-supplier counts per part group, with NOT-IN exclusion
+# ---------------------------------------------------------------------------
+def part_supplier_counts(sf_dir: str) -> ray.data.Dataset:
+    """(p_brand, p_size, supplier_cnt): how many DISTINCT suppliers ship
+    each (brand, size) part group, excluding low-balance suppliers —
+    TPC-H Q16's shape (count(distinct) + NOT IN subquery), with
+    s_acctbal < 1000 standing in for the complaints LIKE filter (this
+    schema's lineitem-derived predicates are degenerate: every supplier
+    has returned lines, so a fact-side exclusion empties the result).
+
+    Distributed plan: distinct (partkey, suppkey) pairs via one
+    pre-combined groupby (the fact table's only shuffle) -> left_anti
+    join against the excluded-supplier key set -> broadcast part
+    dimension attach -> per-(brand, size) groupby over the
+    ALREADY-DISTINCT pair table, so count(*) IS count(distinct)."""
+    from ifctordf_ray.functions.kernels import join_ready
+    from ifctordf_ray.tuning import join_kwargs
+
+    li = _read(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"l_partkey": t["l_partkey"], "l_suppkey": t["l_suppkey"]})
+            .group_by(["l_partkey", "l_suppkey"])
+            .aggregate([])
+        )
+
+    pair_ds = (
+        li.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(
+            lambda t: t.select(["l_partkey", "l_suppkey"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    supp = _read(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    )
+    bad = supp.map_batches(
+        lambda t: pa.table(
+            {"bad_suppkey": t.filter(pc.less(t["s_acctbal"], 1000.0))["s_suppkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    pair_schema = pa.schema([("l_partkey", pa.int64()), ("l_suppkey", pa.int64())])
+    bad_schema = pa.schema([("bad_suppkey", pa.int64())])
+    kept = join_ready(pair_ds, pair_schema).join(
+        join_ready(bad, bad_schema),
+        join_type="left_anti",
+        on=("l_suppkey",),
+        right_on=("bad_suppkey",),
+        **join_kwargs(),
+    )
+
+    kept = attach_dimension(
+        kept,
+        f"{sf_dir}/part.parquet",
+        key_col="p_partkey",
+        probe_col="l_partkey",
+        val_cols=["p_brand", "p_size"],
+    )
+    # distinct (brand, size, suppkey) first: one supplier shipping several
+    # parts of the same group must count once (count(DISTINCT) semantics)
+    distinct_supp = (
+        kept.map_batches(
+            lambda t: pa.table(
+                {
+                    "p_brand": t["p_brand"],
+                    "p_size": t["p_size"],
+                    "l_suppkey": t["l_suppkey"],
+                }
+            )
+            .group_by(["p_brand", "p_size", "l_suppkey"])
+            .aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby(["p_brand", "p_size", "l_suppkey"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    return (
+        distinct_supp.map_batches(
+            lambda t: pa.table({"p_brand": t["p_brand"], "p_size": t["p_size"]}),
+            batch_format="pyarrow",
+        )
+        .groupby(["p_brand", "p_size"])
+        .aggregate(Count(alias_name="supplier_cnt"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "p_brand": t["p_brand"],
+                    "p_size": pc.cast(t["p_size"], pa.int64()),
+                    "supplier_cnt": pc.cast(t["supplier_cnt"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def part_supplier_counts_sql() -> str:
+    return """
+    SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000
+    )
+    GROUP BY p_brand, p_size
+    """

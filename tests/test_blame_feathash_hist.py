@@ -80,3 +80,18 @@ def test_dim_minmax_parity(sf_small):
     a = _compare(dim_minmax(sf_small), dim_minmax_sql(), con)
     assert len(a) == EMB_DIM
     assert (a["min_val"] <= a["max_val"]).all()
+
+
+def test_part_supplier_counts_parity(sf_small):
+    from ifctordf_ray.pipelines.multijoin import (
+        part_supplier_counts,
+        part_supplier_counts_sql,
+    )
+
+    con = _duck(sf_small, ["lineitem", "part", "supplier"])
+    a = _compare(part_supplier_counts(sf_small), part_supplier_counts_sql(), con)
+    assert len(a) > 0
+    n_ok = con.execute(
+        "SELECT count(*) FROM supplier WHERE s_acctbal >= 1000"
+    ).fetchone()[0]
+    assert a["supplier_cnt"].max() <= n_ok
