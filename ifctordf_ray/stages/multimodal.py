@@ -665,3 +665,80 @@ SELECT doc_id AS item_id, frame_idx,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
 FROM aw GROUP BY doc_id, frame_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# Image histograms: per-image 4-bin byte-luminance distribution
+# ---------------------------------------------------------------------------
+HIST_BINS = 4  # byte >> 6
+
+
+class ImageHistogram:
+    """Actor-pool stage: decode PPM -> 4-bin histogram of pixel byte
+    values (bin = byte // 64) — the color/brightness-profile feature a
+    vision-data pipeline computes before filtering/stratifying.  One
+    np.bincount per image (vectorized over the decoded buffer); output
+    is (item_id, bin, n_bytes) long form, exact integers."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, bins, counts = [], [], []
+        for item_id, payload in zip(
+            batch["item_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            img = decode_ppm(payload)
+            hist = np.bincount(img.ravel() >> 6, minlength=HIST_BINS)
+            ids.extend([item_id] * HIST_BINS)
+            bins.extend(range(HIST_BINS))
+            counts.extend(hist.tolist())
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "bin": pa.array(bins, pa.int64()),
+                "n_bytes": pa.array(counts, pa.int64()),
+            }
+        )
+
+
+def image_histograms(sf_dir: str, batch_size: int = 64) -> ray.data.Dataset:
+    """queries() entry: 4-bin luminance histograms of every image item
+    (small batches; image rows only are decoded)."""
+    media = media_from_documents(sf_dir)
+
+    def images_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["media_type"], "image"))
+
+    return media.map_batches(images_only, batch_format="pyarrow").map_batches(
+        ImageHistogram, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, 4),
+    )
+
+
+def image_histograms_sql() -> str:
+    """Oracle reconstructs each pixel byte from the document text the
+    same way media_from_documents does (printable-canon text, PAD for
+    short docs), then bins byte // 64."""
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           regexp_replace(coalesce(text, ''), '[^ -~]', ' ', 'g') AS txt
+    FROM documents
+),
+b AS (
+    SELECT doc_id,
+           (CASE WHEN i <= length(txt) THEN unicode(substr(txt, CAST(i AS INTEGER), 1))
+                 ELSE {PAD_BYTE} END) // 64 AS bin
+    FROM t CROSS JOIN (SELECT unnest(range(1, {N_PIX_BYTES + 1})) AS i)
+    WHERE doc_id % 2 = 0
+),
+g AS (
+    SELECT doc_id, bin, count(*) AS n FROM b GROUP BY 1, 2
+),
+bins AS (SELECT unnest(range({HIST_BINS})) AS bin),
+ids AS (SELECT DISTINCT doc_id FROM b)
+SELECT ids.doc_id AS item_id, CAST(bins.bin AS BIGINT) AS bin,
+       CAST(coalesce(g.n, 0) AS BIGINT) AS n_bytes
+FROM ids CROSS JOIN bins
+LEFT JOIN g ON g.doc_id = ids.doc_id AND g.bin = bins.bin
+"""

@@ -138,3 +138,30 @@ def test_audio_frames_parity(sf_small):
     # every audio item emits exactly N_FRAMES frames, peaks bounded by int16 scale
     assert (a.groupby("item_id").frame_idx.count() == N_FRAMES).all()
     assert (a.peak <= 32768).all() and (a.n_zero_cross < FRAME_LEN).all()
+
+
+def test_image_histograms_parity(sf_small):
+    import duckdb
+    import pandas as pd
+
+    from ifctordf_ray.stages.multimodal import (
+        HIST_BINS,
+        N_PIX_BYTES,
+        image_histograms,
+        image_histograms_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_small}/documents.parquet')"
+    )
+    a = image_histograms(sf_small).to_pandas()
+    b = con.execute(image_histograms_sql()).df()
+    cols = sorted(a.columns)
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True).astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b)
+    # every image's bins sum to the full pixel-byte count
+    sums = a.groupby("item_id")["n_bytes"].sum()
+    assert (sums == N_PIX_BYTES).all()
+    assert a["bin"].between(0, HIST_BINS - 1).all()
