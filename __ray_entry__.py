@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow_fingerprints": _stage("textstats", "winnow_fingerprints"),
         "doc_sample": _stage("textstats", "sample_docs"),
         "doc_repetition_scores": _stage("textstats", "repetition_scores"),
+        "doc_model_scores": _stage("textstats", "model_scores"),
         "doc_training_funnel": _stage("textstats", "training_funnel"),
         "doc_vocabulary": _stage("textstats", "vocabulary"),
         "doc_stratified_sample": _stage("textstats", "stratified_sample"),
@@ -415,6 +416,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_winnow_fingerprints": T.winnow_fingerprints_sql(),
         "doc_sample": T.sample_docs_sql(),
         "doc_repetition_scores": T.repetition_scores_sql(),
+        "doc_model_scores": T.model_scores_sql(),
         "doc_training_funnel": T.training_funnel_sql(),
         "doc_vocabulary": T.vocabulary_sql(),
         "doc_stratified_sample": T.stratified_sample_sql(),

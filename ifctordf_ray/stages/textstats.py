@@ -1091,3 +1091,84 @@ def lang_token_quantiles_sql() -> str:
     FROM tc JOIN li ON tc.doc_id = li.doc_id
     GROUP BY li.pred_lang
     """
+
+
+# ---------------------------------------------------------------------------
+# Batched model inference: linear quality model with broadcast weights
+# ---------------------------------------------------------------------------
+# fixed "trained" weights in micro-units: bias + w·(n_chars, n_tokens,
+# n_digits).  Integers end to end, so inference is bit-exact in SQL.
+MODEL_WEIGHTS = {"bias": 5_000_000, "n_chars": -3, "n_tokens": 700, "n_digits": -41}
+
+
+class LinearScorer:
+    """Actor-pool inference stage: weights arrive as ONE ray.put object
+    and are fetched per ACTOR in __init__ (the broadcast-model pattern —
+    at 100 TB the weight blob ships once per worker, never per batch);
+    __call__ is a vectorized dot product over integer feature columns."""
+
+    def __init__(self, weights_ref):
+        import ray as _ray
+
+        self.w = (
+            _ray.get(weights_ref)
+            if not isinstance(weights_ref, dict)
+            else weights_ref
+        )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ifctordf_ray.functions.kernels import word_runs
+
+        text = pc.fill_null(t["text"], "")
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        parents, _ = word_runs(t["text"])
+        n_tokens = np.zeros(t.num_rows, np.int64)
+        if len(parents):
+            np.add.at(n_tokens, np.asarray(parents), 1)
+        digits_only = pc.replace_substring_regex(text, pattern="[^0-9]", replacement="")
+        n_digits = pc.cast(pc.utf8_length(digits_only), pa.int64())
+        w = self.w
+        score = (
+            w["bias"]
+            + w["n_chars"] * n_chars.to_numpy()
+            + w["n_tokens"] * n_tokens
+            + w["n_digits"] * n_digits.to_numpy()
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "score_micro": pa.array(score, pa.int64()),
+            }
+        )
+
+
+def model_scores(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, score_micro): linear quality-model inference over integer
+    text features — the batched-model-scoring shape (weights broadcast
+    once via ray.put, actor pool holds them, per-batch vectorized dot
+    product)."""
+    import ray as _ray
+
+    ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ref = _ray.put(dict(MODEL_WEIGHTS))
+    return ds.map_batches(
+        LinearScorer,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+def model_scores_sql() -> str:
+    w = MODEL_WEIGHTS
+    return f"""
+    SELECT doc_id,
+           CAST({w['bias']}
+                + {w['n_chars']} * length(coalesce(text, ''))
+                + {w['n_tokens']} * len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'))
+                + {w['n_digits']} * length(regexp_replace(coalesce(text, ''), '[^0-9]', '', 'g'))
+                AS BIGINT) AS score_micro
+    FROM documents
+    """

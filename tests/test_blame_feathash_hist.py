@@ -95,3 +95,13 @@ def test_part_supplier_counts_parity(sf_small):
         "SELECT count(*) FROM supplier WHERE s_acctbal >= 1000"
     ).fetchone()[0]
     assert a["supplier_cnt"].max() <= n_ok
+
+
+def test_model_scores_parity(sf_small):
+    from ifctordf_ray.stages.textstats import model_scores, model_scores_sql
+
+    con = _duck(sf_small, ["documents"])
+    a = _compare(model_scores(sf_small), model_scores_sql(), con)
+    n = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert len(a) == n
+    assert a["score_micro"].nunique() > 1  # model actually discriminates
