@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_corpus_chunks": _pipeline_corpus_chunks,
         "doc_tfidf_top_terms": _stage("terms", "tfidf_top_terms"),
         "doc_pii_screen": _stage("terms", "pii_screen"),
+        "doc_source_quota": _stage("terms", "source_quota_sample"),
         "doc_hll_registers": _stage("sketches", "hll_registers"),
         "doc_table_checksum": _stage("sketches", "table_checksum"),
         "doc_cms_registers": _stage("sketches", "cms_registers"),
@@ -427,6 +428,7 @@ def oracle_sql() -> dict[str, str]:
         ).corpus_chunks_sql(),
         "doc_tfidf_top_terms": TERMS.tfidf_top_terms_sql(),
         "doc_pii_screen": TERMS.pii_screen_sql(),
+        "doc_source_quota": TERMS.source_quota_sample_sql(),
         "doc_hll_registers": SK.hll_registers_sql(),
         "doc_table_checksum": SK.table_checksum_sql(),
         "doc_cms_registers": SK.cms_registers_sql(),

@@ -1198,3 +1198,59 @@ def feature_hashing_sql(dim: int = FEATHASH_DIM) -> str:
            CAST(count(*) AS BIGINT) AS n
     FROM w GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# Per-source quota enforcement (the web-curation per-domain cap staple)
+# ---------------------------------------------------------------------------
+SOURCE_QUOTA = 10  # max docs kept per source
+
+
+def source_quota_sample(sf_dir: str, quota: int = SOURCE_QUOTA) -> ray.data.Dataset:
+    """(doc_id, source): the documents KEPT after capping every source at
+    ``quota`` docs (first-N by doc_id — deterministic, so re-runs and
+    retries keep the same set).  This is the per-domain/per-source quota
+    a web corpus applies against over-represented hosts.  One hash
+    exchange on source; each group processes only its own rows and emits
+    at most ``quota``.  Skew note: a corpus-dominating source makes one
+    big group — cap the group input with a per-block pre-truncation
+    (each block keeps its ``quota`` smallest doc_ids per source, which
+    is a superset of the global answer), so group fan-in is bounded by
+    blocks x quota."""
+    import pyarrow.compute as pc
+
+    ds = _clean_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def pretrunc(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("source", "ascending"), ("doc_id", "ascending")])
+        # keep each source's first `quota` rows within the block
+        src = t["source"].to_numpy(zero_copy_only=False)
+        import numpy as np
+
+        new_grp = np.concatenate(([True], src[1:] != src[:-1]))
+        grp_id = np.cumsum(new_grp) - 1
+        starts = np.flatnonzero(new_grp)
+        rank_in_grp = np.arange(len(src)) - starts[grp_id]
+        return t.filter(pa.array(rank_in_grp < quota))
+
+    def cap(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("doc_id", "ascending")])
+        return g.slice(0, quota)
+
+    return (
+        ds.map_batches(pretrunc, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(cap, batch_format="pyarrow")
+    )
+
+
+def source_quota_sample_sql(quota: int = SOURCE_QUOTA) -> str:
+    return f"""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= {quota}
+    """

@@ -105,3 +105,25 @@ def test_model_scores_parity(sf_small):
     n = con.execute("SELECT count(*) FROM documents").fetchone()[0]
     assert len(a) == n
     assert a["score_micro"].nunique() > 1  # model actually discriminates
+
+
+def test_source_quota_parity(sf_small):
+    from ifctordf_ray.stages.terms import (
+        SOURCE_QUOTA,
+        source_quota_sample,
+        source_quota_sample_sql,
+    )
+
+    con = _duck(sf_small, ["documents"])
+    a = _compare(source_quota_sample(sf_small), source_quota_sample_sql(), con)
+    per_src = a.groupby("source").size()
+    assert per_src.max() <= SOURCE_QUOTA
+    # quota binds: every source had more docs than the cap
+    assert (per_src == SOURCE_QUOTA).all()
+    # deterministic keeper rule: the N smallest doc_ids per source
+    for src, grp in a.groupby("source"):
+        lo = con.execute(
+            f"SELECT doc_id FROM documents WHERE source='{src}'"
+            f" ORDER BY doc_id LIMIT {SOURCE_QUOTA}"
+        ).df()["doc_id"]
+        assert sorted(grp["doc_id"]) == sorted(lo)
