@@ -155,3 +155,80 @@ def word_runs(text_col) -> tuple[pa.Array, pa.Array]:
     parents = pc.list_parent_indices(lists)
     mask = pc.not_equal(flat, "")
     return parents.filter(mask), flat.filter(mask)
+
+
+def safe_join(
+    left,
+    left_schema: pa.Schema,
+    right,
+    right_schema: pa.Schema,
+    *,
+    join_type: str,
+    on: tuple,
+    right_on: tuple,
+    sentinel_key: int = -(2**61),
+    num_partitions: int | None = None,
+):
+    """`Dataset.join` that survives ZERO-block inputs (empty filter
+    results, empty scans): join_ready's pin/repartition cannot help when
+    the upstream yields no blocks at all — nothing flows, so the hash
+    shuffle has no first block to broadcast a schema from and every
+    aggregator partition finalizes an empty-SCHEMA table (the Acero
+    `No match ... FieldRef.Name` crash, reproduced on fully-empty input
+    for every chained-join query).
+
+    Recipe: union ONE sentinel row per side whose integer join key is an
+    impossible value (`sentinel_key`, default far outside any real key
+    domain; the two sides get different values so they can never match
+    each other), so each side always has >= 1 real row and the schema
+    broadcast always happens; after the join, filter rows carrying a
+    sentinel key (inner/semi joins drop them naturally; anti/outer joins
+    would emit the left sentinel).  All join keys in this engine are
+    int64 ids >= 0, so the sentinel domain is safe by construction.
+
+    Scope: inner / left_semi / left_anti / left_outer only - a FULL
+    outer join legitimately emits null left keys, which the sentinel
+    strip would also drop."""
+    import ray.data
+
+    from ifctordf_ray.tuning import join_kwargs
+
+    lkey, rkey = on[0], right_on[0]
+    lsent, rsent = sentinel_key, sentinel_key + 1
+
+    def _seed(schema: pa.Schema, key: str, val: int) -> dict:
+        row = {}
+        for f in schema:
+            if f.name == key:
+                row[f.name] = val
+            elif pa.types.is_integer(f.type) or pa.types.is_floating(f.type):
+                row[f.name] = 0
+            elif pa.types.is_string(f.type):
+                row[f.name] = ""
+            elif pa.types.is_binary(f.type):
+                row[f.name] = b""
+            else:
+                row[f.name] = None
+        return row
+
+    # the sentinel rides join_ready's own union (BEFORE its repartition):
+    # the repartition barrier is what absorbs empty/zero blocks into
+    # schema-ful ones, so the seed must precede it
+    l = join_ready(left, left_schema, sentinel_row=_seed(left_schema, lkey, lsent))
+    r = join_ready(
+        right, right_schema, sentinel_row=_seed(right_schema, rkey, rsent)
+    )
+    joined = l.join(
+        r,
+        join_type=join_type,
+        on=on,
+        right_on=right_on,
+        **join_kwargs(num_partitions),
+    )
+
+    def _strip(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or lkey not in t.schema.names:
+            return t
+        return t.filter(pc.greater_equal(t[lkey], 0))
+
+    return joined.map_batches(_strip, batch_format="pyarrow")

@@ -1157,14 +1157,18 @@ def part_supplier_counts(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
     )
 
+    from ifctordf_ray.functions.kernels import safe_join
+
     pair_schema = pa.schema([("l_partkey", pa.int64()), ("l_suppkey", pa.int64())])
     bad_schema = pa.schema([("bad_suppkey", pa.int64())])
-    kept = join_ready(pair_ds, pair_schema).join(
-        join_ready(bad, bad_schema),
+    kept = safe_join(
+        pair_ds,
+        pair_schema,
+        bad,
+        bad_schema,
         join_type="left_anti",
         on=("l_suppkey",),
         right_on=("bad_suppkey",),
-        **join_kwargs(),
     )
 
     kept = attach_dimension(

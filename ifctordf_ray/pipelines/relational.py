@@ -236,14 +236,16 @@ def order_lineitem_join(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     )
-    from ifctordf_ray.tuning import join_kwargs
+    from ifctordf_ray.functions.kernels import safe_join
 
-    joined = lineitem.join(
+    joined = safe_join(
+        lineitem,
+        pa.schema([("l_orderkey", pa.int64()), ("price_cents", pa.int64())]),
         orders,
+        pa.schema([("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]),
         join_type="inner",
         on=("l_orderkey",),
         right_on=("o_orderkey",),
-        **join_kwargs(),
     )
     return joined.groupby("o_orderpriority").aggregate(
         Count(alias_name="n_lines"),
@@ -434,14 +436,16 @@ def orders_without_lineitem(sf_dir: str) -> ray.data.Dataset:
         lambda t: pa.table({"l_orderkey": pc.unique(t["l_orderkey"])}),
         batch_format="pyarrow",
     )
-    from ifctordf_ray.tuning import join_kwargs
+    from ifctordf_ray.functions.kernels import safe_join
 
-    anti = orders.join(
+    anti = safe_join(
+        orders,
+        pa.schema([("o_orderkey", pa.int64()), ("o_orderstatus", pa.string())]),
         line_keys,
+        pa.schema([("l_orderkey", pa.int64())]),
         join_type="left_anti",
         on=("o_orderkey",),
         right_on=("l_orderkey",),
-        **join_kwargs(),
     )
     return anti.map_batches(
         lambda t: t.select(["o_orderkey", "o_orderstatus"]),
@@ -2634,7 +2638,8 @@ def _half_user_sets(sf_dir: str):
 
     narrow = ds.map_batches(to_us, batch_format="pyarrow")
     bounds = narrow.aggregate(Min("ts_us"), Max("ts_us"))
-    mid = (bounds["min(ts_us)"] + bounds["max(ts_us)"]) // 2
+    lo, hi = bounds.get("min(ts_us)"), bounds.get("max(ts_us)")
+    mid = 0 if lo is None else (lo + hi) // 2  # empty input: sets are empty anyway
 
     def split(t: pa.Table, early: bool) -> pa.Table:
         mask = (
@@ -2673,20 +2678,26 @@ def users_both_halves(sf_dir: str) -> ray.data.Dataset:
     from ifctordf_ray.functions.kernels import join_ready
     from ifctordf_ray.tuning import join_kwargs
 
+    from ifctordf_ray.functions.kernels import safe_join
+
     early, late = _half_user_sets(sf_dir)
     key_schema = pa.schema([("user_id", pa.int64())])
-    joined = join_ready(early, key_schema).join(
-        join_ready(late.map_batches(
+    joined = safe_join(
+        early,
+        key_schema,
+        late.map_batches(
             lambda t: t.rename_columns(["late_user_id"]), batch_format="pyarrow"
-        ), pa.schema([("late_user_id", pa.int64())])),
+        ),
+        pa.schema([("late_user_id", pa.int64())]),
         join_type="inner",
         on=("user_id",),
         right_on=("late_user_id",),
-        **join_kwargs(),
     )
     return joined.map_batches(
-        lambda t: t.select(["user_id"]), batch_format="pyarrow"
-    )
+        lambda t: t.select(["user_id"]) if "user_id" in t.schema.names
+        else key_schema.empty_table(),
+        batch_format="pyarrow",
+    ).union(ray.data.from_arrow(key_schema.empty_table()))
 
 
 def users_both_halves_sql() -> str:
@@ -2735,20 +2746,21 @@ def user_days_except(sf_dir: str) -> ray.data.Dataset:
             )
         )
 
+    from ifctordf_ray.functions.kernels import safe_join
+
     key_schema = pa.schema([("user_id", pa.int64()), ("day_id", pa.int64())])
     rkey_schema = pa.schema([("p_user_id", pa.int64()), ("p_day_id", pa.int64())])
-    anti = join_ready(_distinct(False), key_schema).join(
-        join_ready(
-            _distinct(True).map_batches(
-                lambda t: t.rename_columns(["p_user_id", "p_day_id"]),
-                batch_format="pyarrow",
-            ),
-            rkey_schema,
+    anti = safe_join(
+        _distinct(False),
+        key_schema,
+        _distinct(True).map_batches(
+            lambda t: t.rename_columns(["p_user_id", "p_day_id"]),
+            batch_format="pyarrow",
         ),
+        rkey_schema,
         join_type="left_anti",
         on=("user_id", "day_id"),
         right_on=("p_user_id", "p_day_id"),
-        **join_kwargs(),
     )
     return anti.map_batches(
         lambda t: t.select(["user_id", "day_id"]), batch_format="pyarrow"

@@ -482,18 +482,22 @@ def blame_suppliers(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Count(alias_name="n_supp"), Sum("r", alias_name="n_r"))
     )
 
+    from ifctordf_ray.functions.kernels import safe_join
+
     os_schema = pa.schema(
         [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()), ("any_r", pa.int64())]
     )
     st_schema = pa.schema(
         [("o_key", pa.int64()), ("n_supp", pa.int64()), ("n_r", pa.int64())]
     )
-    joined = join_ready(os, os_schema).join(
-        join_ready(ord_stats, st_schema),
+    joined = safe_join(
+        os,
+        os_schema,
+        ord_stats,
+        st_schema,
         join_type="inner",
         on=("l_orderkey",),
         right_on=("o_key",),
-        **join_kwargs(),
     )
 
     def blame(t: pa.Table) -> pa.Table:
