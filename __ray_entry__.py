@@ -220,6 +220,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_supplier": _mj("top_supplier"),
         "rel_disjunctive_revenue": _mj("disjunctive_revenue"),
         "rel_part_supplier_counts": _mj("part_supplier_counts"),
+        "rel_shipping_priority": _mj("shipping_priority"),
+        "rel_forecast_revenue": _mj("forecast_revenue"),
+        "rel_linestatus_priority": _mj("linestatus_priority"),
         "rel_purchase_follow_events": _pipeline_rangejoin,
         "rel_user_type_unpivot": _pipeline_reshape("user_type_unpivot"),
         "rel_priority_mode": _pipeline_reshape("nation_priority_mode"),
@@ -394,6 +397,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_market_share": MJ.market_share_sql(),
         "rel_product_profit": MJ.product_profit_sql(),
         "rel_top_supplier": MJ.top_supplier_sql(),
+        "rel_shipping_priority": MJ.shipping_priority_sql(),
+        "rel_forecast_revenue": MJ.forecast_revenue_sql(),
+        "rel_linestatus_priority": MJ.linestatus_priority_sql(),
         "rel_disjunctive_revenue": MJ.disjunctive_revenue_sql(),
         "rel_part_supplier_counts": MJ.part_supplier_counts_sql(),
         "rel_purchase_follow_events": __import__(

@@ -177,14 +177,16 @@ def safe_join(
     `No match ... FieldRef.Name` crash, reproduced on fully-empty input
     for every chained-join query).
 
-    Recipe: union ONE sentinel row per side whose integer join key is an
-    impossible value (`sentinel_key`, default far outside any real key
-    domain; the two sides get different values so they can never match
-    each other), so each side always has >= 1 real row and the schema
-    broadcast always happens; after the join, filter rows carrying a
-    sentinel key (inner/semi joins drop them naturally; anti/outer joins
-    would emit the left sentinel).  All join keys in this engine are
-    int64 ids >= 0, so the sentinel domain is safe by construction.
+    Recipe: union ONE sentinel row per side whose join key is an
+    impossible value (for int64 keys `sentinel_key`, far outside any real
+    key domain; for string keys a "\\x00"-prefixed token no tokenizer or
+    id generator in this engine can emit; the two sides get different
+    values so they can never match each other), so each side always has
+    >= 1 real row and the schema broadcast always happens; after the
+    join, filter rows carrying the left sentinel key (inner/semi joins
+    drop both naturally; anti/outer joins would emit the left sentinel).
+    Integer join keys in this engine are int64 ids >= 0, so the int
+    sentinel domain is safe by construction.
 
     Scope: inner / left_semi / left_anti / left_outer only - a FULL
     outer join legitimately emits null left keys, which the sentinel
@@ -194,19 +196,25 @@ def safe_join(
     from ifctordf_ray.tuning import join_kwargs
 
     lkey, rkey = on[0], right_on[0]
-    lsent, rsent = sentinel_key, sentinel_key + 1
+    ktype = left_schema.field(lkey).type
+    if pa.types.is_string(ktype) or pa.types.is_large_string(ktype):
+        lsent, rsent = "\x00L", "\x00R"
+    else:
+        lsent, rsent = sentinel_key, sentinel_key + 1
 
-    def _seed(schema: pa.Schema, key: str, val: int) -> dict:
+    def _seed(schema: pa.Schema, key: str, val) -> dict:
         row = {}
         for f in schema:
             if f.name == key:
                 row[f.name] = val
             elif pa.types.is_integer(f.type) or pa.types.is_floating(f.type):
                 row[f.name] = 0
-            elif pa.types.is_string(f.type):
+            elif pa.types.is_string(f.type) or pa.types.is_large_string(f.type):
                 row[f.name] = ""
             elif pa.types.is_binary(f.type):
                 row[f.name] = b""
+            elif pa.types.is_boolean(f.type):
+                row[f.name] = False
             else:
                 row[f.name] = None
         return row
@@ -229,6 +237,6 @@ def safe_join(
     def _strip(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or lkey not in t.schema.names:
             return t
-        return t.filter(pc.greater_equal(t[lkey], 0))
+        return t.filter(pc.not_equal(t[lkey], lsent))
 
     return joined.map_batches(_strip, batch_format="pyarrow")

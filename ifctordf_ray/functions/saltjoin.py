@@ -66,11 +66,17 @@ def salted_join(
     right_on: str | None = None,
     salt: int = DEFAULT_SALT,
     num_partitions: int | None = None,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
     """INNER join ``left`` (large/fact, possibly key-skewed) with
     ``right`` (build side, replicated ``salt``x) on integer key columns.
     Row-identical to ``left.join(right, ...)``; the exchange key is
-    (key, salt) so hot keys spread over ``salt`` aggregators."""
+    (key, salt) so hot keys spread over ``salt`` aggregators.
+
+    Pass ``left_schema`` / ``right_schema`` (pre-salt) to armor the join
+    against zero-block inputs via kernels.safe_join — empty scans / empty
+    filter results otherwise crash the hash-shuffle schema broadcast."""
     from ifctordf_ray.tuning import join_kwargs
 
     right_on = right_on or on
@@ -81,11 +87,25 @@ def salted_join(
     rsalted = right.map_batches(
         _replicated, fn_kwargs={"salt": salt}, batch_format="pyarrow"
     )
-    joined = lsalted.join(
-        rsalted,
-        join_type="inner",
-        on=(on, SALT_COL),
-        right_on=(right_on, SALT_COL),
-        **join_kwargs(num_partitions),
-    )
+    if left_schema is not None and right_schema is not None:
+        from ifctordf_ray.functions.kernels import safe_join
+
+        joined = safe_join(
+            lsalted,
+            left_schema.append(pa.field(SALT_COL, pa.int64())),
+            rsalted,
+            right_schema.append(pa.field(SALT_COL, pa.int64())),
+            join_type="inner",
+            on=(on, SALT_COL),
+            right_on=(right_on, SALT_COL),
+            num_partitions=num_partitions,
+        )
+    else:
+        joined = lsalted.join(
+            rsalted,
+            join_type="inner",
+            on=(on, SALT_COL),
+            right_on=(right_on, SALT_COL),
+            **join_kwargs(num_partitions),
+        )
     return joined.drop_columns([SALT_COL])

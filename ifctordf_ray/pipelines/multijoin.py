@@ -147,14 +147,25 @@ def local_supplier_volume(sf_dir: str, region: str = REGION) -> ray.data.Dataset
     )
 
     orders = _read(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
-    from ifctordf_ray.tuning import join_kwargs
+    from ifctordf_ray.functions.kernels import safe_join
 
-    joined = li.join(
+    # safe_join: both sides are raw-read lineages — empty tables give
+    # ZERO blocks and lose the join's schema broadcast
+    joined = safe_join(
+        li,
+        pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("revenue_cents", pa.int64()),
+                ("s_nationkey", pa.int32()),
+            ]
+        ),
         orders,
+        pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
         join_type="inner",
         on=("l_orderkey",),
         right_on=("o_orderkey",),
-        **join_kwargs(),
     )
     joined = attach_dimension(
         joined,
@@ -893,14 +904,20 @@ def product_profit(sf_dir: str, name_substr: str = Q9_NAME_SUBSTR) -> ray.data.D
     )
 
     orders = _read(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
-    orders = orders.map_batches(
-        lambda t: pa.table(
-            {
-                "o_orderkey": t["o_orderkey"],
-                "order_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
-            }
+    # arm the orders side too: "unfiltered" still yields ZERO blocks on a
+    # fully-empty table (sentinel -2 never matches li's -1)
+    orders = join_ready(
+        orders.map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"],
+                    "order_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
         ),
-        batch_format="pyarrow",
+        pa.schema([("o_orderkey", pa.int64()), ("order_year", pa.int64())]),
+        sentinel_row={"o_orderkey": -2, "order_year": 0},
     )
     joined = li.join(
         orders,
@@ -1123,9 +1140,6 @@ def part_supplier_counts(sf_dir: str) -> ray.data.Dataset:
     join against the excluded-supplier key set -> broadcast part
     dimension attach -> per-(brand, size) groupby over the
     ALREADY-DISTINCT pair table, so count(*) IS count(distinct)."""
-    from ifctordf_ray.functions.kernels import join_ready
-    from ifctordf_ray.tuning import join_kwargs
-
     li = _read(
         f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
     )
@@ -1225,4 +1239,274 @@ def part_supplier_counts_sql() -> str:
         SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000
     )
     GROUP BY p_brand, p_size
+    """
+
+
+# ---------------------------------------------------------------------------
+# Q3-style: shipping priority — top unshipped-revenue orders for one
+# market segment.  customer prunes orders via the broadcast dimension
+# attach; the single fact-fact exchange is lineitem x (filtered orders),
+# both sides pre-filtered and projected at the read.
+# ---------------------------------------------------------------------------
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-06-01"
+Q3_TOP_N = 10
+
+
+def shipping_priority(
+    sf_dir: str,
+    segment: str = Q3_SEGMENT,
+    cutoff: str = Q3_CUTOFF,
+    top_n: int = Q3_TOP_N,
+) -> ray.data.Dataset:
+    """(l_orderkey, revenue_cents, o_orderdate, o_orderpriority): top
+    ``top_n`` orders by pending revenue — ordered before ``cutoff`` by a
+    ``segment`` customer, with lineitems shipping after it (TPC-H Q3;
+    the input hint has no o_shippriority, so o_orderpriority rides
+    along as the priority column)."""
+    from ifctordf_ray.functions.kernels import safe_join
+
+    cut = pa.scalar(cutoff).cast(pa.timestamp("us"))
+
+    orders = attach_dimension(
+        _read(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        ),
+        f"{sf_dir}/customer.parquet",
+        key_col="c_custkey",
+        probe_col="o_custkey",
+        val_cols=["c_mktsegment"],
+    )
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        f = t.filter(
+            pc.and_(
+                pc.equal(t["c_mktsegment"], segment),
+                pc.less(t["o_orderdate"], cut),
+            )
+        )
+        return pa.table(
+            {
+                "o_orderkey": f["o_orderkey"],
+                "o_orderdate": f["o_orderdate"],
+                "o_orderpriority": f["o_orderpriority"],
+            }
+        )
+
+    li = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def l_filter(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.greater(t["l_shipdate"], cut))
+        rev = _cents(
+            pc.multiply(f["l_extendedprice"], pc.subtract(1.0, f["l_discount"]))
+        )
+        return pa.table({"l_orderkey": f["l_orderkey"], "rev_cents": rev})
+
+    # per-ORDER pre-aggregate before the exchange (combiner discipline)
+    per_order = (
+        li.map_batches(l_filter, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_cents", alias_name="revenue_cents"))
+    )
+    joined = safe_join(
+        per_order,
+        pa.schema([("l_orderkey", pa.int64()), ("revenue_cents", pa.int64())]),
+        orders.map_batches(o_filter, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderpriority", pa.string()),
+            ]
+        ),
+        join_type="inner",
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    return (
+        joined.map_batches(
+            lambda t: t.select(
+                ["l_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority"]
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(
+            ["revenue_cents", "o_orderdate", "l_orderkey"],
+            descending=[True, False, False],
+        )
+        .limit(top_n)
+    )
+
+
+def shipping_priority_sql(
+    segment: str = Q3_SEGMENT, cutoff: str = Q3_CUTOFF, top_n: int = Q3_TOP_N
+) -> str:
+    return f"""
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = '{segment}'
+      AND o.o_orderdate < TIMESTAMP '{cutoff}'
+      AND l.l_shipdate  > TIMESTAMP '{cutoff}'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_cents DESC, o.o_orderdate ASC, l.l_orderkey ASC
+    LIMIT {top_n}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Q6-style: forecast revenue change — the pure filter + scalar aggregate
+# (no join, no groupby key: one combiner row per block, one global sum).
+# ---------------------------------------------------------------------------
+Q6_YEAR = 1997
+Q6_DISC_LO = 0.04
+Q6_DISC_HI = 0.06
+Q6_MAX_QTY = 24.0
+
+
+def forecast_revenue(
+    sf_dir: str,
+    year: int = Q6_YEAR,
+    disc_lo: float = Q6_DISC_LO,
+    disc_hi: float = Q6_DISC_HI,
+    max_qty: float = Q6_MAX_QTY,
+) -> ray.data.Dataset:
+    """One row (revenue_cents, n_items): sum of extendedprice*discount
+    over the Q6 band — ship year = ``year``, discount in
+    [disc_lo, disc_hi], quantity < max_qty.  Everything is a narrow
+    streaming filter; the only exchange is the two-scalar reduce."""
+    li = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.equal(pc.year(t["l_shipdate"]), year),
+                pc.less(t["l_quantity"], max_qty),
+            ),
+            pc.and_(
+                pc.greater_equal(t["l_discount"], disc_lo),
+                pc.less_equal(t["l_discount"], disc_hi),
+            ),
+        )
+        f = t.filter(keep)
+        rev = _cents(pc.multiply(f["l_extendedprice"], f["l_discount"]))
+        return pa.table(
+            {
+                "rev": pa.array(
+                    [pc.sum(rev).as_py() or 0], pa.int64()
+                ),
+                "n": pa.array([f.num_rows], pa.int64()),
+            }
+        )
+
+    agg = li.map_batches(prep, batch_format="pyarrow").aggregate(
+        Sum("rev", alias_name="rev"), Sum("n", alias_name="n")
+    )
+    out = pa.table(
+        {
+            "revenue_cents": pa.array([agg["rev"] or 0], pa.int64()),
+            "n_items": pa.array([agg["n"] or 0], pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(out)
+
+
+def forecast_revenue_sql(
+    year: int = Q6_YEAR,
+    disc_lo: float = Q6_DISC_LO,
+    disc_hi: float = Q6_DISC_HI,
+    max_qty: float = Q6_MAX_QTY,
+) -> str:
+    return f"""
+    SELECT CAST(coalesce(sum(CAST(floor(l_extendedprice * l_discount * 100.0 + 0.5) AS BIGINT)), 0) AS BIGINT) AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE year(l_shipdate) = {year}
+      AND l_discount >= {disc_lo} AND l_discount <= {disc_hi}
+      AND l_quantity < {max_qty}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Q12-style: line-status priority counts — fact x fact join with a
+# conditional (CASE WHEN) aggregate.  The input hint has no l_shipmode,
+# so l_linestatus plays the mode column; semantics otherwise Q12.
+# ---------------------------------------------------------------------------
+Q12_YEAR = 1997
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def linestatus_priority(
+    sf_dir: str, year: int = Q12_YEAR
+) -> ray.data.Dataset:
+    """(l_linestatus, high_line_count, low_line_count) over lineitems
+    shipped in ``year``: how many came from high-priority orders
+    (1-URGENT / 2-HIGH) vs the rest (TPC-H Q12 shape)."""
+    from ifctordf_ray.functions.kernels import safe_join
+
+    li = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+    )
+
+    def l_filter(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(pc.year(t["l_shipdate"]), year))
+        return pa.table(
+            {"l_orderkey": f["l_orderkey"], "l_linestatus": f["l_linestatus"]}
+        )
+
+    orders = _read(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = safe_join(
+        li.map_batches(l_filter, batch_format="pyarrow"),
+        pa.schema([("l_orderkey", pa.int64()), ("l_linestatus", pa.string())]),
+        orders,
+        pa.schema([("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]),
+        join_type="inner",
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def split(t: pa.Table) -> pa.Table:
+        hi = pc.cast(
+            pc.is_in(t["o_orderpriority"], pa.array(list(Q12_HIGH))), pa.int64()
+        )
+        return pa.table(
+            {
+                "l_linestatus": t["l_linestatus"],
+                "high": hi,
+                "low": pc.subtract(1, hi),
+            }
+        )
+
+    return (
+        joined.map_batches(split, batch_format="pyarrow")
+        .groupby("l_linestatus")
+        .aggregate(
+            Sum("high", alias_name="high_line_count"),
+            Sum("low", alias_name="low_line_count"),
+        )
+    )
+
+
+def linestatus_priority_sql(year: int = Q12_YEAR) -> str:
+    hi = ", ".join(f"'{p}'" for p in Q12_HIGH)
+    return f"""
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ({hi}) THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ({hi}) THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE year(l.l_shipdate) = {year}
+    GROUP BY l.l_linestatus
     """

@@ -105,8 +105,10 @@ class JoinOrdersToNation:
 
         cust_key, nation_name = ray.get(cust_nation_ref)
         self.np = np
-        # dense custkey -> nation-name index (custkeys are 1..N)
-        self.max_key = int(cust_key.max())
+        # dense custkey -> nation-name index (custkeys are 1..N); empty
+        # dimension -> 1-slot all-miss table (probe only runs if orders
+        # has rows, and a missing key maps to null)
+        self.max_key = int(cust_key.max()) if len(cust_key) else 0
         lookup = np.full(self.max_key + 1, -1, dtype=np.int32)
         lookup[cust_key] = nation_name[1]
         self.lookup = lookup
@@ -1030,9 +1032,6 @@ def customer_order_counts(sf_dir: str) -> ray.data.Dataset:
     zeros.  The fact side is PRE-AGGREGATED per custkey before the join
     (combiner discipline), so the left-outer exchange moves one row per
     customer-with-orders, not the raw orders table."""
-    from ifctordf_ray.functions.kernels import join_ready
-    from ifctordf_ray.tuning import join_kwargs
-
     cust = _clean_read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
@@ -1051,7 +1050,13 @@ def customer_order_counts(sf_dir: str) -> ray.data.Dataset:
             Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents")
         )
     )
-    per_cust = join_ready(
+    from ifctordf_ray.functions.kernels import safe_join
+
+    # safe_join: an empty customer table is ZERO blocks on the left;
+    # per_cust's groupby emits zero-column empty partitions
+    joined = safe_join(
+        cust,
+        pa.schema([("c_custkey", pa.int64()), ("c_mktsegment", pa.string())]),
         per_cust,
         pa.schema(
             [
@@ -1060,14 +1065,9 @@ def customer_order_counts(sf_dir: str) -> ray.data.Dataset:
                 ("total_cents", pa.int64()),
             ]
         ),
-        sentinel_row={"o_custkey": -1, "n_orders": 0, "total_cents": 0},
-    )
-    joined = cust.join(
-        per_cust,
         join_type="left_outer",
         on=("c_custkey",),
         right_on=("o_custkey",),
-        **join_kwargs(),
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -1435,7 +1435,17 @@ def order_lineitem_join_salted(sf_dir: str, salt: int = 8) -> ray.data.Dataset:
         batch_format="pyarrow",
     )
     joined = salted_join(
-        lineitem, orders, on="l_orderkey", right_on="o_orderkey", salt=salt
+        lineitem,
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        salt=salt,
+        left_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("price_cents", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]
+        ),
     )
     return joined.groupby("o_orderpriority").aggregate(
         Count(alias_name="n_lines"),
@@ -2085,7 +2095,6 @@ def value_outliers(sf_dir: str) -> ray.data.Dataset:
     """(event_id, user_id, value_cents, z): events whose value is more
     than OUTLIER_Z population-std-devs from the user's mean."""
     from ifctordf_ray.functions.kernels import join_ready
-    from ifctordf_ray.tuning import join_kwargs
 
     ds = _clean_read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
@@ -2142,12 +2151,30 @@ def value_outliers(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     )
-    joined = fact.join(
+    # safe_join: an empty events table makes the fact side ZERO blocks
+    from ifctordf_ray.functions.kernels import safe_join
+
+    joined = safe_join(
+        fact,
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("value_cents", pa.int64()),
+            ]
+        ),
         stats,
+        pa.schema(
+            [
+                ("u_stats", pa.int64()),
+                ("sum_c", pa.int64()),
+                ("sum_c2", pa.int64()),
+                ("n", pa.int64()),
+            ]
+        ),
         join_type="inner",
         on=("user_id",),
         right_on=("u_stats",),
-        **join_kwargs(),
     )
 
     def score(t: pa.Table) -> pa.Table:
@@ -2232,7 +2259,8 @@ def idle_rich_customers(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     ).sum(["s", "n"])
-    mean = float(tot["sum(s)"]) / float(tot["sum(n)"])  # exact ints -> IEEE
+    _s, _n = tot["sum(s)"] or 0, tot["sum(n)"] or 0
+    mean = float(_s) / float(_n) if _n else 0.0  # exact ints -> IEEE
 
     rich = cust.map_batches(
         lambda t: (
@@ -2675,9 +2703,6 @@ def users_both_halves(sf_dir: str) -> ray.data.Dataset:
     intersection = distinct each side (per-block pre-dedup + one
     groupby), then an inner hash join on the key — every stage
     partition-parallel, nothing corpus-sized on the driver."""
-    from ifctordf_ray.functions.kernels import join_ready
-    from ifctordf_ray.tuning import join_kwargs
-
     from ifctordf_ray.functions.kernels import safe_join
 
     early, late = _half_user_sets(sf_dir)
@@ -2714,8 +2739,6 @@ def user_days_except(sf_dir: str) -> ray.data.Dataset:
     join on the composite key), kept deliberately as two datasets + anti
     join rather than one groupby so it covers EXCEPT over arbitrary
     inputs.  Days are integer epoch days (exact in both engines)."""
-    from ifctordf_ray.functions.kernels import join_ready
-    from ifctordf_ray.tuning import join_kwargs
 
     ds = _clean_read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]

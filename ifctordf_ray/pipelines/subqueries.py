@@ -31,7 +31,7 @@ from ray.data.aggregate import Count, Sum
 
 from ifctordf_ray.functions.dimjoin import attach_dimension
 from ifctordf_ray.functions.kernels import cents as _cents
-from ifctordf_ray.functions.kernels import join_ready
+from ifctordf_ray.functions.kernels import join_ready, safe_join
 from ifctordf_ray.sources.transcripts import clean_read_parquet as _read
 from ifctordf_ray.tuning import join_kwargs
 
@@ -67,15 +67,17 @@ def returned_item_revenue(
         .groupby("l_orderkey")
         .aggregate(Sum("rev_cents", alias_name="rev_cents"))
     )
-    per_order = join_ready(
+    orders = _read(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    # safe_join: per_order's groupby emits zero-column empty partitions;
+    # an empty orders table is ZERO blocks on the right
+    joined = safe_join(
         per_order,
         pa.schema([("l_orderkey", pa.int64()), ("rev_cents", pa.int64())]),
-        sentinel_row={"l_orderkey": -1, "rev_cents": 0},
-    )
-    orders = _read(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
-    joined = per_order.join(
-        orders, join_type="inner", on=("l_orderkey",), right_on=("o_orderkey",),
-        **join_kwargs(),
+        orders,
+        pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+        join_type="inner",
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
     )
     per_cust = joined.groupby("o_custkey").aggregate(
         Sum("rev_cents", alias_name="revenue_cents")
@@ -157,18 +159,24 @@ def large_volume_orders(
     def having(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater(t["total_qty"], min_qty))
 
-    survivors = join_ready(
-        per_order.map_batches(having, batch_format="pyarrow"),
-        pa.schema([("l_orderkey", pa.int64()), ("total_qty", pa.int64())]),
-        sentinel_row={"l_orderkey": -1, "total_qty": 0},
-    )
     orders = _read(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
     )
-    joined = survivors.join(
-        orders, join_type="inner", on=("l_orderkey",), right_on=("o_orderkey",),
-        **join_kwargs(),
+    joined = safe_join(
+        per_order.map_batches(having, batch_format="pyarrow"),
+        pa.schema([("l_orderkey", pa.int64()), ("total_qty", pa.int64())]),
+        orders,
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_totalprice", pa.float64()),
+            ]
+        ),
+        join_type="inner",
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
     )
     joined = attach_dimension(
         joined,
@@ -239,16 +247,22 @@ def small_quantity_revenue(sf_dir: str) -> ray.data.Dataset:
         .groupby("pk")
         .aggregate(Sum("qty", alias_name="sum_qty"), Count(alias_name="cnt"))
     )
-    per_part = join_ready(
+    joined = safe_join(
+        fact,
+        pa.schema(
+            [
+                ("l_partkey", pa.int64()),
+                ("qty", pa.int64()),
+                ("price_cents", pa.int64()),
+            ]
+        ),
         per_part,
         pa.schema(
             [("pk", pa.int64()), ("sum_qty", pa.int64()), ("cnt", pa.int64())]
         ),
-        sentinel_row={"pk": -1, "sum_qty": 0, "cnt": 1},
-    )
-    joined = fact.join(
-        per_part, join_type="inner", on=("l_partkey",), right_on=("pk",),
-        **join_kwargs(),
+        join_type="inner",
+        on=("l_partkey",),
+        right_on=("pk",),
     )
 
     def below_half_avg(t: pa.Table) -> pa.Table:
@@ -310,9 +324,14 @@ def priority_semi_orders(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"l_orderkey": t["l_orderkey"]})
 
     returned = li.map_batches(returned_only, batch_format="pyarrow")
-    semi = orders.join(
-        returned, join_type="left_semi", on=("o_orderkey",),
-        right_on=("l_orderkey",), **join_kwargs(),
+    semi = safe_join(
+        orders,
+        pa.schema([("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]),
+        returned,
+        pa.schema([("l_orderkey", pa.int64())]),
+        join_type="left_semi",
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
     )
     return semi.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
 
@@ -363,9 +382,16 @@ def event_funnel(sf_dir: str) -> ray.data.Dataset:
 
     v = min_per_user(ev.map_batches(stage_rows("view"), batch_format="pyarrow"), "t1")
 
+    stage_schema = pa.schema([("user_id", pa.int64()), ("ts", ts_type)])
     clicks = ev.map_batches(stage_rows("click"), batch_format="pyarrow")
-    c_joined = clicks.join(
-        v, join_type="inner", on=("user_id",), **join_kwargs(),
+    c_joined = safe_join(
+        clicks,
+        stage_schema,
+        v,
+        pa.schema([("user_id", pa.int64()), ("t1", ts_type)]),
+        join_type="inner",
+        on=("user_id",),
+        right_on=("user_id",),
     ).map_batches(
         lambda t: pa.table(
             {"user_id": t["user_id"], "ts": t["ts"]}
@@ -375,8 +401,14 @@ def event_funnel(sf_dir: str) -> ray.data.Dataset:
     c = min_per_user(c_joined, "t2")
 
     purchases = ev.map_batches(stage_rows("purchase"), batch_format="pyarrow")
-    p_joined = purchases.join(
-        c, join_type="inner", on=("user_id",), **join_kwargs(),
+    p_joined = safe_join(
+        purchases,
+        stage_schema,
+        c,
+        pa.schema([("user_id", pa.int64()), ("t2", ts_type)]),
+        join_type="inner",
+        on=("user_id",),
+        right_on=("user_id",),
     ).map_batches(
         lambda t: pa.table(
             {"user_id": t["user_id"], "ts": t["ts"]}

@@ -513,25 +513,19 @@ def verified_near_dups(
     never collected to the driver or broadcast whole — at 100x data both
     joins stay partitioned exchanges proportional to the candidate count.
     """
-    from ifctordf_ray.functions.kernels import join_ready
-    from ifctordf_ray.tuning import join_kwargs
+    from ifctordf_ray.functions.kernels import safe_join
 
-    jk = join_kwargs(num_partitions)
-    # join_ready: the upstream groupby.aggregate emits empty partitions as
-    # EMPTY-SCHEMA blocks, which crash Acero inside Dataset.join when a
-    # hash partition gets only those (the r2 16-partition failure).  The
-    # sentinel (-1, -1) can never be a real pair (doc ids >= 0) and is
-    # dropped by the inner join.
-    cand = join_ready(
-        near_dup_pairs_minhash(sf_dir, threshold=0.0),
-        pa.schema(
-            [
-                ("doc_a", pa.int64()),
-                ("doc_b", pa.int64()),
-                ("est_jaccard", pa.float64()),
-            ]
-        ),
-        sentinel_row={"doc_a": -1, "doc_b": -1, "est_jaccard": 0.0},
+    # safe_join armors BOTH sides of each chained join: the candidate
+    # stream's groupby.aggregate emits empty partitions as EMPTY-SCHEMA
+    # blocks (the r2 16-partition failure), and a fully-empty documents
+    # table yields ZERO blocks on the shingle side — either crashes Acero
+    # inside Dataset.join when a hash partition gets only those.
+    cand_schema = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("est_jaccard", pa.float64()),
+        ]
     )
     docs = _clean_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -546,26 +540,25 @@ def verified_near_dups(
         lambda t: pa.table({"db": t["doc_id"], "sh_b": t["sh"]}),
         batch_format="pyarrow",
     )
-    j1 = cand.join(
-        sh_a, join_type="inner", on=("doc_a",), right_on=("da",), **jk,
+    j1 = safe_join(
+        near_dup_pairs_minhash(sf_dir, threshold=0.0),
+        cand_schema,
+        sh_a,
+        pa.schema([("da", pa.int64()), ("sh_a", pa.string())]),
+        join_type="inner",
+        on=("doc_a",),
+        right_on=("da",),
+        num_partitions=num_partitions,
     )
-    # re-arm between the chained joins: a j1 hash partition with no
-    # matches emits a 0-row block, and if that block is the first one
-    # fanned into j2's shuffle the schema broadcast is lost the same way
-    j1 = join_ready(
+    j2 = safe_join(
         j1,
-        pa.schema(
-            [
-                ("doc_a", pa.int64()),
-                ("doc_b", pa.int64()),
-                ("est_jaccard", pa.float64()),
-                ("sh_a", pa.string()),
-            ]
-        ),
-        sentinel_row={"doc_a": -1, "doc_b": -1, "est_jaccard": 0.0, "sh_a": ""},
-    )
-    j2 = j1.join(
-        sh_b, join_type="inner", on=("doc_b",), right_on=("db",), **jk,
+        cand_schema.append(pa.field("sh_a", pa.string())),
+        sh_b,
+        pa.schema([("db", pa.int64()), ("sh_b", pa.string())]),
+        join_type="inner",
+        on=("doc_b",),
+        right_on=("db",),
+        num_partitions=num_partitions,
     )
     thresh = threshold
 
@@ -641,32 +634,33 @@ def deduped_doc_ids(sf_dir: str, num_partitions: int | None = None) -> ray.data.
     -> hash join back on fingerprint -> keep rows where doc_id is the
     keeper.  Both sides distributed; no driver state."""
     from ifctordf_ray.stages.textstats import Fingerprinter
-    from ifctordf_ray.tuning import join_kwargs
 
     ds = _clean_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     fps = ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 4))
-    from ifctordf_ray.functions.kernels import join_ready
+    from ifctordf_ray.functions.kernels import safe_join
 
-    # join_ready: keepers is a groupby output (empty partitions are
-    # zero-column blocks — see kernels.join_ready).  Sentinel fp "\x00"
-    # cannot be a real fingerprint (md5 hex) so the inner join drops it.
-    keepers = join_ready(
-        fps.groupby("fingerprint").aggregate(
-            Min("doc_id", alias_name="keep_doc_id")
-        ).map_batches(
-            lambda t: pa.table(
-                {"fp": t["fingerprint"], "keep_doc_id": t["keep_doc_id"]}
-            ),
-            batch_format="pyarrow",
+    # safe_join: keepers is a groupby output (empty partitions are
+    # zero-column blocks) and a fully-empty documents table makes the fps
+    # side ZERO blocks — both crash the join's schema broadcast unarmored.
+    keepers = fps.groupby("fingerprint").aggregate(
+        Min("doc_id", alias_name="keep_doc_id")
+    ).map_batches(
+        lambda t: pa.table(
+            {"fp": t["fingerprint"], "keep_doc_id": t["keep_doc_id"]}
         ),
-        pa.schema([("fp", pa.string()), ("keep_doc_id", pa.int64())]),
-        sentinel_row={"fp": "\x00", "keep_doc_id": -1},
+        batch_format="pyarrow",
     )
-    joined = fps.join(
-        keepers, join_type="inner", on=("fingerprint",), right_on=("fp",),
-        **join_kwargs(num_partitions),
+    joined = safe_join(
+        fps,
+        pa.schema([("doc_id", pa.int64()), ("fingerprint", pa.string())]),
+        keepers,
+        pa.schema([("fp", pa.string()), ("keep_doc_id", pa.int64())]),
+        join_type="inner",
+        on=("fingerprint",),
+        right_on=("fp",),
+        num_partitions=num_partitions,
     )
 
     def keep(t: pa.Table) -> pa.Table:
@@ -779,8 +773,19 @@ def min_label_components(
             break
         prev_sum = s
 
-    joined = ids.join(
-        labels, join_type="left_outer", on=(id_col,), right_on=("doc",), **jk
+    # safe_join: `ids` is a raw parquet read — a fully-empty table yields
+    # ZERO blocks, which loses the join's schema broadcast (kernels.safe_join)
+    from ifctordf_ray.functions.kernels import safe_join
+
+    joined = safe_join(
+        ids,
+        pa.schema([(id_col, pa.int64())]),
+        labels,
+        _LAB_SCHEMA,
+        join_type="left_outer",
+        on=(id_col,),
+        right_on=("doc",),
+        num_partitions=num_partitions,
     )
 
     def finish(t: pa.Table) -> pa.Table:

@@ -25,7 +25,6 @@ def mention_next_hop(sf_dir: str, num_partitions: int | None = None) -> ray.data
     import pyarrow.compute as pc
 
     from ifctordf_ray.pipelines import kg
-    from ifctordf_ray.tuning import join_kwargs
 
     triples = kg.kg_from_events(sf_dir, mode="fast")
 
@@ -42,12 +41,19 @@ def mention_next_hop(sf_dir: str, num_partitions: int | None = None) -> ray.data
     nexts = triples.map_batches(
         side(S.P_NEXT_TURN, "nt_subj", "next_turn"), batch_format="pyarrow"
     )
-    joined = mentions.join(
+    # safe_join: both sides are predicate FILTERS — on empty (or
+    # mentions-free) input they emit zero schema-ful blocks
+    from ifctordf_ray.functions.kernels import safe_join
+
+    joined = safe_join(
+        mentions,
+        pa.schema([("subj", pa.string()), ("via_turn", pa.string())]),
         nexts,
+        pa.schema([("nt_subj", pa.string()), ("next_turn", pa.string())]),
         join_type="inner",
         on=("via_turn",),
         right_on=("nt_subj",),
-        **join_kwargs(num_partitions),
+        num_partitions=num_partitions,
     )
     return joined.map_batches(
         lambda t: t.select(["subj", "via_turn", "next_turn"]),

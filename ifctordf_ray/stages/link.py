@@ -24,24 +24,27 @@ import ray.data
 from ifctordf_ray import schema as S
 
 
-class MentionOccurrences:
+def mention_occurrences(batch: pa.Table) -> pa.Table:
     """map_batches stage: flatten each turn's numeric mentions to one
     (conv_id, turn_idx, surface_key) row per occurrence.  Fully
-    vectorized (kernels.digit_runs — no per-row findall loop)."""
+    vectorized (kernels.digit_runs — no per-row findall loop).
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    A TASK-pool function, not an actor class: it is stateless, and this
+    stage feeds BOTH sides of the safe_join below — two reserved actor
+    pools plus the join's aggregator actors deadlock a small (4-CPU)
+    session (same mechanism as pipelines/corpus.py's chunker note)."""
+    import pyarrow.compute as pc
 
-        from ifctordf_ray.functions.kernels import digit_runs
+    from ifctordf_ray.functions.kernels import digit_runs
 
-        parents, runs = digit_runs(batch["text"])
-        return pa.table(
-            {
-                "conv_id": pc.take(batch["conv_id"], parents),
-                "turn_idx": pc.take(batch["turn_idx"], parents).cast(pa.int32()),
-                "surface_key": runs,
-            }
-        )
+    parents, runs = digit_runs(batch["text"])
+    return pa.table(
+        {
+            "conv_id": pc.take(batch["conv_id"], parents),
+            "turn_idx": pc.take(batch["turn_idx"], parents).cast(pa.int32()),
+            "surface_key": runs,
+        }
+    )
 
 
 def link_mentions(
@@ -54,14 +57,9 @@ def link_mentions(
     tuning.default_join_partitions; at multi-node scale pass ~2-4x
     aggregate cores so each aggregator's hash table stays in heap).
     """
-    from ifctordf_ray.functions.kernels import join_ready
-    from ifctordf_ray.tuning import join_kwargs
     from ray.data.aggregate import Min
 
-    jk = join_kwargs(num_partitions)
-    occ = transcripts.map_batches(
-        MentionOccurrences, batch_format="pyarrow", concurrency=(1, 8), max_restarts=0
-    )
+    occ = transcripts.map_batches(mention_occurrences, batch_format="pyarrow")
 
     # ONE extraction pass: the canonical table is DERIVED from the same
     # occurrence stream and self-joined back (the r2 wrapper materialized
@@ -93,16 +91,29 @@ def link_mentions(
             }
         )
 
-    # join_ready: the groupby's empty partitions are zero-column blocks;
-    # armor the join input against Ray's first-block-empty
-    # schema-broadcast loss (see kernels.join_ready).  The sentinel key
-    # "\x00" cannot be a real surface form (NUM_RE matches digits only)
-    # and the inner join drops it.
-    canon = join_ready(
+    # safe_join: the groupby's empty partitions are zero-column blocks AND
+    # an empty transcript table makes the occurrence side ZERO blocks —
+    # both lose the join's schema broadcast (see kernels.safe_join).  The
+    # string sentinels ("\x00L"/"\x00R") cannot be real surface forms
+    # (NUM_RE matches digits only) and are stripped post-join.
+    canon = (
         occ.map_batches(_with_sk, batch_format="pyarrow")
         .groupby("surface_key")
         .aggregate(Min("sk", alias_name="first_seen"))
-        .map_batches(_finish_canon, batch_format="pyarrow"),
+        .map_batches(_finish_canon, batch_format="pyarrow")
+    )
+    from ifctordf_ray.functions.kernels import safe_join
+
+    joined = safe_join(
+        occ,
+        pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("turn_idx", pa.int32()),
+                ("surface_key", pa.string()),
+            ]
+        ),
+        canon,
         pa.schema(
             [
                 ("surface_key", pa.string()),
@@ -110,17 +121,10 @@ def link_mentions(
                 ("first_seen", pa.string()),
             ]
         ),
-        sentinel_row={
-            "surface_key": "\x00",
-            "canonical_id": "\x00",
-            "first_seen": "\x00",
-        },
-    )
-    joined = occ.join(
-        canon,
         join_type="inner",
         on=("surface_key",),
-        **jk,
+        right_on=("surface_key",),
+        num_partitions=num_partitions,
     )
 
     def finish(t: pa.Table) -> pa.Table:

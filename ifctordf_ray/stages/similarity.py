@@ -50,6 +50,8 @@ def _load_queries(sf_dir: str, nq: int) -> tuple[np.ndarray, np.ndarray]:
         lambda t: t.filter(pc.is_in(t["vec_id"], id_arr)), batch_format="pyarrow"
     )
     rows = emb.take_all()  # exactly nq rows
+    if not rows:  # empty corpus: no queries, downstream emits 0 rows
+        return ids, np.zeros((0, EMB_DIM), dtype=np.float64)
     rows.sort(key=lambda r: r["vec_id"])
     mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
     assert mat.shape[1] == EMB_DIM, f"embedding dim {mat.shape[1]} != {EMB_DIM}"
@@ -787,7 +789,6 @@ def label_token_stats(sf_dir: str, num_partitions: int | None = None):
     from ray.data.aggregate import Sum as _Sum
 
     from ifctordf_ray.stages.textstats import TokenCounter
-    from ifctordf_ray.tuning import join_kwargs
 
     docs = _clean_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -804,12 +805,25 @@ def label_token_stats(sf_dir: str, num_partitions: int | None = None):
         ),
         batch_format="pyarrow",
     )
-    joined = tokens.join(
+    # safe_join: "plain reads" still yield ZERO blocks on fully-empty
+    # tables, which loses the join's schema broadcast
+    from ifctordf_ray.functions.kernels import safe_join
+
+    joined = safe_join(
+        tokens,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_tokens", pa.int64()),
+                ("n_chars", pa.int64()),
+            ]
+        ),
         labels,
+        pa.schema([("vec_id", pa.int64()), ("label", pa.int64())]),
         join_type="inner",
         on=("doc_id",),
         right_on=("vec_id",),
-        **join_kwargs(num_partitions),
+        num_partitions=num_partitions,
     )
     agg = joined.groupby("label").aggregate(
         _Count(alias_name="n_docs"),
@@ -1116,7 +1130,8 @@ class _PQAssign:
     def __init__(self, cent_ref):
         ids, mat = ray.get(cent_ref)
         q = np.floor(mat * COV_Q + 0.5).astype(np.int64)  # (K, d)
-        self.cent = q.reshape(q.shape[0], PQ_M, -1)       # (K, M, d/M)
+        # explicit subdim (not -1): a 0-row codebook can't infer it
+        self.cent = q.reshape(q.shape[0], PQ_M, EMB_DIM // PQ_M)  # (K, M, d/M)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         embs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)

@@ -77,30 +77,32 @@ def tfidf_top_terms(
     is a doc-keyed map_groups, bounded by terms-per-doc."""
     from ray.data.aggregate import Count as _Count
 
-    from ifctordf_ray.functions.kernels import join_ready
-    from ifctordf_ray.tuning import join_kwargs
+    from ifctordf_ray.functions.kernels import safe_join
 
     docs = _clean_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     n_docs = docs.count()  # parquet metadata count, no scan
     tf = docs.map_batches(TermCounter, batch_format="pyarrow", concurrency=(1, 4))
-    df = join_ready(
+    df = (
         tf.groupby("word")
         .aggregate(_Count(alias_name="df"))
         .map_batches(
             lambda t: pa.table({"w": t["word"], "df": t["df"]}),
             batch_format="pyarrow",
-        ),
-        pa.schema([("w", pa.string()), ("df", pa.int64())]),
-        sentinel_row={"w": "\x00", "df": 1},
+        )
     )
-    joined = tf.join(
+    joined = safe_join(
+        tf,
+        pa.schema(
+            [("doc_id", pa.int64()), ("word", pa.string()), ("tf", pa.int64())]
+        ),
         df,
+        pa.schema([("w", pa.string()), ("df", pa.int64())]),
         join_type="inner",
         on=("word",),
         right_on=("w",),
-        **join_kwargs(num_partitions),
+        num_partitions=num_partitions,
     )
 
     def score(t: pa.Table) -> pa.Table:
@@ -399,8 +401,10 @@ def pmi_collocations(
     tot = docs.map_batches(
         _TokenTotals, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0
     ).aggregate(_Sum("nu", alias_name="nu"), _Sum("nb", alias_name="nb"))
-    nu = float(tot["nu"])
-    nb = float(tot["nb"])
+    # empty corpus: Ray's aggregate returns None — any value works, every
+    # real row is already gone by the time these scalars are used
+    nu = float(tot["nu"] or 0)
+    nb = float(tot["nb"] or 0)
 
     uni = (
         docs.map_batches(WordPartialCounts, batch_format="pyarrow", concurrency=(1, 4))
@@ -710,7 +714,9 @@ def bm25_search(
     )
     n_docs = int(stats["n_docs"] or 0)
     sum_dl = int(stats["sum_dl"] or 0)
-    avgdl = float(sum_dl) / float(n_docs)
+    # empty corpus: avgdl is never consumed (no rows to score) — any
+    # non-zero value avoids the 0/0
+    avgdl = float(sum_dl) / float(n_docs) if n_docs else 1.0
     idfs = []
     for i in range(len(terms)):
         df = int(stats[f"df_{i}"] or 0)
@@ -882,19 +888,38 @@ def lm_bigram_scores(sf_dir: str, num_partitions: int | None = None) -> ray.data
             {"w1": t["w1"], "w2": t["w2"], "qlogp": pa.array(ql, pa.int64())}
         )
 
-    probs = join_ready(
-        bp.map_batches(qlog, batch_format="pyarrow"),
-        pa.schema(
-            [("w1", pa.string()), ("w2", pa.string()), ("qlogp", pa.int64())]
-        ),
-        sentinel_row={"w1": "\x00", "w2": "\x00", "qlogp": 0},
-    )
+    # materialize: vocab²-bounded like `big` above, and it SPLITS the
+    # plan — without it both chained joins' aggregator pools are live in
+    # one execution and deadlock a small (4-CPU) session (the
+    # pipelines/corpus.py mechanism)
+    probs = bp.map_batches(qlog, batch_format="pyarrow").materialize()
 
     docs = _clean_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     docbig = docs.map_batches(_doc_bigram_counts, batch_format="pyarrow")
-    scored = docbig.join(probs, join_type="inner", on=("w1", "w2"), **jk)
+    # safe_join: docbig is ZERO blocks on an empty documents table
+    from ifctordf_ray.functions.kernels import safe_join
+
+    scored = safe_join(
+        docbig,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("w1", pa.string()),
+                ("w2", pa.string()),
+                ("cnt", pa.int64()),
+            ]
+        ),
+        probs,
+        pa.schema(
+            [("w1", pa.string()), ("w2", pa.string()), ("qlogp", pa.int64())]
+        ),
+        join_type="inner",
+        on=("w1", "w2"),
+        right_on=("w1", "w2"),
+        num_partitions=num_partitions,
+    )
 
     def weight(t: pa.Table) -> pa.Table:
         return pa.table(

@@ -410,8 +410,6 @@ def training_funnel(
     deadlock it (observed at num_cpus=4 in the corpus build) — and at
     any scale one exchange of the text is strictly cheaper than two.
     The keeper groupby always runs on a text-FREE projection."""
-    from ifctordf_ray.functions.kernels import join_ready
-    from ifctordf_ray.tuning import join_kwargs
     from ray.data.aggregate import Min as _Min
 
     ds = _clean_read_parquet(
@@ -445,21 +443,34 @@ def training_funnel(
     keeper_in = survivors.map_batches(
         lambda t: t.select(["doc_id", "fingerprint"]), batch_format="pyarrow"
     )
-    keepers = join_ready(
-        keeper_in.groupby("fingerprint").aggregate(
-            _Min("doc_id", alias_name="keep_doc_id")
-        ).map_batches(
-            lambda t: pa.table(
-                {"fp": t["fingerprint"], "keep_doc_id": t["keep_doc_id"]}
-            ),
-            batch_format="pyarrow",
+    keepers = keeper_in.groupby("fingerprint").aggregate(
+        _Min("doc_id", alias_name="keep_doc_id")
+    ).map_batches(
+        lambda t: pa.table(
+            {"fp": t["fingerprint"], "keep_doc_id": t["keep_doc_id"]}
         ),
-        pa.schema([("fp", pa.string()), ("keep_doc_id", pa.int64())]),
-        sentinel_row={"fp": "\x00", "keep_doc_id": -1},
+        batch_format="pyarrow",
     )
-    joined = survivors.join(
-        keepers, join_type="inner", on=("fingerprint",), right_on=("fp",),
-        **join_kwargs(num_partitions),
+    # safe_join: survivors can be ZERO blocks (everything filtered out /
+    # empty input); keepers' groupby emits zero-column empty partitions
+    from ifctordf_ray.functions.kernels import safe_join
+
+    surv_fields = [
+        ("doc_id", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("fingerprint", pa.string()),
+    ]
+    if with_text:
+        surv_fields.append(("text", pa.string()))
+    joined = safe_join(
+        survivors,
+        pa.schema(surv_fields),
+        keepers,
+        pa.schema([("fp", pa.string()), ("keep_doc_id", pa.int64())]),
+        join_type="inner",
+        on=("fingerprint",),
+        right_on=("fp",),
+        num_partitions=num_partitions,
     )
 
     def keep_first(t: pa.Table) -> pa.Table:
@@ -996,11 +1007,14 @@ def quality_top_decile(sf_dir: str, q: float = TOP_DECILE_Q) -> ray.data.Dataset
         dtype=np.int64,
     )
     cum = np.cumsum(cnts)
-    total = int(cum[-1])
-    i = int(np.searchsorted(cum, q * total, side="left"))
-    if cum[i] < q * total:
-        i += 1
-    cutoff = int(vals[i])
+    if len(cum) == 0:  # empty corpus: no cutoff, nothing to keep anyway
+        cutoff = 0
+    else:
+        total = int(cum[-1])
+        i = int(np.searchsorted(cum, q * total, side="left"))
+        if cum[i] < q * total:
+            i += 1
+        cutoff = int(vals[i])
 
     def keep(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1035,19 +1049,22 @@ def lang_token_quantiles(sf_dir: str) -> ray.data.Dataset:
 
     tc = token_counts(sf_dir)
     li = lang_id(sf_dir)
-    from ifctordf_ray.functions.kernels import join_ready
-    from ifctordf_ray.tuning import join_kwargs
+    from ifctordf_ray.functions.kernels import safe_join
 
-    li2 = join_ready(
-        li.map_batches(
-            lambda t: pa.table({"lid": t["doc_id"], "pred_lang": t["pred_lang"]}),
-            batch_format="pyarrow",
-        ),
-        pa.schema([("lid", pa.int64()), ("pred_lang", pa.string())]),
-        sentinel_row={"lid": -1, "pred_lang": ""},
+    li2 = li.map_batches(
+        lambda t: pa.table({"lid": t["doc_id"], "pred_lang": t["pred_lang"]}),
+        batch_format="pyarrow",
     )
-    joined = tc.join(
-        li2, join_type="inner", on=("doc_id",), right_on=("lid",), **join_kwargs()
+    # safe_join: both sides are plain maps over the documents read — an
+    # empty table gives ZERO blocks on either side
+    joined = safe_join(
+        tc,
+        pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64())]),
+        li2,
+        pa.schema([("lid", pa.int64()), ("pred_lang", pa.string())]),
+        join_type="inner",
+        on=("doc_id",),
+        right_on=("lid",),
     )
     hist = (
         joined.map_batches(

@@ -41,7 +41,30 @@ EMPTY_SAFE_QUERIES = [
     "kg_errors",
     "doc_minhash_near_dups",
     "emb_near_dup_pairs_lsh",
+    # --- round-3 safe_join refit batch: ONE representative per fix
+    # mechanism (the full 38-query refit is swept by
+    # scripts/empty_input_sweep.py — too slow for the 4-CPU suite) ---
+    "kg_linked_mentions",            # string-key safe_join, both sides derived
+    "rel_customer_order_counts",     # left_outer safe_join, raw-read left
+    "rel_priority_semi_orders",      # left_semi safe_join
+    "rel_order_lineitem_join_salted",  # salted composite-key safe_join
+    "doc_lm_bigram_scores",          # composite string-key safe_join
+    "doc_deduped_ids",               # groupby keeper join refit
+    "rel_nation_revenue",            # zero-size numpy reduction guard
+    "doc_quality_top_decile",        # empty-histogram cutoff guard
+    "rel_idle_rich_customers",       # None-scalar mean guard
+    "doc_bm25_search",               # zero-doc avgdl guard
+    "emb_knn_brute_force",           # empty query-matrix np.stack guard
+    "emb_pq_codes",                  # empty-codebook reshape guard
+    "rel_small_quantity_revenue",    # scalar-scaffold output (1 row)
+    "rel_event_funnel",              # stage-scaffold output (3 rows)
 ]
+
+
+# queries whose empty-input result is a fixed scaffold, not 0 rows:
+# small_quantity_revenue emits one zero-sum row; event_funnel emits its
+# three stages with n_users = 0
+EXPECTED_NONZERO = {"rel_small_quantity_revenue": 1, "rel_event_funnel": 3}
 
 
 @pytest.mark.parametrize("name", EMPTY_SAFE_QUERIES)
@@ -53,4 +76,4 @@ def test_query_survives_empty_input(empty_sf, name):
 
     ds = E.queries()[name](empty_sf)
     n = ds.count() if hasattr(ds, "count") else len(ds)
-    assert n == 0
+    assert n == EXPECTED_NONZERO.get(name, 0)
