@@ -250,6 +250,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": _stage("textstats", "stratified_sample"),
         "doc_chunks": _stage("chunking", "doc_chunks"),
         "doc_packed_sequences": _stage("chunking", "packed_sequences"),
+        "doc_shuffled_export": _stage("export", "shuffled_export"),
+        "doc_mixture_schedule": _stage("export", "mixture_schedule"),
         "doc_corpus_chunks": _pipeline_corpus_chunks,
         "doc_tfidf_top_terms": _stage("terms", "tfidf_top_terms"),
         "doc_pii_screen": _stage("terms", "pii_screen"),
@@ -346,6 +348,7 @@ def oracle_sql() -> dict[str, str]:
     from ifctordf_ray.pipelines import subqueries as SQ
     from ifctordf_ray.stages import chunking as CH
     from ifctordf_ray.stages import dedup as D
+    from ifctordf_ray.stages import export as EX
     from ifctordf_ray.stages import graphq as GQ
     from ifctordf_ray.stages import link as L
     from ifctordf_ray.stages import multimodal as MM
@@ -429,6 +432,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_stratified_sample": T.stratified_sample_sql(),
         "doc_chunks": CH.doc_chunks_sql(),
         "doc_packed_sequences": CH.packed_sequences_sql(),
+        "doc_shuffled_export": EX.shuffled_export_sql(),
+        "doc_mixture_schedule": EX.mixture_schedule_sql(),
         "doc_corpus_chunks": __import__(
             "ifctordf_ray.pipelines.corpus", fromlist=["corpus_chunks_sql"]
         ).corpus_chunks_sql(),
