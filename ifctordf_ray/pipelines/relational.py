@@ -960,6 +960,7 @@ def bloom_semi_join(sf_dir: str) -> ray.data.Dataset:
         fn_constructor_args=(bits_ref,),
         batch_format="pyarrow",
         concurrency=(1, 4),
+        max_restarts=0,  # constructor args hold ObjectRefs (ray#53727 warning)
     )
     return probe.groupby("l_orderkey").aggregate(Count(alias_name="n_lines"))
 

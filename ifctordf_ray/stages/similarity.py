@@ -942,6 +942,7 @@ def quantized_codes(sf_dir: str) -> ray.data.Dataset:
         fn_constructor_args=(lo_ref, span_ref, degen_ref),
         batch_format="pyarrow",
         concurrency=(1, 4),
+        max_restarts=0,  # constructor args hold ObjectRefs (ray#53727 warning)
     )
 
 

@@ -1175,6 +1175,7 @@ def model_scores(sf_dir: str) -> ray.data.Dataset:
         fn_constructor_args=(ref,),
         batch_format="pyarrow",
         concurrency=(1, 4),
+        max_restarts=0,  # constructor args hold ObjectRefs (ray#53727 warning)
     )
 
 
