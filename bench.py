@@ -138,6 +138,13 @@ def _run_benchmarks() -> dict:
         training_funnel(sf_dir).count()
         queries["doc_training_funnel"] = round(time.time() - t0, 3)
 
+        # training-export last mile: deterministic shard shuffle
+        from ifctordf_ray.stages.export import shuffled_export
+
+        t0 = time.time()
+        shuffled_export(sf_dir).count()
+        queries["doc_shuffled_export"] = round(time.time() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "kg_construct_sec",
