@@ -311,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keyword_search": _stage("terms", "keyword_search"),
         "doc_bm25_search": _stage("terms", "bm25_search"),
         "doc_lm_bigram_scores": _stage("terms", "lm_bigram_scores"),
+        "doc_bpe_merges": _stage("terms", "bpe_merges"),
         "doc_fuzzy_word_pairs": _stage("terms", "fuzzy_word_pairs"),
         "doc_feature_hashing": _stage("terms", "feature_hashing"),
         # --- similarity search ---
@@ -496,6 +497,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keyword_search": TERMS.keyword_search_sql(),
         "doc_bm25_search": TERMS.bm25_search_sql(),
         "doc_lm_bigram_scores": TERMS.lm_bigram_scores_sql(),
+        "doc_bpe_merges": TERMS.bpe_merges_sql(),
         "doc_fuzzy_word_pairs": TERMS.fuzzy_word_pairs_sql(),
         "doc_feature_hashing": TERMS.feature_hashing_sql(),
         "emb_knn_brute_force": SIM.knn_brute_force_sql(),

@@ -1279,3 +1279,190 @@ def source_quota_sample_sql(quota: int = SOURCE_QUOTA) -> str:
         FROM documents
     ) WHERE rn <= {quota}
     """
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training: learn the first N merge rules from the corpus.
+# The heavy stage is the distributed word-frequency scan (map-side
+# combiner -> one groupby); the merge loop then iterates over the
+# word-frequency TABLE (vocabulary-bounded, never corpus-bounded) with
+# one tiny pair-count shuffle per merge, mirroring how production BPE
+# trainers operate on the word-count dictionary rather than raw text.
+#
+# Cross-engine parity trick: a word's symbol sequence is encoded as a
+# string with every symbol wrapped in double spaces ("  a  b  c  ").
+# Applying merge (l, r) is then the literal replacement
+# " l  r " -> " lr ": because matched text always ends one space BEFORE
+# the next symbol's own leading space, left-to-right non-overlapping
+# replacement — the shared semantics of Python str.replace, Arrow
+# pc.replace_substring and DuckDB replace() — is exactly canonical
+# greedy BPE pair merging, including on runs ("a a a a" -> "aa aa").
+# Symbols are [a-z0-9]+ concatenations (WORD_RE), so they never collide
+# with the space delimiters.
+# ---------------------------------------------------------------------------
+BPE_N_MERGES = 6
+
+
+def _bpe_seq0(t: pa.Table) -> pa.Table:
+    """word -> '  c1  c2  ...  ' initial character segmentation."""
+    import pyarrow.compute as pc
+
+    body = pc.replace_substring_regex(t["word"], pattern="(.)", replacement=r"  \1")
+    seq = pc.binary_join_element_wise(body, "  ", "")
+    return pa.table({"n": t["n"], "seq": seq})
+
+
+def _bpe_pair_partials(t: pa.Table) -> pa.Table:
+    """Per-block adjacent-pair counts weighted by word frequency.
+    Python loop is fine here: the input is the vocabulary table (one row
+    per DISTINCT word), not the corpus."""
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for n, seq in zip(
+        t["n"].to_pylist(), t["seq"].to_pylist()
+    ):
+        syms = seq.strip().split("  ")
+        for a, b in zip(syms, syms[1:]):
+            cnt[(a, b)] += n
+    ls, rs, ns = [], [], []
+    for (a, b), c in cnt.items():
+        ls.append(a)
+        rs.append(b)
+        ns.append(c)
+    return pa.table(
+        {
+            "lhs": pa.array(ls, pa.string()),
+            "rhs": pa.array(rs, pa.string()),
+            "pair_count": pa.array(ns, pa.int64()),
+        }
+    )
+
+
+def bpe_merges(sf_dir: str, n_merges: int = BPE_N_MERGES) -> ray.data.Dataset:
+    """(merge_rank, lhs, rhs, pair_count): the first ``n_merges`` BPE
+    merge rules learned from the corpus, each with the (frequency-
+    weighted, overlap-counted) adjacent-pair count that won it.  Ties
+    break by (lhs ASC, rhs ASC).  Reference analog: the engine's other
+    iterative trainer, kmeans_train (similarity.py) — per round one
+    distributed pass + a driver-held O(1) update, nothing corpus-sized
+    on the driver."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum as _Sum
+
+    from ifctordf_ray.stages.textstats import WordPartialCounts
+
+    ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    words = (
+        ds.map_batches(
+            WordPartialCounts, batch_format="pyarrow", concurrency=(1, 4)
+        )
+        .groupby("word")
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+    # vocabulary-sized (distinct words), consumed once per merge round
+    seqs = words.map_batches(_bpe_seq0, batch_format="pyarrow").materialize()
+
+    out = {"merge_rank": [], "lhs": [], "rhs": [], "pair_count": []}
+    for rank in range(1, n_merges + 1):
+        best = (
+            seqs.map_batches(_bpe_pair_partials, batch_format="pyarrow")
+            .groupby(["lhs", "rhs"])
+            .aggregate(_Sum("pair_count", alias_name="pair_count"))
+            .sort(
+                ["pair_count", "lhs", "rhs"], descending=[True, False, False]
+            )
+            .limit(1)
+            .take_all()
+        )  # exactly one row reaches the driver per round
+        if not best:
+            break
+        b = best[0]
+        out["merge_rank"].append(rank)
+        out["lhs"].append(b["lhs"])
+        out["rhs"].append(b["rhs"])
+        out["pair_count"].append(int(b["pair_count"]))
+        pat = f" {b['lhs']}  {b['rhs']} "
+        rep = f" {b['lhs']}{b['rhs']} "
+
+        def apply_merge(t: pa.Table, pat=pat, rep=rep) -> pa.Table:
+            return pa.table(
+                {
+                    "n": t["n"],
+                    "seq": pc.replace_substring(
+                        t["seq"], pattern=pat, replacement=rep
+                    ),
+                }
+            )
+
+        seqs = seqs.map_batches(
+            apply_merge, batch_format="pyarrow"
+        ).materialize()
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "merge_rank": pa.array(out["merge_rank"], pa.int64()),
+                "lhs": pa.array(out["lhs"], pa.string()),
+                "rhs": pa.array(out["rhs"], pa.string()),
+                "pair_count": pa.array(out["pair_count"], pa.int64()),
+            }
+        )
+    )
+
+
+def bpe_merges_sql(n_merges: int = BPE_N_MERGES) -> str:
+    """Unrolled merge trajectory: seq_0 = per-character segmentation;
+    per round t, p_t counts weighted adjacent pairs, b_t picks the
+    winner, seq_t applies the literal ' l  r ' -> ' lr ' replacement
+    (same left-to-right non-overlap semantics as the engine)."""
+    parts = [
+        f"""wc AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS n
+        FROM (
+            SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                             '{WORD_RE}')) AS word
+            FROM documents
+        )
+        GROUP BY word
+    )""",
+        r"""seq_0 AS (
+        SELECT n, regexp_replace(word, '(.)', '  \1', 'g') || '  ' AS seq
+        FROM wc
+    )""",
+    ]
+    for t in range(1, n_merges + 1):
+        prev = f"seq_{t - 1}"
+        parts.append(
+            f"""p_{t} AS (
+        SELECT ws[CAST(i + 1 AS INTEGER)] AS lhs,
+               ws[CAST(i + 2 AS INTEGER)] AS rhs,
+               CAST(sum(n) AS BIGINT) AS pair_count
+        FROM (SELECT n, string_split(trim(seq), '  ') AS ws FROM {prev}) s,
+             UNNEST(range(CAST(len(s.ws) AS BIGINT) - 1)) AS u(i)
+        GROUP BY 1, 2
+    )""")
+        parts.append(
+            f"""b_{t} AS (
+        SELECT lhs, rhs, pair_count FROM p_{t}
+        ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+    )""")
+        parts.append(
+            f"""seq_{t} AS (
+        SELECT s.n,
+               replace(s.seq, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                       ' ' || b.lhs || b.rhs || ' ') AS seq
+        FROM {prev} s CROSS JOIN b_{t} b
+    )""")
+    unions = "\n        UNION ALL\n        ".join(
+        f"SELECT CAST({t} AS BIGINT) AS merge_rank, lhs, rhs, pair_count"
+        f" FROM b_{t}"
+        for t in range(1, n_merges + 1)
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT merge_rank, lhs, rhs, pair_count FROM (
+        {unions}
+    ) ORDER BY merge_rank
+    """
