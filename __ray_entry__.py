@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25_search": _stage("terms", "bm25_search"),
         "doc_lm_bigram_scores": _stage("terms", "lm_bigram_scores"),
         "doc_bpe_merges": _stage("terms", "bpe_merges"),
+        "doc_bpe_encoded": _stage("terms", "bpe_encode"),
         "doc_fuzzy_word_pairs": _stage("terms", "fuzzy_word_pairs"),
         "doc_feature_hashing": _stage("terms", "feature_hashing"),
         # --- similarity search ---
@@ -498,6 +499,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_search": TERMS.bm25_search_sql(),
         "doc_lm_bigram_scores": TERMS.lm_bigram_scores_sql(),
         "doc_bpe_merges": TERMS.bpe_merges_sql(),
+        "doc_bpe_encoded": TERMS.bpe_encode_sql(),
         "doc_fuzzy_word_pairs": TERMS.fuzzy_word_pairs_sql(),
         "doc_feature_hashing": TERMS.feature_hashing_sql(),
         "emb_knn_brute_force": SIM.knn_brute_force_sql(),

@@ -1355,7 +1355,10 @@ def bpe_merges(sf_dir: str, n_merges: int = BPE_N_MERGES) -> ray.data.Dataset:
     ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     words = (
         ds.map_batches(
-            WordPartialCounts, batch_format="pyarrow", concurrency=(1, 4)
+            WordPartialCounts,
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+            max_restarts=0,  # stateless pool; silences ray#53727 warning
         )
         .groupby("word")
         .aggregate(_Sum("n", alias_name="n"))
@@ -1465,4 +1468,102 @@ def bpe_merges_sql(n_merges: int = BPE_N_MERGES) -> str:
     SELECT merge_rank, lhs, rhs, pair_count FROM (
         {unions}
     ) ORDER BY merge_rank
+    """
+
+
+def _bpe_doc_seq(t: pa.Table) -> pa.Table:
+    """text -> the double-space symbol stream of the whole document:
+    words are reduced to their [a-z0-9] character runs, non-word runs
+    collapse to a single '|' separator symbol (never part of any learned
+    merge, so merges cannot bridge word boundaries), and EVERY symbol is
+    wrapped in double spaces — the same encoding invariant the trainer
+    uses, so the same literal replacements apply."""
+    import pyarrow.compute as pc
+
+    lx = pc.utf8_lower(pc.fill_null(t["text"], ""))
+    ws = pc.replace_substring_regex(lx, pattern="[^a-z0-9]+", replacement="|")
+    ws = pc.utf8_trim(ws, characters="|")
+    spread = pc.replace_substring_regex(ws, pattern="(.)", replacement=r"  \1")
+    seq = pc.binary_join_element_wise(spread, "  ", "")
+    return pa.table({"doc_id": t["doc_id"], "seq": seq})
+
+
+def bpe_encode(
+    sf_dir: str, n_merges: int = BPE_N_MERGES
+) -> ray.data.Dataset:
+    """(doc_id, n_bpe_tokens): each document's token count under the
+    BPE merges learned from this corpus by ``bpe_merges`` — the trained
+    tokenizer APPLIED, train->encode as one chained pipeline.  The
+    merge table is O(n_merges) rows (driver-tiny, inlined into the map
+    closure); encoding is n_merges vectorized Arrow literal replaces
+    per batch, no per-row Python."""
+    import pyarrow.compute as pc
+
+    merges = bpe_merges(sf_dir, n_merges).take_all()  # n_merges rows
+    merges.sort(key=lambda r: r["merge_rank"])
+    rules = [(r["lhs"], r["rhs"]) for r in merges]
+
+    ds = _clean_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def encode(t: pa.Table) -> pa.Table:
+        t = _bpe_doc_seq(t)
+        seq = t["seq"]
+        for l, r in rules:
+            seq = pc.replace_substring(
+                seq, pattern=f" {l}  {r} ", replacement=f" {l}{r} "
+            )
+        trimmed = pc.utf8_trim_whitespace(seq)
+        n_syms = pc.list_value_length(
+            pc.split_pattern(trimmed, pattern="  ")
+        ).cast(pa.int64())
+        n_sep = pc.count_substring(trimmed, pattern="|").cast(pa.int64())
+        n_tok = pc.if_else(
+            pc.equal(trimmed, ""), pa.scalar(0, pa.int64()),
+            pc.subtract(n_syms, n_sep),
+        )
+        return pa.table({"doc_id": t["doc_id"], "n_bpe_tokens": n_tok})
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def bpe_encode_sql(n_merges: int = BPE_N_MERGES) -> str:
+    """Same b_t merge CTEs as ``bpe_merges_sql``, then the document
+    stream is built with the identical encoding and the merges applied
+    as nested literal replaces (scalar subqueries; COALESCE keeps a
+    missing round — degenerate/empty corpus — a no-op via a chr(1)
+    pattern that never occurs in the stream)."""
+    train = bpe_merges_sql(n_merges)
+    ctes = train.split("WITH ", 1)[1].rsplit("SELECT merge_rank", 1)[0]
+    ctes = ctes.rstrip().rstrip(",")
+    expr = "d.seq"
+    for t in range(1, n_merges + 1):
+        pat = (
+            f"coalesce((SELECT ' ' || lhs || '  ' || rhs || ' ' FROM b_{t}),"
+            f" chr(1))"
+        )
+        rep = f"coalesce((SELECT ' ' || lhs || rhs || ' ' FROM b_{t}), '')"
+        expr = f"replace({expr}, {pat}, {rep})"
+    return f"""
+    WITH {ctes},
+    doc_seq AS (
+        SELECT doc_id,
+               CASE WHEN ws = '' THEN ''
+                    ELSE regexp_replace(ws, '(.)', '  \\1', 'g') || '  '
+               END AS seq
+        FROM (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(coalesce(text, '')),
+                                       '[^a-z0-9]+', '|', 'g'), '|') AS ws
+            FROM documents
+        )
+    ),
+    enc AS (SELECT doc_id, {expr} AS seq FROM doc_seq d)
+    SELECT doc_id,
+           CASE WHEN trim(seq) = '' THEN CAST(0 AS BIGINT)
+                ELSE CAST(len(string_split(trim(seq), '  ')) AS BIGINT)
+                     - CAST(len(seq) - len(replace(seq, '|', '')) AS BIGINT)
+           END AS n_bpe_tokens
+    FROM enc
     """

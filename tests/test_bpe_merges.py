@@ -86,3 +86,54 @@ def test_bpe_merges_adversarial_sql_arm():
     # 4-char symbol — the shapes the naive single-space encoding gets wrong
     assert sql_rows[4][1] == sql_rows[4][2] == "an"
     assert sql_rows[6][2] == "anan"
+
+
+def _canonical_encode(texts, n_merges):
+    """Independent reference: canonical trainer + canonical per-word
+    index-loop encoder (merges applied in learned order)."""
+    merges = [(l, r) for _, l, r, _ in _canonical_bpe(texts, n_merges)]
+
+    def enc_word(w):
+        syms = list(w)
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    return [
+        sum(enc_word(w) for w in re.findall(r"[a-z0-9]+", (x or "").lower()))
+        for x in texts
+    ]
+
+
+def test_bpe_encode_cross_engine(sf_small):
+    from ifctordf_ray.stages.terms import bpe_encode, bpe_encode_sql
+
+    got = (
+        bpe_encode(sf_small)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        f"create view documents as select * from "
+        f"'{sf_small}/documents.parquet'"
+    )
+    exp = con.sql(bpe_encode_sql()).df().sort_values(
+        "doc_id", ignore_index=True
+    )
+    assert got.equals(exp)
+
+    t = pq.read_table(
+        f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+    ).sort_by("doc_id")
+    ref = _canonical_encode(t["text"].to_pylist(), BPE_N_MERGES)
+    assert got["n_bpe_tokens"].tolist() == ref
