@@ -58,14 +58,17 @@ def _run_benchmarks() -> dict:
 
     # memory-bandwidth-aware execution cap (see ifctordf_ray/tuning.py):
     # past the memory bus's sustainable stream count more concurrent
-    # sort/format tasks REDUCE throughput.  Round-2 sweep at 32 session
-    # CPUs: cap 8 -> 21.4-21.6 s, cap 12 -> 24.6 s, cap 16 -> 33.1 s,
-    # uncapped regime worse still — the vectorized writer shifted the
-    # optimum down from round 1's 12 (less compute to hide bus stalls).
-    # Only applied when the session exceeds the cap.
+    # sort/format tasks REDUCE throughput.  The optimum is
+    # CONTENTION-DEPENDENT: a round-2 sweep under a noisy neighbor
+    # measured cap 8 -> 21.4-21.6 s, cap 12 -> 24.6 s, cap 16 -> 33.1 s,
+    # but a round-3 re-sweep on a quiet box inverted it — cap 16/24 ->
+    # 9.9-12.2 s vs cap 8 -> 13.0-14.8 s across 3 alternating pairs
+    # (cap 16 won every pair by 20-25%; cap 32 slightly worse than 16).
+    # Default follows the quiet-box optimum; override per host via
+    # GRAFT_EXEC_CPU_CAP.  Only applied when the session exceeds the cap.
     from ifctordf_ray import tuning
 
-    cap = int(os.environ.get("GRAFT_EXEC_CPU_CAP", "8"))
+    cap = int(os.environ.get("GRAFT_EXEC_CPU_CAP", "16"))
     if num_cpus > cap:
         tuning.apply_exec_cpu_cap(cap)
 
