@@ -58,6 +58,8 @@ EMPTY_SAFE_QUERIES = [
     "emb_pq_codes",                  # empty-codebook reshape guard
     "rel_small_quantity_revenue",    # scalar-scaffold output (1 row)
     "rel_event_funnel",              # stage-scaffold output (3 rows)
+    "doc_bpe_merges",                # iterative trainer: empty-round break
+    "doc_bpe_encoded",               # encode with ZERO learned merges
 ]
 
 
