@@ -11,7 +11,7 @@ tuning every shuffle engine exposes (cf. Spark's shuffle parallelism
 knobs); on a multi-node cluster the cap applies per job there, so choose
 it relative to aggregate cluster CPUs, not one node.
 
-The benchmark harness applies GRAFT_EXEC_CPU_CAP (default 12) when the
+The benchmark harness applies GRAFT_EXEC_CPU_CAP (default 16) when the
 session has more CPUs than that; library code never sets it implicitly.
 """
 
