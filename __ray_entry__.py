@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_near_dup_clusters": _stage("dedup", "near_dup_clusters"),
         "doc_near_dedup_ids": _stage("dedup", "near_dedup_doc_ids"),
         "doc_dup_rate_by_lang": _stage("dedup", "dup_rate_by_lang"),
+        "doc_dup_span_stats": _stage("dedup", "dup_span_stats"),
         "doc_keyword_search": _stage("terms", "keyword_search"),
         "doc_bm25_search": _stage("terms", "bm25_search"),
         "doc_lm_bigram_scores": _stage("terms", "lm_bigram_scores"),
@@ -495,6 +496,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_near_dup_clusters": D.near_dup_clusters_sql(),
         "doc_near_dedup_ids": D.near_dedup_doc_ids_sql(),
         "doc_dup_rate_by_lang": D.dup_rate_by_lang_sql(),
+        "doc_dup_span_stats": D.dup_span_stats_sql(),
         "doc_keyword_search": TERMS.keyword_search_sql(),
         "doc_bm25_search": TERMS.bm25_search_sql(),
         "doc_lm_bigram_scores": TERMS.lm_bigram_scores_sql(),

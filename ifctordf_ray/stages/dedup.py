@@ -1065,3 +1065,189 @@ co AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {DECON_EVAL_MOD} <> 0)
 SELECT co.doc_id, CAST(count(*) AS BIGINT) AS n_hits
 FROM co JOIN ev USING (shingle)
 GROUP BY co.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-SPAN measurement: the ExactSubstr-dedup shape ("Deduplicating
+# Training Data Makes Language Models Better", Lee et al. 2022), grid-
+# approximated for distribution.  A true suffix array is inherently a
+# shared global index; the distributable analog samples fixed-length
+# character windows on a stride grid, so duplicated spans >= span_len
+# are detected at stride granularity with ONE groupby shuffle — no
+# global structure, no driver state.  Emits per-doc counters a curation
+# pass thresholds on (n_dup_grid / n_grid = duplicated-text fraction).
+#
+# Both engines slice by CODEPOINT (pyarrow utf8_slice_codeunits on a
+# utf8 array, DuckDB substr on VARCHAR), so parity holds on non-ASCII
+# text too.
+# ---------------------------------------------------------------------------
+SPAN_LEN = 16
+SPAN_STRIDE = 4
+
+
+def _span_grid(t: pa.Table, span_len: int, stride: int) -> pa.Table:
+    """(doc_id, sh): every span_len-char window at stride positions.
+    One vectorized full-column slice per grid offset (max_len/stride
+    kernel calls per batch), never a per-row Python loop.  Plain task
+    fn (stateless) — keeps the stage a task pool, which composes safely
+    with the downstream join aggregators in small sessions."""
+    import pyarrow.compute as pc
+
+    txt = t["text"].combine_chunks()
+    n = pc.utf8_length(txt)
+    max_len = pc.max(n).as_py() or 0
+    parts = []
+    k = 0
+    while k * stride + span_len <= max_len:
+        start = k * stride
+        mask = pc.greater_equal(n, start + span_len)
+        sub = pc.utf8_slice_codeunits(
+            txt, start=start, stop=start + span_len
+        )
+        parts.append(
+            pa.table(
+                {
+                    "doc_id": t["doc_id"].filter(mask),
+                    "sh": sub.filter(mask),
+                }
+            )
+        )
+        k += 1
+    if not parts:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "sh": pa.array([], pa.string()),
+            }
+        )
+    return pa.concat_tables(parts)
+
+
+def dup_span_stats(
+    sf_dir: str,
+    span_len: int = SPAN_LEN,
+    stride: int = SPAN_STRIDE,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """(doc_id, n_grid, n_dup_grid): per document, how many of its grid
+    windows also occur VERBATIM in at least one other document.  Docs
+    shorter than span_len have no grid and are absent (same WHERE in the
+    oracle).  The grid stream is consumed via lineage recompute (three
+    consumers), never materialized — it is corpus-sized."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum as _Sum
+
+    from ifctordf_ray.functions.kernels import safe_join
+
+    ds = _clean_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    pos = ds.map_batches(
+        _span_grid,
+        fn_kwargs={"span_len": span_len, "stride": stride},
+        batch_format="pyarrow",
+    )
+    # one row per DISTINCT (window, doc) + its in-doc occurrence count
+    pairs = pos.groupby(["sh", "doc_id"]).aggregate(
+        Count(alias_name="npos")
+    )
+    pair_schema = pa.schema(
+        [("sh", pa.string()), ("doc_id", pa.int64()), ("npos", pa.int64())]
+    )
+
+    # windows shared by >= 2 distinct docs
+    dup_sh = (
+        pairs.groupby("sh")
+        .aggregate(Count(alias_name="ndocs"))
+        .map_batches(
+            lambda t: pa.table(
+                {"shd": t.filter(pc.greater_equal(t["ndocs"], 2))["sh"]}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    total = pairs.groupby("doc_id").aggregate(
+        _Sum("npos", alias_name="n_grid")
+    )
+    dup_per_doc = (
+        safe_join(
+            pairs,
+            pair_schema,
+            dup_sh,
+            pa.schema([("shd", pa.string())]),
+            join_type="inner",
+            on=("sh",),
+            right_on=("shd",),
+            num_partitions=num_partitions,
+        )
+        .groupby("doc_id")
+        .aggregate(_Sum("npos", alias_name="n_dup_grid"))
+        .materialize()  # doc-count-sized; splits the chained-join plan
+    )
+    res = safe_join(
+        total,
+        pa.schema([("doc_id", pa.int64()), ("n_grid", pa.int64())]),
+        dup_per_doc.map_batches(
+            lambda t: pa.table(
+                {"did": t["doc_id"], "n_dup_grid": t["n_dup_grid"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("did", pa.int64()), ("n_dup_grid", pa.int64())]),
+        join_type="left_outer",
+        on=("doc_id",),
+        right_on=("did",),
+        num_partitions=num_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_grid": t["n_grid"],
+                "n_dup_grid": pc.fill_null(
+                    t["n_dup_grid"], pa.scalar(0, pa.int64())
+                ),
+            }
+        )
+
+    return res.map_batches(finish, batch_format="pyarrow")
+
+
+def dup_span_stats_sql(
+    span_len: int = SPAN_LEN, stride: int = SPAN_STRIDE
+) -> str:
+    return f"""
+    WITH g AS (
+        SELECT doc_id,
+               substr(text, CAST(k * {stride} + 1 AS INTEGER),
+                      {span_len}) AS sh
+        FROM (
+            SELECT doc_id, coalesce(text, '') AS text FROM documents
+        ), UNNEST(range(
+            CAST(floor((length(text) - {span_len}) / {stride}.0)
+                 AS BIGINT) + 1
+        )) AS u(k)
+    ),
+    pairs AS (
+        SELECT sh, doc_id, CAST(count(*) AS BIGINT) AS npos
+        FROM g GROUP BY sh, doc_id
+    ),
+    dup AS (
+        SELECT sh FROM (SELECT sh, count(*) AS c FROM pairs GROUP BY sh)
+        WHERE c >= 2
+    ),
+    total AS (
+        SELECT doc_id, CAST(sum(npos) AS BIGINT) AS n_grid
+        FROM pairs GROUP BY doc_id
+    ),
+    dupd AS (
+        SELECT doc_id, CAST(sum(npos) AS BIGINT) AS n_dup_grid
+        FROM pairs WHERE sh IN (SELECT sh FROM dup)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_grid,
+           coalesce(d.n_dup_grid, CAST(0 AS BIGINT)) AS n_dup_grid
+    FROM total t LEFT JOIN dupd d USING (doc_id)
+    """

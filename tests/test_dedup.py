@@ -238,3 +238,63 @@ def test_decontaminate_at_driver_partitioning(sf_small):
     a = a[cols].sort_values(cols).reset_index(drop=True)
     b = b[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_dup_span_stats(sf_small):
+    """Engine vs SQL oracle vs an independent dict-based reference for
+    the grid-approximated duplicated-span counters."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from ifctordf_ray.stages.dedup import (
+        SPAN_LEN,
+        SPAN_STRIDE,
+        dup_span_stats,
+        dup_span_stats_sql,
+    )
+
+    got = (
+        dup_span_stats(sf_small)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        f"create view documents as select * from "
+        f"'{sf_small}/documents.parquet'"
+    )
+    exp = con.sql(dup_span_stats_sql()).df().sort_values(
+        "doc_id", ignore_index=True
+    )
+    assert got.equals(exp)
+
+    # independent reference: dict of window -> set(docs), per-doc counts
+    t = pq.read_table(
+        f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+    )
+    windows: dict = {}
+    per_doc: dict = {}
+    for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        x = x or ""
+        spans = [
+            x[p : p + SPAN_LEN]
+            for p in range(0, len(x) - SPAN_LEN + 1, SPAN_STRIDE)
+        ]
+        if not spans:
+            continue
+        per_doc[d] = spans
+        for s in spans:
+            windows.setdefault(s, set()).add(d)
+    ref = {
+        d: (len(spans), sum(1 for s in spans if len(windows[s]) >= 2))
+        for d, spans in per_doc.items()
+    }
+    got_map = {
+        r.doc_id: (r.n_grid, r.n_dup_grid)
+        for r in got.itertuples(index=False)
+    }
+    assert got_map == ref
+    # the synthetic corpus is repetitive enough that the operator must
+    # actually find cross-doc duplicated spans
+    assert sum(v[1] for v in ref.values()) > 0
