@@ -54,6 +54,14 @@ def main(argv=None):
 
     DataContext.get_current().enable_progress_bars = False
 
+    # same memory-bandwidth-aware execution cap the benchmark applies
+    # (bench.py sweep history; override per host via GRAFT_EXEC_CPU_CAP)
+    from ifctordf_ray import tuning
+
+    cap = int(os.environ.get("GRAFT_EXEC_CPU_CAP", "16"))
+    if args.num_cpus > cap:
+        tuning.apply_exec_cpu_cap(cap)
+
     from ifctordf_ray.pipelines import kg
 
     try:
