@@ -318,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_feature_hashing": _stage("terms", "feature_hashing"),
         # --- similarity search ---
         "emb_knn_brute_force": _stage("similarity", "knn_brute_force"),
+        "emb_contrastive_triplets": _stage("similarity", "contrastive_triplets"),
         "emb_knn_filtered": _stage("similarity", "knn_filtered"),
         "emb_knn_lsh": _stage("similarity", "knn_lsh"),
         "emb_knn_ivf": _stage("similarity", "knn_ivf"),
@@ -505,6 +506,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fuzzy_word_pairs": TERMS.fuzzy_word_pairs_sql(),
         "doc_feature_hashing": TERMS.feature_hashing_sql(),
         "emb_knn_brute_force": SIM.knn_brute_force_sql(),
+        "emb_contrastive_triplets": SIM.contrastive_triplets_sql(),
         "emb_knn_filtered": SIM.knn_filtered_sql(),
         "emb_knn_lsh": SIM.knn_lsh_sql(),
         "emb_knn_ivf": SIM.knn_ivf_sql(),

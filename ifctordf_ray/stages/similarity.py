@@ -1743,3 +1743,174 @@ def dim_minmax_sql() -> str:
     FROM embeddings CROSS JOIN (SELECT unnest(range({EMB_DIM})) AS i) t
     GROUP BY t.i
     """
+
+
+# ---------------------------------------------------------------------------
+# Contrastive-triplet mining: (query, positive, negative) rows for a
+# contrastive/embedding trainer.  Positive = the top cosine neighbor
+# with the SELF match excluded; negative = a deterministic pseudo-random
+# corpus vector outside the query's top-K (a "true negative"), chosen as
+# the argmin of an arithmetic pair hash so the pick is reproducible
+# across runs, cluster sizes and engines:
+#
+#   h(q, v) = (NEG_A * (q mod P) + NEG_B * (v mod P)) mod P,
+#   P = 2^31 - 1  (products stay < 2^62: exact in numpy int64 AND in
+#   DuckDB BIGINT — the same overflow-free spec as the minhash
+#   permutations in stages/dedup.py), ties broken by vec_id ASC.
+#
+# Scale shape: one streaming knn pass (positives + exclusion sets,
+# nq x k rows), then one streaming hash-argmin pass with the exclusion
+# table broadcast (nq-bounded) and a per-block partial argmin — nothing
+# corpus-sized leaves the map stage.
+# ---------------------------------------------------------------------------
+NEG_A = 48271
+NEG_B = 16807
+NEG_P = 2**31 - 1
+
+
+class _NegHashMin:
+    """Per-block partial: for each query, the excluded-set-masked
+    hash-argmin candidate (one row per query per block)."""
+
+    def __init__(self, state_ref):
+        self.q_ids, self.excl = ray.get(state_ref)  # (nq,), list[np.ndarray]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vids = np.asarray(t["vec_id"], dtype=np.int64)
+        qs, cands, hs = [], [], []
+        vm = vids % NEG_P
+        for qid, excl in zip(self.q_ids, self.excl):
+            h = (NEG_A * (int(qid) % NEG_P) + NEG_B * vm) % NEG_P
+            mask = np.isin(vids, excl)
+            if mask.all():
+                continue
+            h = np.where(mask, NEG_P, h)  # NEG_P > any real hash value
+            order = np.lexsort((vids, h))
+            best = order[0]
+            qs.append(int(qid))
+            cands.append(int(vids[best]))
+            hs.append(int(h[best]))
+        return pa.table(
+            {
+                "query_id": pa.array(qs, pa.int64()),
+                "neg_id": pa.array(cands, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
+            }
+        )
+
+
+def contrastive_triplets(
+    sf_dir: str, k: int = DEFAULT_K, nq: int = DEFAULT_NQ
+) -> ray.data.Dataset:
+    """(query_id, pos_id, neg_id): one triplet per query vector."""
+    import pyarrow.compute as pc
+
+    # phase 1: top-k (includes self) -> positives + exclusion sets.
+    # nq x k rows — query-sized, never corpus-sized.
+    topk = knn_brute_force(sf_dir, k=k, nq=nq).take_all()
+    by_q: dict = {}
+    for r in topk:
+        by_q.setdefault(r["query_id"], []).append(r)
+    q_ids, pos, excl = [], {}, []
+    for qid in sorted(by_q):
+        rows = sorted(by_q[qid], key=lambda r: r["rank"])
+        p = next(
+            (r["neighbor_id"] for r in rows if r["neighbor_id"] != qid),
+            None,
+        )
+        if p is None:
+            continue  # degenerate: the query's only neighbor is itself
+        q_ids.append(qid)
+        pos[qid] = p
+        excl.append(
+            np.unique(
+                np.array([qid] + [r["neighbor_id"] for r in rows], np.int64)
+            )
+        )
+    if not q_ids:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "pos_id": pa.array([], pa.int64()),
+                    "neg_id": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    # phase 2: streaming hash-argmin over the corpus
+    state_ref = ray.put((np.array(q_ids, np.int64), excl))
+    ds = _clean_read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    )
+    partials = ds.map_batches(
+        _NegHashMin,
+        fn_constructor_kwargs={"state_ref": state_ref},
+        max_restarts=0,  # ObjectRef constructor arg (ray#53727)
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def final_min(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("h", "ascending"), ("neg_id", "ascending")])
+        qid = g["query_id"][0].as_py()
+        return pa.table(
+            {
+                "query_id": pa.array([qid], pa.int64()),
+                "pos_id": pa.array([pos[qid]], pa.int64()),
+                "neg_id": pa.array([g["neg_id"][0].as_py()], pa.int64()),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(
+        final_min, batch_format="pyarrow"
+    )
+
+
+def contrastive_triplets_sql(k: int = DEFAULT_K, nq: int = DEFAULT_NQ) -> str:
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings ORDER BY vec_id LIMIT {nq}
+    ), scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]),
+                   CAST(q.qe AS DOUBLE[])), {ROUND_DP}) AS sim
+        FROM embeddings e, q
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ), topk AS (
+        SELECT query_id, neighbor_id FROM ranked WHERE rank <= {k}
+    ), pos AS (
+        SELECT query_id, neighbor_id AS pos_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS rn
+            FROM scored WHERE neighbor_id != query_id
+        ) WHERE rn = 1
+    ), neg AS (
+        SELECT query_id, vec_id AS neg_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   ({NEG_A} * (q.query_id % {NEG_P})
+                    + {NEG_B} * (e.vec_id % {NEG_P})) % {NEG_P} AS h,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY ({NEG_A} * (q.query_id % {NEG_P})
+                                 + {NEG_B} * (e.vec_id % {NEG_P}))
+                                % {NEG_P} ASC,
+                                e.vec_id ASC) AS rn
+            FROM embeddings e, q
+            WHERE e.vec_id != q.query_id
+              AND NOT EXISTS (
+                  SELECT 1 FROM topk t
+                  WHERE t.query_id = q.query_id
+                    AND t.neighbor_id = e.vec_id
+              )
+        ) WHERE rn = 1
+    )
+    SELECT p.query_id, p.pos_id, n.neg_id
+    FROM pos p JOIN neg n USING (query_id)
+    """

@@ -99,3 +99,65 @@ def test_kmeans_train_parity(sf_small):
     pd.testing.assert_frame_equal(a, b)
     seed_inertia = int(kmeans_assign(sf_small).to_pandas().dist.sum())
     assert int(a.dist.sum()) <= seed_inertia
+
+
+def test_contrastive_triplets(sf_small):
+    """Engine vs SQL oracle vs an independent numpy reference for the
+    (query, positive, hash-argmin negative) triplet mining."""
+    import duckdb
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ifctordf_ray.stages.similarity import (
+        DEFAULT_K,
+        DEFAULT_NQ,
+        NEG_A,
+        NEG_B,
+        NEG_P,
+        ROUND_DP,
+        contrastive_triplets,
+        contrastive_triplets_sql,
+    )
+
+    got = (
+        contrastive_triplets(sf_small)
+        .to_pandas()
+        .sort_values("query_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"create view embeddings as select * from "
+        f"'{sf_small}/embeddings.parquet'"
+    )
+    exp = con.sql(contrastive_triplets_sql()).df().sort_values(
+        "query_id", ignore_index=True
+    )
+    assert got.equals(exp)
+
+    t = pq.read_table(f"{sf_small}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    q_idx = order[:DEFAULT_NQ]
+    ref = {}
+    for qi in q_idx:
+        qid = int(ids[qi])
+        sims = np.round(norm @ norm[qi], ROUND_DP)
+        rank_key = sorted(
+            range(len(ids)), key=lambda j: (-sims[j], ids[j])
+        )
+        topk = {int(ids[j]) for j in rank_key[:DEFAULT_K]}
+        pos = next(int(ids[j]) for j in rank_key if int(ids[j]) != qid)
+        h = (NEG_A * (qid % NEG_P) + NEG_B * (ids % NEG_P)) % NEG_P
+        cand = [
+            j
+            for j in range(len(ids))
+            if int(ids[j]) != qid and int(ids[j]) not in topk
+        ]
+        neg = int(ids[min(cand, key=lambda j: (h[j], ids[j]))])
+        ref[qid] = (pos, neg)
+    got_map = {
+        r.query_id: (r.pos_id, r.neg_id) for r in got.itertuples(index=False)
+    }
+    assert got_map == ref
