@@ -1567,3 +1567,177 @@ def bpe_encode_sql(n_merges: int = BPE_N_MERGES) -> str:
            END AS n_bpe_tokens
     FROM enc
     """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling"): hashed-unigram bag features, a
+# target-vs-raw bucket distribution pair, and a per-document log
+# importance weight.  The curation staple for "select web data that
+# looks like my target domain".  No reference analog (engine-addition
+# family, like feature_hashing above, whose md5 bucket spec it reuses).
+#
+# Scale shape: pass 1 is a narrow map + a DIM-row groupby (the bucket
+# table is fixed-size, never corpus-sized); the log-ratio table is
+# broadcast via ray.put and pass 2 scores every document row-locally —
+# no corpus-sized shuffle anywhere.  Log-ratios are quantized to integer
+# micro-nats (QLOG_SCALE) so per-doc sums are order-independent and
+# exactly SQL-replicable.
+# ---------------------------------------------------------------------------
+DSIR_DIM = 256  # hashed feature buckets
+DSIR_TARGET_SOURCE = "src0"  # the "target domain" sample
+
+
+class _DsirScorer:
+    """Actor: holds the broadcast per-bucket quantized log-ratio table."""
+
+    def __init__(self, qlam_ref, dim: int):
+        import ray as _ray
+
+        self.qlam = _ray.get(qlam_ref)  # np.int64[dim]
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from ifctordf_ray.functions.kernels import stable_hash64, word_runs
+
+        parents, flat = word_runs(batch["text"])
+        uniq = pc.unique(flat)
+        bmap = {w: stable_hash64(w) % self.dim for w in uniq.to_pylist()}
+        buckets = np.fromiter(
+            (bmap[w] for w in flat.to_pylist()), np.int64, count=len(flat)
+        )
+        par = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.num_rows
+        nw = np.bincount(par, minlength=n).astype(np.int64)
+        logw = np.zeros(n, np.int64)
+        np.add.at(logw, par, self.qlam[buckets])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(nw, pa.int64()),
+                "logw_micro": pa.array(logw, pa.int64()),
+            }
+        )
+
+
+def dsir_weights(
+    sf_dir: str, dim: int = DSIR_DIM, target_source: str = DSIR_TARGET_SOURCE
+) -> ray.data.Dataset:
+    """(doc_id, n_words, logw_micro): per-document DSIR importance
+    weight in integer micro-nats — sum over the doc's hashed-unigram
+    occurrences of ln(p_target(bucket)/p_raw(bucket)), add-1 smoothed,
+    each bucket's log-ratio quantized once (floor(x*1e6 + 0.5)).
+    Wordless documents score (0, 0)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray as _ray
+    from ray.data.aggregate import Sum as _Sum
+
+    from ifctordf_ray.functions.kernels import stable_hash64, word_runs
+
+    docs = _clean_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        parents, flat = word_runs(t["text"])
+        uniq = pc.unique(flat)
+        bmap = {w: stable_hash64(w) % dim for w in uniq.to_pylist()}
+        buckets = np.fromiter(
+            (bmap[w] for w in flat.to_pylist()), np.int64, count=len(flat)
+        )
+        is_t = (
+            pc.take(pc.equal(t["source"], target_source), parents)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+        nt = np.bincount(buckets[is_t], minlength=dim).astype(np.int64)
+        nr = np.bincount(buckets[~is_t], minlength=dim).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(dim, dtype=np.int64)),
+                "nt": pa.array(nt),
+                "nr": pa.array(nr),
+            }
+        )
+
+    counts = (
+        docs.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(_Sum("nt", alias_name="nt"), _Sum("nr", alias_name="nr"))
+        .take_all()
+    )  # <= dim rows: fixed-size, driver-safe
+    nt = np.zeros(dim, np.float64)
+    nr = np.zeros(dim, np.float64)
+    for r in counts:
+        nt[r["bucket"]] = float(r["nt"])
+        nr[r["bucket"]] = float(r["nr"])
+    ntot, nrot = nt.sum(), nr.sum()
+    # expression tree mirrored VERBATIM in the SQL oracle (ln of one
+    # double division per side) so libm results agree bit-for-bit
+    qlam = np.floor(
+        (np.log((nt + 1.0) / (ntot + dim)) - np.log((nr + 1.0) / (nrot + dim)))
+        * QLOG_SCALE
+        + 0.5
+    ).astype(np.int64)
+    qlam_ref = _ray.put(qlam)  # dim-sized broadcast, shipped once per actor
+    return docs.drop_columns(["source"]).map_batches(
+        _DsirScorer,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_args=(qlam_ref, dim),
+        max_restarts=0,
+    )
+
+
+def dsir_weights_sql(
+    dim: int = DSIR_DIM, target_source: str = DSIR_TARGET_SOURCE
+) -> str:
+    return f"""
+    WITH b AS (
+        SELECT doc_id, source,
+               CAST(md5_number_upper(word) % {dim} AS BIGINT) AS bucket
+        FROM (
+            SELECT doc_id, source,
+                   unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                             '{WORD_RE}')) AS word
+            FROM documents
+        )
+    ),
+    counts AS (
+        SELECT bucket,
+               CAST(sum(CASE WHEN source = '{target_source}' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nt,
+               CAST(sum(CASE WHEN source <> '{target_source}' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nr
+        FROM b GROUP BY bucket
+    ),
+    tot AS (
+        SELECT CAST(sum(nt) AS DOUBLE) AS ntot, CAST(sum(nr) AS DOUBLE) AS nrot
+        FROM counts
+    ),
+    lam AS (
+        SELECT bucket,
+               CAST(floor((ln((CAST(nt AS DOUBLE) + 1.0) / (t.ntot + {dim}))
+                           - ln((CAST(nr AS DOUBLE) + 1.0) / (t.nrot + {dim})))
+                          * {QLOG_SCALE} + 0.5) AS BIGINT) AS qlam
+        FROM counts, tot t
+    ),
+    db AS (
+        SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT d.doc_id,
+               CAST(sum(d.n) AS BIGINT) AS n_words,
+               CAST(sum(d.n * l.qlam) AS BIGINT) AS logw_micro
+        FROM db d JOIN lam l USING (bucket) GROUP BY 1
+    )
+    SELECT doc.doc_id,
+           coalesce(s.n_words, 0) AS n_words,
+           coalesce(s.logw_micro, 0) AS logw_micro
+    FROM documents doc LEFT JOIN scored s USING (doc_id)
+    """
