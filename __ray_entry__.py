@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup_pairs": _stage("similarity", "near_dup_pairs_cosine"),
         "emb_near_dup_pairs_lsh": _stage("similarity", "near_dup_pairs_lsh"),
         "emb_near_dup_clusters": _stage("similarity", "near_dup_clusters_emb"),
+        "emb_semdedup": _stage("similarity", "semdedup"),
         "emb_label_centroids": _stage("similarity", "label_centroids"),
         "emb_label_token_stats": _stage("similarity", "label_token_stats"),
         "emb_quantized_codes": _stage("similarity", "quantized_codes"),
@@ -515,6 +516,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup_pairs": SIM.near_dup_pairs_cosine_sql(),
         "emb_near_dup_pairs_lsh": SIM.near_dup_pairs_lsh_sql(),
         "emb_near_dup_clusters": SIM.near_dup_clusters_emb_sql(),
+        "emb_semdedup": SIM.semdedup_sql(),
         "emb_label_centroids": SIM.label_centroids_sql(),
         "emb_label_token_stats": SIM.label_token_stats_sql(),
         "emb_quantized_codes": SIM.quantized_codes_sql(),

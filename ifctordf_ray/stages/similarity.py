@@ -1914,3 +1914,90 @@ def contrastive_triplets_sql(k: int = DEFAULT_K, nq: int = DEFAULT_NQ) -> str:
     SELECT p.query_id, p.pos_id, n.neg_id
     FROM pos p JOIN neg n USING (query_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication"): k-means-cluster the
+# embedding space, then dedup WITHIN each cluster — a vector is dropped
+# when another cluster member with a LOWER vec_id sits above the cosine
+# threshold (deterministic keep-lowest-id, the same first-seen-wins rule
+# as exact dedup).  Cross-cluster near-dups are intentionally not
+# compared — that is the paper's approximation that turns O(n^2) into
+# sum-of-cluster-size^2, the semantic-dedup scale path.
+#
+# Scale shape: the assignment pass is the broadcast-centroid narrow map
+# (shared _KmeansAssign), and the dedup is ONE groupby(cluster) whose
+# group size is n/k on average — k scales with the corpus in a real
+# deployment, keeping groups bounded (the same partitioning assumption
+# as the paper's 50k-cluster config).
+# ---------------------------------------------------------------------------
+SEMDEDUP_TAU = 0.45  # shared with the near-dup family
+
+
+def semdedup(
+    sf_dir: str, k: int = KMEANS_K, tau: float = SEMDEDUP_TAU
+) -> ray.data.Dataset:
+    """(vec_id, cluster, kept): kept=0 iff a same-cluster vector with a
+    lower vec_id has rounded cosine similarity >= tau."""
+    ids, mat = _load_queries(sf_dir, k)
+    ref = ray.put((ids, mat))
+    ds = _clean_read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    class _AssignKeepEmb(_KmeansAssign):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = super().__call__(batch)
+            return out.drop_columns(["dist"]).append_column(
+                "embedding", batch["embedding"]
+            )
+
+    assigned = ds.map_batches(
+        _AssignKeepEmb,
+        fn_constructor_kwargs={"cent_ref": ref},
+        max_restarts=0,  # ObjectRef constructor arg (ray#53727 warning)
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def dedup_group(g: pa.Table) -> pa.Table:
+        vids = g["vec_id"].to_numpy()
+        embs = np.asarray(g["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(embs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        embs = embs / norms
+        sims = np.round(embs @ embs.T, ROUND_DP)
+        lower = vids[None, :] < vids[:, None]  # [i, j]: j precedes i
+        drop = ((sims >= tau) & lower).any(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(vids, pa.int64()),
+                "cluster": g["cluster"],
+                "kept": pa.array((~drop).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(
+        dedup_group, batch_format="pyarrow"
+    )
+
+
+def semdedup_sql(k: int = KMEANS_K, tau: float = SEMDEDUP_TAU) -> str:
+    return f"""
+    WITH assign AS ({kmeans_assign_sql(k)}),
+    dropped AS (
+        SELECT a.vec_id
+        FROM assign a
+        JOIN assign b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE round(list_cosine_similarity(
+                  CAST(ea.embedding AS DOUBLE[]),
+                  CAST(eb.embedding AS DOUBLE[])), {ROUND_DP}) >= {tau}
+        GROUP BY a.vec_id
+    )
+    SELECT a.vec_id, a.cluster,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+    """
