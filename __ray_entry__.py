@@ -317,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fuzzy_word_pairs": _stage("terms", "fuzzy_word_pairs"),
         "doc_feature_hashing": _stage("terms", "feature_hashing"),
         "doc_dsir_weights": _stage("terms", "dsir_weights"),
+        "doc_ppl_buckets": _stage("terms", "ppl_buckets"),
         # --- similarity search ---
         "emb_knn_brute_force": _stage("similarity", "knn_brute_force"),
         "emb_contrastive_triplets": _stage("similarity", "contrastive_triplets"),
@@ -508,6 +509,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fuzzy_word_pairs": TERMS.fuzzy_word_pairs_sql(),
         "doc_feature_hashing": TERMS.feature_hashing_sql(),
         "doc_dsir_weights": TERMS.dsir_weights_sql(),
+        "doc_ppl_buckets": TERMS.ppl_buckets_sql(),
         "emb_knn_brute_force": SIM.knn_brute_force_sql(),
         "emb_contrastive_triplets": SIM.contrastive_triplets_sql(),
         "emb_knn_filtered": SIM.knn_filtered_sql(),

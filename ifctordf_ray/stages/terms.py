@@ -1741,3 +1741,96 @@ def dsir_weights_sql(
            coalesce(s.logw_micro, 0) AS logw_micro
     FROM documents doc LEFT JOIN scored s USING (doc_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets (Wenzek et al. 2020): rank every scored
+# document by its per-token LM log-prob (the bigram model above) and
+# split the corpus into head / middle / tail terciles — the quality
+# stratification CCNet applies before choosing which slice to train on.
+#
+# Scale shape: the global tercile is the NTILE family, done with the
+# same two-phase VALUE-RANGE scan as relational.order_ntile (bucket =
+# range of the avg score, so inter-bucket order is total): one narrow
+# map, one #buckets-row count table on the driver, one
+# groupby(bucket).map_groups — never a global sort barrier.
+# ---------------------------------------------------------------------------
+PPL_NTILE = 3
+PPL_BUCKET_W = 10_000.0  # micro-nats of avg log-prob per range bucket
+PPL_LABELS = ("head", "middle", "tail")
+
+
+def ppl_buckets(sf_dir: str, num_partitions: int | None = None) -> ray.data.Dataset:
+    """(doc_id, avg_qlogp, tile, bucket_label): tercile of the per-token
+    bigram log-prob, head = most fluent (highest avg log-prob, i.e.
+    lowest perplexity).  Only documents with >= 1 bigram position are
+    scored (matching lm_bigram_scores).  avg_qlogp is ONE exact IEEE
+    division of int64 operands — bit-identical in numpy and DuckDB."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count as _Count
+
+    scores = lm_bigram_scores(sf_dir, num_partitions)
+
+    def prep(t: pa.Table) -> pa.Table:
+        avg = pc.divide(
+            pc.cast(t["sum_qlogp"], pa.float64()),
+            pc.cast(t["n_bigrams"], pa.float64()),
+        )
+        neg = pc.negate(avg)  # ascending neg == avg DESC (head first)
+        bucket = pc.cast(
+            pc.floor(pc.divide(neg, PPL_BUCKET_W)), pa.int64()
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "avg_qlogp": avg, "neg": neg, "bucket": bucket}
+        )
+
+    narrow = scores.map_batches(prep, batch_format="pyarrow")
+    counts = narrow.groupby("bucket").aggregate(_Count(alias_name="n")).take_all()
+    offsets: dict[int, int] = {}
+    total = 0
+    for row in sorted(counts, key=lambda r: r["bucket"]):
+        offsets[row["bucket"]] = total
+        total += row["n"]
+    size, rem = divmod(total, PPL_NTILE)
+    labels = pa.array(PPL_LABELS, pa.string())
+
+    def assign(group: pa.Table) -> pa.Table:
+        group = group.sort_by(
+            [("neg", "ascending"), ("doc_id", "ascending")]
+        )
+        idx = offsets[group["bucket"][0].as_py()] + np.arange(group.num_rows)
+        big_span = rem * (size + 1)
+        tile = np.where(
+            idx < big_span,
+            idx // (size + 1) + 1,
+            rem + (np.maximum(idx - big_span, 0) // max(size, 1)) + 1,
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": group["doc_id"],
+                "avg_qlogp": group["avg_qlogp"],
+                "tile": pa.array(tile, pa.int64()),
+                "bucket_label": pc.take(labels, pa.array(tile - 1)),
+            }
+        )
+
+    return narrow.groupby("bucket").map_groups(assign, batch_format="pyarrow")
+
+
+def ppl_buckets_sql() -> str:
+    return f"""
+    WITH s AS ({lm_bigram_scores_sql()}),
+    t AS (
+        SELECT doc_id,
+               CAST(sum_qlogp AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS avg_qlogp,
+               CAST(NTILE({PPL_NTILE}) OVER (
+                   ORDER BY CAST(sum_qlogp AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+                            DESC, doc_id) AS BIGINT) AS tile
+        FROM s
+    )
+    SELECT doc_id, avg_qlogp, tile,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket_label
+    FROM t
+    """
