@@ -2001,3 +2001,172 @@ def semdedup_sql(k: int = KMEANS_K, tau: float = SEMDEDUP_TAU) -> str:
            CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
     FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
     """
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval (Carbonell & Goldstein 1998, "maximal
+# marginal relevance"): re-rank each query's candidate pool so the
+# selected set trades relevance against redundancy — the diversity-aware
+# top-k a retrieval/RAG pipeline applies after ANN candidate generation.
+# score(d) = lambda*sim(q,d) - (1-lambda)*max_{s in selected} sim(d,s),
+# greedy, ties to the lowest vec_id.
+#
+# Scale shape: candidate generation is the streaming knn pass; the MMR
+# selection itself is QUERY-sized (nq x pool^2), never corpus-sized —
+# like contrastive_triplets, the driver only ever holds the nq*pool
+# candidate rows and their vectors (no join near the scorer actor pool).
+# SELECT count is fixed so the SQL oracle unrolls the greedy iterations
+# exactly (the kmeans_train pattern).
+# ---------------------------------------------------------------------------
+MMR_LAMBDA = 0.5  # exact in binary: lambda-weighting stays bit-identical
+MMR_SELECT = 3
+
+
+def mmr_topk(
+    sf_dir: str, pool: int = DEFAULT_K, nq: int = DEFAULT_NQ
+) -> ray.data.Dataset:
+    """(query_id, sel_rank, vec_id, score): MMR_SELECT diverse picks per
+    query from its top-``pool`` cosine candidates (self excluded)."""
+    import pyarrow.compute as pc
+
+    topk = knn_brute_force(sf_dir, k=pool, nq=nq).take_all()  # nq*pool rows
+    by_q: dict = {}
+    cand_ids: set = set()
+    for r in topk:
+        if r["neighbor_id"] == r["query_id"]:
+            continue
+        by_q.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["sim"])
+        )
+        cand_ids.add(r["neighbor_id"])
+
+    # fetch ONLY the candidate vectors (<= nq*pool rows), streaming scan
+    idarr = pa.array(sorted(cand_ids), pa.int64())
+    rows = (
+        _clean_read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["vec_id"], value_set=idarr)),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    vecs = {}
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        n = np.linalg.norm(v)
+        vecs[r["vec_id"]] = v / (n if n else 1.0)
+
+    out_q, out_r, out_v, out_s = [], [], [], []
+    for qid in sorted(by_q):
+        cands = sorted(by_q[qid])  # by cand_id: deterministic layout
+        ids = np.array([c[0] for c in cands], np.int64)
+        simq = np.array([c[1] for c in cands], np.float64)
+        mat = np.stack([vecs[i] for i in ids])
+        sims = np.round(mat @ mat.T, ROUND_DP)
+        avail = np.ones(len(ids), bool)
+        # max-over-selected penalty: cosine sims can be NEGATIVE, so the
+        # one-element max must be the raw sim, not max(0, sim)
+        penalty = np.full(len(ids), -np.inf)
+        for r in range(1, MMR_SELECT + 1):
+            if not avail.any():
+                break
+            if r == 1:
+                score = MMR_LAMBDA * simq  # no selected set yet
+            else:
+                score = MMR_LAMBDA * simq - (1.0 - MMR_LAMBDA) * penalty
+            live = np.flatnonzero(avail)
+            pick = live[np.lexsort((ids[live], -score[live]))[0]]
+            out_q.append(qid)
+            out_r.append(r)
+            out_v.append(ids[pick])
+            out_s.append(score[pick])
+            avail[pick] = False
+            penalty = np.maximum(penalty, sims[:, pick])
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "sel_rank": pa.array(out_r, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+    )
+
+
+def mmr_topk_sql(pool: int = DEFAULT_K, nq: int = DEFAULT_NQ) -> str:
+    lam, mu = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings ORDER BY vec_id LIMIT {nq}
+    ), scored AS (
+        SELECT q.query_id, e.vec_id AS cand_id,
+               round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]),
+                   CAST(q.qe AS DOUBLE[])), {ROUND_DP}) AS simq
+        FROM embeddings e, q
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY simq DESC, cand_id ASC) AS rank
+        FROM scored
+    ), cand AS (
+        SELECT query_id, cand_id, simq FROM ranked
+        WHERE rank <= {pool} AND cand_id != query_id
+    ), cc AS (
+        SELECT c1.query_id, c1.cand_id AS a, c2.cand_id AS b,
+               round(list_cosine_similarity(
+                   CAST(ea.embedding AS DOUBLE[]),
+                   CAST(eb.embedding AS DOUBLE[])), {ROUND_DP}) AS s
+        FROM cand c1
+        JOIN cand c2 ON c1.query_id = c2.query_id AND c1.cand_id != c2.cand_id
+        JOIN embeddings ea ON ea.vec_id = c1.cand_id
+        JOIN embeddings eb ON eb.vec_id = c2.cand_id
+    ), s1 AS (
+        SELECT query_id, cand_id AS v1, {lam} * simq AS sc1 FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY {lam} * simq DESC, cand_id) AS rn
+            FROM cand) WHERE rn = 1
+    ), p2 AS (
+        SELECT c.query_id, c.cand_id, c.simq, cc.s AS pen
+        FROM cand c
+        JOIN s1 ON s1.query_id = c.query_id AND c.cand_id != s1.v1
+        JOIN cc ON cc.query_id = c.query_id AND cc.a = c.cand_id
+               AND cc.b = s1.v1
+    ), s2 AS (
+        SELECT query_id, cand_id AS v2, sc2 FROM (
+            SELECT query_id, cand_id,
+                   {lam} * simq - {mu} * pen AS sc2,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY {lam} * simq - {mu} * pen DESC, cand_id) AS rn
+            FROM p2) WHERE rn = 1
+    ), p3 AS (
+        SELECT c.query_id, c.cand_id, c.simq, greatest(ca.s, cb.s) AS pen
+        FROM cand c
+        JOIN s1 ON s1.query_id = c.query_id
+        JOIN s2 ON s2.query_id = c.query_id
+        JOIN cc ca ON ca.query_id = c.query_id AND ca.a = c.cand_id
+                  AND ca.b = s1.v1
+        JOIN cc cb ON cb.query_id = c.query_id AND cb.a = c.cand_id
+                  AND cb.b = s2.v2
+        WHERE c.cand_id != s1.v1 AND c.cand_id != s2.v2
+    ), s3 AS (
+        SELECT query_id, cand_id AS v3, sc3 FROM (
+            SELECT query_id, cand_id,
+                   {lam} * simq - {mu} * pen AS sc3,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY {lam} * simq - {mu} * pen DESC, cand_id) AS rn
+            FROM p3) WHERE rn = 1
+    )
+    SELECT query_id, CAST(1 AS BIGINT) AS sel_rank, v1 AS vec_id, sc1 AS score
+    FROM s1
+    UNION ALL
+    SELECT query_id, CAST(2 AS BIGINT), v2, sc2 FROM s2
+    UNION ALL
+    SELECT query_id, CAST(3 AS BIGINT), v3, sc3 FROM s3
+    """
