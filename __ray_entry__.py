@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_brute_force": _stage("similarity", "knn_brute_force"),
         "emb_contrastive_triplets": _stage("similarity", "contrastive_triplets"),
         "emb_mmr_topk": _stage("similarity", "mmr_topk"),
+        "emb_random_projection": _stage("similarity", "random_projection"),
         "emb_knn_filtered": _stage("similarity", "knn_filtered"),
         "emb_knn_lsh": _stage("similarity", "knn_lsh"),
         "emb_knn_ivf": _stage("similarity", "knn_ivf"),
@@ -514,6 +515,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_knn_brute_force": SIM.knn_brute_force_sql(),
         "emb_contrastive_triplets": SIM.contrastive_triplets_sql(),
         "emb_mmr_topk": SIM.mmr_topk_sql(),
+        "emb_random_projection": SIM.random_projection_sql(),
         "emb_knn_filtered": SIM.knn_filtered_sql(),
         "emb_knn_lsh": SIM.knn_lsh_sql(),
         "emb_knn_ivf": SIM.knn_ivf_sql(),

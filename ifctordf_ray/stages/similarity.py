@@ -2170,3 +2170,81 @@ def mmr_topk_sql(pool: int = DEFAULT_K, nq: int = DEFAULT_NQ) -> str:
     UNION ALL
     SELECT query_id, CAST(3 AS BIGINT), v3, sc3 FROM s3
     """
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection: the dimensionality-reduction
+# sketch a 100-TB pipeline applies before storing/shuffling embeddings
+# (project 64 -> RP_DIM dims against a fixed Gaussian plane matrix).
+# Both the vectors AND the planes are quantized to COV_Q integer units
+# first, so the projection is EXACT int64 arithmetic — order-independent
+# and bit-identical across engines (a float dot product would drift
+# ~1e-15 between numpy's pairwise and SQL's sequential summation).
+# ---------------------------------------------------------------------------
+RP_DIM = 16
+
+
+def _rp_planes_q() -> np.ndarray:
+    """(RP_DIM, EMB_DIM) quantized int64 Gaussian planes, fixed seed."""
+    rng = np.random.RandomState(11)
+    planes = rng.standard_normal((RP_DIM, EMB_DIM))
+    return np.floor(planes * COV_Q + 0.5).astype(np.int64)
+
+
+class _RandomProject:
+    def __init__(self, planes_ref):
+        self.planes_q = ray.get(planes_ref)  # (RP_DIM, EMB_DIM) int64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        embs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        q = np.floor(embs * COV_Q + 0.5).astype(np.int64)  # (n, d)
+        proj = q @ self.planes_q.T  # exact int64 (n, RP_DIM)
+        n = len(q)
+        vec_ids = batch["vec_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vec_ids, RP_DIM), pa.int64()),
+                "j": pa.array(
+                    np.tile(np.arange(RP_DIM, dtype=np.int64), n), pa.int64()
+                ),
+                "qproj": pa.array(proj.reshape(-1), pa.int64()),
+            }
+        )
+
+
+def random_projection(sf_dir: str) -> ray.data.Dataset:
+    """(vec_id, j, qproj): the RP_DIM-dim JL sketch of every embedding in
+    COV_Q^2-scaled integer units; one broadcast + one narrow map."""
+    ref = ray.put(_rp_planes_q())
+    ds = _clean_read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ds.map_batches(
+        _RandomProject,
+        fn_constructor_kwargs={"planes_ref": ref},
+        max_restarts=0,  # ObjectRef constructor arg (ray#53727 warning)
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+def random_projection_sql() -> str:
+    planes_q = _rp_planes_q()
+    vals = ",".join(
+        f"({j},{i},{int(planes_q[j, i])})"
+        for j in range(RP_DIM)
+        for i in range(EMB_DIM)
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id, CAST(t.i AS BIGINT) AS i,
+               CAST(floor(CAST(embedding[CAST(t.i + 1 AS INTEGER)] AS DOUBLE)
+                          * {COV_Q} + 0.5) AS BIGINT) AS qv
+        FROM embeddings CROSS JOIN (SELECT unnest(range({EMB_DIM})) AS i) t
+    ),
+    planes(j, i, qp) AS (VALUES {vals})
+    SELECT q.vec_id, CAST(p.j AS BIGINT) AS j,
+           CAST(sum(q.qv * p.qp) AS BIGINT) AS qproj
+    FROM q JOIN planes p ON p.i = q.i
+    GROUP BY 1, 2
+    """
