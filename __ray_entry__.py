@@ -345,6 +345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_media_stats": _stage("multimodal", "media_stats"),
         "mm_media_thumbnails": _stage("multimodal", "media_thumbnails"),
         "mm_audio_frames": _stage("multimodal", "audio_frames"),
+        "mm_audio_spectral": _stage("multimodal", "audio_spectral"),
         "mm_image_histograms": _stage("multimodal", "image_histograms"),
     }
 
@@ -540,5 +541,6 @@ def oracle_sql() -> dict[str, str]:
         "mm_media_features": MM.media_features_sql(),
         "mm_media_thumbnails": MM.media_thumbnails_sql(),
         "mm_audio_frames": MM.audio_frames_sql(),
+        "mm_audio_spectral": MM.audio_spectral_sql(),
         "mm_image_histograms": MM.image_histograms_sql(),
     }

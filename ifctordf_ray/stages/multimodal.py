@@ -742,3 +742,117 @@ SELECT ids.doc_id AS item_id, CAST(bins.bin AS BIGINT) AS bin,
 FROM ids CROSS JOIN bins
 LEFT JOIN g ON g.doc_id = ids.doc_id AND g.bin = bins.bin
 """
+
+
+# ---------------------------------------------------------------------------
+# Audio spectral energy: a REAL DSP kernel over the WAV decode path — a
+# K-bin DFT (re, im, energy per analysis frequency), the feature an
+# audio curation pipeline thresholds on (speech/tone/silence balance).
+# The twiddle tables are quantized to TRIG_Q integer units, so the whole
+# transform is exact order-independent int64 arithmetic: numpy computes
+# it as an integer matmul, and the SQL oracle carries the SAME quantized
+# tables as literal rows (no libm anywhere near the comparison).
+# Magnitudes: |s| <= 16640, so |re| <= 128*16640*TRIG_Q ~= 1.1e9 and
+# energy <= 2.4e18 < int64 max — TRIG_Q=512 is chosen for that headroom.
+# ---------------------------------------------------------------------------
+TRIG_Q = 512
+SPECTRAL_BINS = (1, 2, 4, 8)  # DFT bin indices over the WAV_N window
+
+
+def _dft_tables_q() -> tuple[np.ndarray, np.ndarray]:
+    """Quantized (len(SPECTRAL_BINS), WAV_N) int64 cos/sin tables."""
+    i = np.arange(WAV_N)
+    ks = np.array(SPECTRAL_BINS, np.float64)
+    ang = 2.0 * np.pi * np.outer(ks, i) / WAV_N
+    c = np.floor(np.cos(ang) * TRIG_Q + 0.5).astype(np.int64)
+    s = np.floor(np.sin(ang) * TRIG_Q + 0.5).astype(np.int64)
+    return c, s
+
+
+class AudioSpectral:
+    """Actor-pool stage: WAV decode -> integer DFT at SPECTRAL_BINS."""
+
+    def __init__(self):
+        self.cos_q, self.sin_q = _dft_tables_q()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        items, bins, res, ims, ens = [], [], [], [], []
+        for item, payload in zip(
+            batch["item_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            _, s = decode_wav(payload)
+            s64 = s.astype(np.int64)
+            re = self.cos_q @ s64  # exact int64
+            im = self.sin_q @ s64
+            en = re * re + im * im
+            for k, bk in enumerate(SPECTRAL_BINS):
+                items.append(item)
+                bins.append(bk)
+                res.append(int(re[k]))
+                ims.append(int(im[k]))
+                ens.append(int(en[k]))
+        return pa.table(
+            {
+                "item_id": pa.array(items, pa.int64()),
+                "bin_k": pa.array(bins, pa.int64()),
+                "re_q": pa.array(res, pa.int64()),
+                "im_q": pa.array(ims, pa.int64()),
+                "energy_q": pa.array(ens, pa.int64()),
+            }
+        )
+
+
+def audio_spectral(sf_dir: str, batch_size: int = 64) -> ray.data.Dataset:
+    """queries() entry: K-bin integer DFT energies for every derived
+    audio item (odd doc_id)."""
+    media = media_from_documents(sf_dir)
+
+    def audio_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["media_type"], "audio"))
+
+    return media.map_batches(audio_only, batch_format="pyarrow").map_batches(
+        AudioSpectral,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 4),
+        max_restarts=0,  # silence ray#53727 actor-restart warning
+    )
+
+
+def audio_spectral_sql() -> str:
+    """Oracle: rebuild the sample stream from text (same canon/pad/scale
+    as text_to_wav) and apply the SAME quantized twiddle tables as
+    literal rows — exact integer equality, no transcendentals in SQL."""
+    cos_q, sin_q = _dft_tables_q()
+    vals = ",".join(
+        f"({bk},{i},{int(cos_q[k, i])},{int(sin_q[k, i])})"
+        for k, bk in enumerate(SPECTRAL_BINS)
+        for i in range(WAV_N)
+    )
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           regexp_replace(coalesce(text, ''), '[^ -~]', ' ', 'g') AS txt
+    FROM documents
+),
+ab AS (
+    SELECT doc_id, i,
+           (CASE WHEN i <= length(txt) THEN unicode(substr(txt, CAST(i AS INTEGER), 1))
+                 ELSE {PAD_BYTE} END - {0x61}) * 256 AS s
+    FROM t CROSS JOIN (SELECT unnest(range(1, {WAV_N + 1})) AS i)
+    WHERE doc_id % 2 = 1
+),
+trig(k, i, c, sn) AS (VALUES {vals}),
+d AS (
+    SELECT ab.doc_id, trig.k,
+           CAST(sum(ab.s * trig.c) AS BIGINT) AS re_q,
+           CAST(sum(ab.s * trig.sn) AS BIGINT) AS im_q
+    FROM ab JOIN trig ON trig.i = ab.i - 1
+    GROUP BY 1, 2
+)
+SELECT doc_id AS item_id, CAST(k AS BIGINT) AS bin_k, re_q, im_q,
+       CAST(re_q * re_q + im_q * im_q AS BIGINT) AS energy_q
+FROM d
+"""

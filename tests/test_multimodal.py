@@ -165,3 +165,63 @@ def test_image_histograms_parity(sf_small):
     sums = a.groupby("item_id")["n_bytes"].sum()
     assert (sums == N_PIX_BYTES).all()
     assert a["bin"].between(0, HIST_BINS - 1).all()
+
+
+def test_audio_spectral(sf_small, ray_session):
+    """Integer DFT bins: cross-engine parity + an independent float-FFT
+    reference (the quantized integer transform must agree with numpy's
+    rfft to within the quantization error bound)."""
+    import duckdb
+    import numpy as np
+
+    from ifctordf_ray.stages.multimodal import (
+        SPECTRAL_BINS,
+        TRIG_Q,
+        WAV_N,
+        audio_spectral,
+        audio_spectral_sql,
+        decode_wav,
+        media_from_documents,
+    )
+
+    eng = (
+        audio_spectral(sf_small)
+        .to_pandas()
+        .sort_values(["item_id", "bin_k"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_small}/documents.parquet')"
+    )
+    sql = (
+        con.execute(audio_spectral_sql())
+        .df()
+        .sort_values(["item_id", "bin_k"])
+        .reset_index(drop=True)
+    )
+    assert len(eng) == len(sql) and len(eng) > 0
+    for col in ("re_q", "im_q", "energy_q"):
+        assert list(eng[col]) == list(sql[col]), col
+
+    # independent reference: float FFT within quantization error.
+    # |re_q/TRIG_Q - re_float| <= sum|s| * (0.5/TRIG_Q)
+    media = {
+        r["item_id"]: r["payload"]
+        for r in media_from_documents(sf_small).take_all()
+        if r["media_type"] == "audio"
+    }
+    checked = 0
+    for item_id, g in eng.groupby("item_id"):
+        _, s = decode_wav(media[item_id])
+        spec = np.fft.rfft(s.astype(np.float64))
+        bound = np.abs(s).sum() * (0.5 / TRIG_Q) + 1.0
+        for r in g.itertuples():
+            k = r.bin_k
+            assert abs(r.re_q / TRIG_Q - spec[k].real) <= bound
+            # numpy rfft uses exp(-i...): sign convention differs from
+            # the sin table (which is +sin), so compare magnitudes
+            assert abs(abs(r.im_q) / TRIG_Q - abs(spec[k].imag)) <= bound
+        checked += 1
+        if checked >= 20:
+            break
