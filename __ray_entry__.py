@@ -347,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_audio_frames": _stage("multimodal", "audio_frames"),
         "mm_audio_spectral": _stage("multimodal", "audio_spectral"),
         "mm_image_histograms": _stage("multimodal", "image_histograms"),
+        "mm_image_edges": _stage("multimodal", "image_edges"),
     }
 
 
@@ -543,4 +544,5 @@ def oracle_sql() -> dict[str, str]:
         "mm_audio_frames": MM.audio_frames_sql(),
         "mm_audio_spectral": MM.audio_spectral_sql(),
         "mm_image_histograms": MM.image_histograms_sql(),
+        "mm_image_edges": MM.image_edges_sql(),
     }

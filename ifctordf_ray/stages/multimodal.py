@@ -856,3 +856,108 @@ SELECT doc_id AS item_id, CAST(k AS BIGINT) AS bin_k, re_q, im_q,
        CAST(re_q * re_q + im_q * im_q AS BIGINT) AS energy_q
 FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# Image edge energy: integer Sobel gradients over the real PPM decode —
+# the sharpness/texture feature an image curation pass thresholds on
+# (blank/flat images score ~0).  Luminance = R+G+B per pixel (exact
+# int), Sobel on the interior grid, all arithmetic int64 — the SQL
+# oracle reconstructs the pixel grid from text (like image_histograms)
+# and applies the same 3x3 weights via a 9-row literal stencil join.
+# ---------------------------------------------------------------------------
+class ImageEdges:
+    """Actor-pool stage: PPM decode -> Sobel |gx|+|gy| stats."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        items, energies, maxes, interiors = [], [], [], []
+        for item, payload in zip(
+            batch["item_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            img = decode_ppm(payload).astype(np.int64)
+            lum = img.sum(axis=2)  # (H, W) in [0, 765]
+            # Sobel, interior only ([y, x] indexing)
+            gx = (
+                (lum[0:-2, 2:] + 2 * lum[1:-1, 2:] + lum[2:, 2:])
+                - (lum[0:-2, 0:-2] + 2 * lum[1:-1, 0:-2] + lum[2:, 0:-2])
+            )
+            gy = (
+                (lum[2:, 0:-2] + 2 * lum[2:, 1:-1] + lum[2:, 2:])
+                - (lum[0:-2, 0:-2] + 2 * lum[0:-2, 1:-1] + lum[0:-2, 2:])
+            )
+            mag = np.abs(gx) + np.abs(gy)
+            items.append(item)
+            energies.append(int(mag.sum()))
+            maxes.append(int(mag.max()))
+            interiors.append(int(mag.size))
+        return pa.table(
+            {
+                "item_id": pa.array(items, pa.int64()),
+                "edge_energy": pa.array(energies, pa.int64()),
+                "max_grad": pa.array(maxes, pa.int64()),
+                "n_interior": pa.array(interiors, pa.int64()),
+            }
+        )
+
+
+def image_edges(sf_dir: str, batch_size: int = 64) -> ray.data.Dataset:
+    """queries() entry: Sobel edge-energy stats for every image item."""
+    media = media_from_documents(sf_dir)
+
+    def images_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["media_type"], "image"))
+
+    return media.map_batches(images_only, batch_format="pyarrow").map_batches(
+        ImageEdges,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 4),
+        max_restarts=0,
+    )
+
+
+def image_edges_sql() -> str:
+    """Oracle: byte grid from text (image_histograms recipe), luminance
+    = R+G+B per pixel, Sobel via a 9-row stencil join on (dx, dy)."""
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           regexp_replace(coalesce(text, ''), '[^ -~]', ' ', 'g') AS txt
+    FROM documents
+),
+b AS (
+    SELECT doc_id, i,
+           CASE WHEN i <= length(txt) THEN unicode(substr(txt, CAST(i AS INTEGER), 1))
+                ELSE {PAD_BYTE} END AS v
+    FROM t CROSS JOIN (SELECT unnest(range(1, {N_PIX_BYTES + 1})) AS i)
+    WHERE doc_id % 2 = 0
+),
+px AS (
+    SELECT doc_id,
+           ((i - 1) // 3) % {PPM_W} AS x,
+           (i - 1) // {3 * PPM_W} AS y,
+           CAST(sum(v) AS BIGINT) AS lum
+    FROM b GROUP BY 1, 2, 3
+),
+w(dx, dy, wx, wy) AS (VALUES
+    (-1,-1,-1,-1),(0,-1,0,-2),(1,-1,1,-1),
+    (-1, 0,-2, 0),(0, 0,0, 0),(1, 0,2, 0),
+    (-1, 1,-1, 1),(0, 1,0, 2),(1, 1,1, 1)),
+g AS (
+    SELECT c.doc_id, c.x, c.y,
+           CAST(sum(n.lum * w.wx) AS BIGINT) AS gx,
+           CAST(sum(n.lum * w.wy) AS BIGINT) AS gy
+    FROM px c
+    CROSS JOIN w
+    JOIN px n ON n.doc_id = c.doc_id AND n.x = c.x + w.dx AND n.y = c.y + w.dy
+    WHERE c.x BETWEEN 1 AND {PPM_W - 2} AND c.y BETWEEN 1 AND {PPM_H - 2}
+    GROUP BY 1, 2, 3
+)
+SELECT doc_id AS item_id,
+       CAST(sum(abs(gx) + abs(gy)) AS BIGINT) AS edge_energy,
+       CAST(max(abs(gx) + abs(gy)) AS BIGINT) AS max_grad,
+       CAST(count(*) AS BIGINT) AS n_interior
+FROM g GROUP BY 1
+"""

@@ -225,3 +225,73 @@ def test_audio_spectral(sf_small, ray_session):
         checked += 1
         if checked >= 20:
             break
+
+
+def test_image_edges(sf_small, ray_session):
+    """Sobel edge energy: cross-engine parity + an independent scipy-free
+    convolution reference on a few items, + a synthetic sanity pair
+    (flat image scores 0, a vertical step scores > 0)."""
+    import duckdb
+    import numpy as np
+
+    from ifctordf_ray.stages.multimodal import (
+        ImageEdges,
+        decode_ppm,
+        encode_ppm,
+        image_edges,
+        image_edges_sql,
+        media_from_documents,
+    )
+
+    eng = image_edges(sf_small).to_pandas().sort_values("item_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_small}/documents.parquet')"
+    )
+    sql = con.execute(image_edges_sql()).df().sort_values("item_id").reset_index(drop=True)
+    assert len(eng) == len(sql) and len(eng) > 0
+    for col in ("edge_energy", "max_grad", "n_interior"):
+        assert list(eng[col]) == list(sql[col]), col
+
+    # independent per-pixel loop reference on a handful of items
+    media = {
+        r["item_id"]: r["payload"]
+        for r in media_from_documents(sf_small).take_all()
+        if r["media_type"] == "image"
+    }
+    KX = [[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]]
+    for item_id in list(sorted(media))[:5]:
+        lum = decode_ppm(media[item_id]).astype(np.int64).sum(axis=2)
+        total = 0
+        for y in range(1, lum.shape[0] - 1):
+            for x in range(1, lum.shape[1] - 1):
+                gx = sum(
+                    KX[dy + 1][dx + 1] * lum[y + dy, x + dx]
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                )
+                gy = sum(
+                    KX[dx + 1][dy + 1] * lum[y + dy, x + dx]
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                )
+                total += abs(gx) + abs(gy)
+        assert total == int(eng[eng.item_id == item_id].edge_energy.iloc[0])
+
+    # synthetic sanity: flat -> 0; vertical step -> positive
+    flat = encode_ppm(np.full((8, 8, 3), 100, np.uint8))
+    step_img = np.full((8, 8, 3), 0, np.uint8)
+    step_img[:, 4:, :] = 255
+    step = encode_ppm(step_img)
+    import pyarrow as pa
+
+    out = ImageEdges()(
+        pa.table(
+            {
+                "item_id": pa.array([1, 2], pa.int64()),
+                "payload": pa.array([flat, step], pa.binary()),
+            }
+        )
+    )
+    assert out["edge_energy"][0].as_py() == 0
+    assert out["edge_energy"][1].as_py() > 0
