@@ -1190,3 +1190,109 @@ def model_scores_sql() -> str:
                 AS BIGINT) AS score_micro
     FROM documents
     """
+
+# ---------------------------------------------------------------------------
+# RefinedWeb-style document filters (Penedo et al. 2023, §3; the same
+# family as C4/Gopher rules): word-count bounds, mean-word-length
+# bounds, and stop-word presence — the per-document rule table a web
+# corpus build evaluates before anything expensive runs.  Counters are
+# emitted alongside the verdict so a curation run can audit WHY a
+# document was dropped.  Pure narrow map; every comparison is integer
+# (mean word length is checked by cross-multiplication, no division).
+# ---------------------------------------------------------------------------
+RW_MIN_WORDS = 30
+RW_MAX_WORDS = 100_000
+RW_MWL_LO = 2   # mean word length bounds (cross-multiplied)
+RW_MWL_HI = 10
+RW_MIN_STOP = 2  # distinct stopwords required
+
+
+def _rw_flags_batch(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    from ifctordf_ray.functions.kernels import word_runs
+
+    parents, flat = word_runs(t["text"])
+    par = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+    n = t.num_rows
+    n_words = np.bincount(par, minlength=n).astype(np.int64)
+    wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    sum_len = np.zeros(n, np.int64)
+    np.add.at(sum_len, par, wlen)
+
+    stop_arr = pa.array(list(STOPWORDS), pa.string())
+    is_stop = pc.is_in(flat, value_set=stop_arr).to_numpy(zero_copy_only=False)
+    stop_idx = pc.index_in(flat, value_set=stop_arr).to_numpy(zero_copy_only=False)
+    pairs = np.unique(
+        np.stack([par[is_stop], stop_idx[is_stop].astype(np.int64)], axis=1), axis=0
+    )
+    n_stop = np.bincount(pairs[:, 0], minlength=n).astype(np.int64)
+
+    pass_words = (n_words >= RW_MIN_WORDS) & (n_words <= RW_MAX_WORDS)
+    # RW_MWL_LO <= sum_len/n_words <= RW_MWL_HI, integer-exact
+    pass_mwl = (sum_len >= RW_MWL_LO * n_words) & (sum_len <= RW_MWL_HI * n_words)
+    pass_stop = n_stop >= RW_MIN_STOP
+    keep = pass_words & pass_mwl & pass_stop & (n_words > 0)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(n_words, pa.int64()),
+            "sum_word_len": pa.array(sum_len, pa.int64()),
+            "n_stopwords": pa.array(n_stop, pa.int64()),
+            "pass_words": pa.array(pass_words.astype(np.int64), pa.int64()),
+            "pass_mwl": pa.array(pass_mwl.astype(np.int64), pa.int64()),
+            "pass_stop": pa.array(pass_stop.astype(np.int64), pa.int64()),
+            "keep": pa.array(keep.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def refinedweb_filters(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_words, sum_word_len, n_stopwords, pass_*, keep): the
+    RefinedWeb rule-table audit row per document."""
+    ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(_rw_flags_batch, batch_format="pyarrow")
+
+
+def refinedweb_filters_sql() -> str:
+    stoplist = ",".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                         '{WORD_RE}')) AS word
+        FROM documents
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(len(word)) AS BIGINT) AS sum_word_len,
+               CAST(count(DISTINCT CASE WHEN word IN ({stoplist})
+                          THEN word END) AS BIGINT) AS n_stopwords
+        FROM w GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_words, 0) AS n_words,
+           coalesce(a.sum_word_len, 0) AS sum_word_len,
+           coalesce(a.n_stopwords, 0) AS n_stopwords,
+           CAST(CASE WHEN coalesce(a.n_words, 0) >= {RW_MIN_WORDS}
+                      AND coalesce(a.n_words, 0) <= {RW_MAX_WORDS}
+                THEN 1 ELSE 0 END AS BIGINT) AS pass_words,
+           CAST(CASE WHEN coalesce(a.sum_word_len, 0)
+                          >= {RW_MWL_LO} * coalesce(a.n_words, 0)
+                      AND coalesce(a.sum_word_len, 0)
+                          <= {RW_MWL_HI} * coalesce(a.n_words, 0)
+                THEN 1 ELSE 0 END AS BIGINT) AS pass_mwl,
+           CAST(CASE WHEN coalesce(a.n_stopwords, 0) >= {RW_MIN_STOP}
+                THEN 1 ELSE 0 END AS BIGINT) AS pass_stop,
+           CAST(CASE WHEN coalesce(a.n_words, 0) >= {RW_MIN_WORDS}
+                      AND coalesce(a.n_words, 0) <= {RW_MAX_WORDS}
+                      AND coalesce(a.sum_word_len, 0)
+                          >= {RW_MWL_LO} * coalesce(a.n_words, 0)
+                      AND coalesce(a.sum_word_len, 0)
+                          <= {RW_MWL_HI} * coalesce(a.n_words, 0)
+                      AND coalesce(a.n_stopwords, 0) >= {RW_MIN_STOP}
+                      AND coalesce(a.n_words, 0) > 0
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
