@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir_weights": _stage("terms", "dsir_weights"),
         "doc_ppl_buckets": _stage("terms", "ppl_buckets"),
         "doc_refinedweb_filters": _stage("textstats", "refinedweb_filters"),
+        "doc_source_datasheet": _stage("textstats", "source_datasheet"),
         # --- similarity search ---
         "emb_knn_brute_force": _stage("similarity", "knn_brute_force"),
         "emb_contrastive_triplets": _stage("similarity", "contrastive_triplets"),
@@ -516,6 +517,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dsir_weights": TERMS.dsir_weights_sql(),
         "doc_ppl_buckets": TERMS.ppl_buckets_sql(),
         "doc_refinedweb_filters": T.refinedweb_filters_sql(),
+        "doc_source_datasheet": T.source_datasheet_sql(),
         "emb_knn_brute_force": SIM.knn_brute_force_sql(),
         "emb_contrastive_triplets": SIM.contrastive_triplets_sql(),
         "emb_mmr_topk": SIM.mmr_topk_sql(),

@@ -1296,3 +1296,104 @@ def refinedweb_filters_sql() -> str:
                 THEN 1 ELSE 0 END AS BIGINT) AS keep
     FROM documents d LEFT JOIN agg a USING (doc_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# Per-source corpus datasheet ("Datasheets for Datasets", Gebru et al.
+# 2021; the per-source summary card a corpus release ships): document
+# count, token and char volume, language spread, and how many documents
+# survive the RefinedWeb rule table — per `source`.
+#
+# Scale shape: ONE narrow per-doc map reusing the rule-table pass, a
+# (source, lang)-level combine (bounded by |sources| x |langs|, never
+# corpus-sized), then a per-source map_groups rollup over that tiny
+# table.  No join anywhere.
+# ---------------------------------------------------------------------------
+def source_datasheet(sf_dir: str) -> ray.data.Dataset:
+    """(source, n_docs, n_langs, sum_words, sum_chars, n_keep)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _clean_read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "source", "lang", "n_chars"],
+    )
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        flags = _rw_flags_batch(t)
+        return pa.table(
+            {
+                "source": t["source"],
+                "lang": t["lang"],
+                "n_words": flags["n_words"],
+                "n_chars": pc.cast(t["n_chars"], pa.int64()),
+                "keep": flags["keep"],
+            }
+        )
+
+    fine = (
+        ds.map_batches(per_doc, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(
+            _Count(alias_name="n_docs"),
+            _Sum("n_words", alias_name="sum_words"),
+            _Sum("n_chars", alias_name="sum_chars"),
+            _Sum("keep", alias_name="n_keep"),
+        )
+    )
+
+    def rollup(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": g["source"][:1],
+                "n_docs": pa.array([pc.sum(g["n_docs"]).as_py()], pa.int64()),
+                "n_langs": pa.array([g.num_rows], pa.int64()),
+                "sum_words": pa.array([pc.sum(g["sum_words"]).as_py()], pa.int64()),
+                "sum_chars": pa.array([pc.sum(g["sum_chars"]).as_py()], pa.int64()),
+                "n_keep": pa.array([pc.sum(g["n_keep"]).as_py()], pa.int64()),
+            }
+        )
+
+    return fine.groupby("source").map_groups(rollup, batch_format="pyarrow")
+
+
+def source_datasheet_sql() -> str:
+    return f"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                         '{WORD_RE}')) AS word
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT d.doc_id, d.source, d.lang, d.n_chars,
+               coalesce(a.n_words, 0) AS n_words,
+               coalesce(a.n_stop, 0) AS n_stop,
+               coalesce(a.sum_word_len, 0) AS sum_word_len
+        FROM documents d LEFT JOIN (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(len(word)) AS BIGINT) AS sum_word_len,
+                   CAST(count(DISTINCT CASE WHEN word IN
+                        ({",".join(f"'{w}'" for w in STOPWORDS)})
+                        THEN word END) AS BIGINT) AS n_stop
+            FROM w GROUP BY 1
+        ) a USING (doc_id)
+    ),
+    flagged AS (
+        SELECT source, lang, n_words, n_chars,
+               CASE WHEN n_words >= {RW_MIN_WORDS} AND n_words <= {RW_MAX_WORDS}
+                     AND sum_word_len >= {RW_MWL_LO} * n_words
+                     AND sum_word_len <= {RW_MWL_HI} * n_words
+                     AND n_stop >= {RW_MIN_STOP} AND n_words > 0
+                    THEN 1 ELSE 0 END AS keep
+        FROM per_doc
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(n_words) AS BIGINT) AS sum_words,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(keep) AS BIGINT) AS n_keep
+    FROM flagged GROUP BY source
+    """

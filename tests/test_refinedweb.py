@@ -58,3 +58,44 @@ def test_refinedweb_filters(sf_small, ray_session):
     a = eng.sort_values("doc_id")
     for col in ("n_words", "sum_word_len", "n_stopwords", "keep"):
         assert list(a[col]) == list(sql[col]), col
+
+
+def test_source_datasheet(sf_small, ray_session):
+    """Datasheet rollup: consistency with the flat per-doc passes plus
+    cross-engine parity."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from ifctordf_ray.stages.textstats import (
+        refinedweb_filters,
+        source_datasheet,
+        source_datasheet_sql,
+    )
+
+    sheet = source_datasheet(sf_small).to_pandas().set_index("source")
+    flags = refinedweb_filters(sf_small).to_pandas().set_index("doc_id")
+    t = pq.read_table(
+        f"{sf_small}/documents.parquet", columns=["doc_id", "source", "lang", "n_chars"]
+    ).to_pandas()
+    t["keep"] = t.doc_id.map(flags.keep)
+    t["n_words"] = t.doc_id.map(flags.n_words)
+    ref = t.groupby("source").agg(
+        n_docs=("doc_id", "size"),
+        n_langs=("lang", "nunique"),
+        sum_words=("n_words", "sum"),
+        sum_chars=("n_chars", "sum"),
+        n_keep=("keep", "sum"),
+    )
+    assert len(sheet) == len(ref)
+    for src, row in ref.iterrows():
+        got = sheet.loc[src]
+        for col in ref.columns:
+            assert int(got[col]) == int(row[col]), (src, col)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_small}/documents.parquet')"
+    )
+    sql = con.execute(source_datasheet_sql()).df().set_index("source")
+    for src in ref.index:
+        assert int(sheet.loc[src].n_keep) == int(sql.loc[src].n_keep)
