@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_near_dups": _stage("dedup", "near_dup_pairs_simhash"),
         "doc_verified_near_dups": _stage("dedup", "verified_near_dups"),
         "doc_near_dup_clusters": _stage("dedup", "near_dup_clusters"),
+        "doc_cluster_keepers": _stage("dedup", "cluster_keepers"),
         "doc_near_dedup_ids": _stage("dedup", "near_dedup_doc_ids"),
         "doc_dup_rate_by_lang": _stage("dedup", "dup_rate_by_lang"),
         "doc_dup_span_stats": _stage("dedup", "dup_span_stats"),
@@ -504,6 +505,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash_near_dups": D.near_dup_pairs_simhash_sql(),
         "doc_verified_near_dups": D.verified_near_dups_sql(),
         "doc_near_dup_clusters": D.near_dup_clusters_sql(),
+        "doc_cluster_keepers": D.cluster_keepers_sql(),
         "doc_near_dedup_ids": D.near_dedup_doc_ids_sql(),
         "doc_dup_rate_by_lang": D.dup_rate_by_lang_sql(),
         "doc_dup_span_stats": D.dup_span_stats_sql(),

@@ -1251,3 +1251,87 @@ def dup_span_stats_sql(
            coalesce(d.n_dup_grid, CAST(0 AS BIGINT)) AS n_dup_grid
     FROM total t LEFT JOIN dupd d USING (doc_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware cluster keepers: instead of first-seen-wins, keep the
+# BEST document of every near-dup cluster by model quality score — the
+# curation upgrade most production dedup passes apply (e.g. keep the
+# longest/cleanest copy of a boilerplate family).  Deterministic:
+# argmax(score_micro), ties to the lowest doc_id.
+#
+# Scale shape: clusters come from the iterative min-label components
+# (already join-based and bounded); the score side is a narrow
+# broadcast-weight inference map; ONE safe_join on doc_id (clusters
+# materialized first — doc-count-sized — to split the chained-join
+# plan, the same recipe as dup_span_stats above) and ONE
+# groupby(cluster) whose groups are near-dup cliques (tiny).
+# ---------------------------------------------------------------------------
+def cluster_keepers(
+    sf_dir: str,
+    threshold: float = 0.5,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """(cluster_id, keeper_doc_id, keeper_score_micro, n_members): the
+    quality-argmax representative of every near-dup cluster."""
+    from ifctordf_ray.functions.kernels import safe_join
+    from ifctordf_ray.stages.textstats import model_scores
+
+    clusters = near_dup_clusters(
+        sf_dir, threshold=threshold, num_partitions=num_partitions
+    ).materialize()  # doc-count-sized; splits the chained-join plan
+    scores = model_scores(sf_dir)
+    joined = safe_join(
+        clusters,
+        pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())]),
+        scores.map_batches(
+            lambda t: pa.table(
+                {"sdoc": t["doc_id"], "score_micro": t["score_micro"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("sdoc", pa.int64()), ("score_micro", pa.int64())]),
+        join_type="inner",
+        on=("doc_id",),
+        right_on=("sdoc",),
+        num_partitions=num_partitions,
+    )
+
+    def pick(g: pa.Table) -> pa.Table:
+        doc = g["doc_id"].to_numpy()
+        sc = g["score_micro"].to_numpy()
+        best = np.lexsort((doc, -sc))[0]
+        return pa.table(
+            {
+                "cluster_id": g["cluster_id"][:1],
+                "keeper_doc_id": pa.array([int(doc[best])], pa.int64()),
+                "keeper_score_micro": pa.array([int(sc[best])], pa.int64()),
+                "n_members": pa.array([g.num_rows], pa.int64()),
+            }
+        )
+
+    return joined.groupby("cluster_id").map_groups(pick, batch_format="pyarrow")
+
+
+def cluster_keepers_sql(threshold: float = 0.5) -> str:
+    from ifctordf_ray.stages.textstats import model_scores_sql
+
+    return f"""
+    WITH clusters AS ({near_dup_clusters_sql(threshold)}),
+    scores AS ({model_scores_sql()}),
+    j AS (
+        SELECT c.cluster_id, c.doc_id, s.score_micro
+        FROM clusters c JOIN scores s USING (doc_id)
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY cluster_id
+            ORDER BY score_micro DESC, doc_id ASC) AS rn,
+               count(*) OVER (PARTITION BY cluster_id) AS n_members
+        FROM j
+    )
+    SELECT cluster_id, doc_id AS keeper_doc_id,
+           score_micro AS keeper_score_micro,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM r WHERE rn = 1
+    """

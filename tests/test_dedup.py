@@ -298,3 +298,42 @@ def test_dup_span_stats(sf_small):
     # the synthetic corpus is repetitive enough that the operator must
     # actually find cross-doc duplicated spans
     assert sum(v[1] for v in ref.values()) > 0
+
+
+def test_cluster_keepers(sf_small, ray_session):
+    """Quality-argmax keeper per near-dup cluster: cross-engine parity +
+    consistency with the flat clusters/scores passes + the property that
+    quality-argmax actually diverges from first-seen-wins somewhere."""
+    import duckdb
+
+    from ifctordf_ray.stages.dedup import (
+        cluster_keepers,
+        cluster_keepers_sql,
+        near_dup_clusters,
+    )
+    from ifctordf_ray.stages.textstats import model_scores
+
+    keep = cluster_keepers(sf_small).to_pandas().set_index("cluster_id")
+    cl = near_dup_clusters(sf_small).to_pandas()
+    sc = model_scores(sf_small).to_pandas().set_index("doc_id").score_micro
+    assert len(keep) == cl.cluster_id.nunique()
+    diverged = 0
+    for cid, g in cl.groupby("cluster_id"):
+        members = sorted(g.doc_id)
+        best = min(members, key=lambda d: (-sc[d], d))
+        row = keep.loc[cid]
+        assert row.keeper_doc_id == best, cid
+        assert row.n_members == len(members)
+        assert row.keeper_score_micro == sc[best]
+        if len(members) > 1 and best != members[0]:
+            diverged += 1
+    assert diverged >= 1  # argmax != first-seen at least once
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_small}/documents.parquet')"
+    )
+    sql = con.execute(cluster_keepers_sql()).df().set_index("cluster_id")
+    assert sorted(keep.index) == sorted(sql.index)
+    for cid in keep.index:
+        assert keep.loc[cid].keeper_doc_id == sql.loc[cid].keeper_doc_id
