@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_active_entity_keys": _rel("active_entity_keys"),
         "rel_user_running_totals": _rel("user_running_totals"),
         "rel_value_quantiles": _rel("value_quantiles"),
+        "rel_winsorized_values": _rel("winsorized_values"),
         "rel_bloom_semi_join": _rel("bloom_semi_join"),
         "rel_user_median_value": _rel("user_median_value"),
         "rel_customer_order_counts": _rel("customer_order_counts"),
@@ -400,6 +401,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_active_entity_keys": R.active_entity_keys_sql(),
         "rel_user_running_totals": R.user_running_totals_sql(),
         "rel_value_quantiles": R.value_quantiles_sql(),
+        "rel_winsorized_values": R.winsorized_values_sql(),
         "rel_bloom_semi_join": R.bloom_semi_join_sql(),
         "rel_user_median_value": R.user_median_value_sql(),
         "rel_customer_order_counts": R.customer_order_counts_sql(),

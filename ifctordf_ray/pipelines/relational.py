@@ -3006,3 +3006,104 @@ def user_rolling_median_sql() -> str:
                AS rolling_median_cents
     FROM events
     """
+
+
+# ---------------------------------------------------------------------------
+# Winsorization (robust feature preprocessing): clip every event value
+# to its event-type's exact [P05, P95] band — the outlier-taming step a
+# feature pipeline applies before scaling/training.  Same two-phase
+# shape as value_quantiles: an algebraic (type, value)-histogram
+# pre-combine picks the exact percentile_disc bounds (the histogram is
+# value-domain-bounded, never row-count-sized), the bounds table
+# (#types rows) is broadcast in the clip map's closure, and the clip
+# pass is one narrow row-local map — no corpus-sized join.
+# ---------------------------------------------------------------------------
+WINSOR_LO_Q = 0.05
+WINSOR_HI_Q = 0.95
+
+
+def winsorized_values(sf_dir: str) -> ray.data.Dataset:
+    """(event_id, event_type, value_cents, clipped_cents, was_clipped)."""
+    ds = _clean_read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"], "v": _cents(t["value"])})
+
+    hist = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "v"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def pick(group: pa.Table) -> pa.Table:
+        g = group.sort_by("v")
+        v = g["v"].to_numpy()
+        n = g["n"].to_numpy()
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        out = {"event_type": [g["event_type"][0].as_py()]}
+        for name, q in (("lo", WINSOR_LO_Q), ("hi", WINSOR_HI_Q)):
+            # percentile_disc: first v with cum/total >= q
+            i = int(np.searchsorted(cum, q * total, side="left"))
+            if cum[i] < q * total:  # float guard
+                i += 1
+            out[name] = [int(v[i])]
+        return pa.table(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "lo": pa.array(out["lo"], pa.int64()),
+                "hi": pa.array(out["hi"], pa.int64()),
+            }
+        )
+
+    bounds = {
+        r["event_type"]: (r["lo"], r["hi"])
+        for r in hist.groupby("event_type").map_groups(
+            pick, batch_format="pyarrow"
+        ).take_all()  # #event-types rows: fixed-size, driver-safe
+    }
+
+    def clip(t: pa.Table) -> pa.Table:
+        v = _cents(t["value"]).to_numpy()
+        types = t["event_type"].to_pylist()
+        lo = np.array([bounds[x][0] for x in types], np.int64)
+        hi = np.array([bounds[x][1] for x in types], np.int64)
+        clipped = np.minimum(np.maximum(v, lo), hi)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "value_cents": pa.array(v, pa.int64()),
+                "clipped_cents": pa.array(clipped, pa.int64()),
+                "was_clipped": pa.array(
+                    ((v < lo) | (v > hi)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def winsorized_values_sql() -> str:
+    return f"""
+    WITH v AS (
+        SELECT event_id, event_type,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+        FROM events
+    ),
+    b AS (
+        SELECT event_type,
+               CAST(percentile_disc({WINSOR_LO_Q}) WITHIN GROUP (ORDER BY vc)
+                    AS BIGINT) AS lo,
+               CAST(percentile_disc({WINSOR_HI_Q}) WITHIN GROUP (ORDER BY vc)
+                    AS BIGINT) AS hi
+        FROM v GROUP BY 1
+    )
+    SELECT v.event_id, v.event_type, v.vc AS value_cents,
+           least(greatest(v.vc, b.lo), b.hi) AS clipped_cents,
+           CAST(CASE WHEN v.vc < b.lo OR v.vc > b.hi THEN 1 ELSE 0 END
+                AS BIGINT) AS was_clipped
+    FROM v JOIN b USING (event_type)
+    """

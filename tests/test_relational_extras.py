@@ -61,3 +61,53 @@ def test_event_transitions_parity_and_mass(sf_small):
     )
     for uid, s in per_user.items():
         assert s == counts[uid] - 1
+
+
+def test_winsorized_values(sf_small, ray_session):
+    """Quantile clipping: parity + an independent pandas reference of the
+    percentile_disc bounds + clip semantics."""
+    import duckdb
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ifctordf_ray.pipelines.relational import (
+        WINSOR_HI_Q,
+        WINSOR_LO_Q,
+        winsorized_values,
+        winsorized_values_sql,
+    )
+
+    eng = winsorized_values(sf_small).to_pandas().sort_values("event_id")
+    t = pq.read_table(
+        f"{sf_small}/events.parquet", columns=["event_id", "event_type", "value"]
+    ).to_pandas()
+    t["vc"] = np.floor(t.value * 100.0 + 0.5).astype("int64")
+
+    def disc(vals, q):
+        v = np.sort(vals.to_numpy())
+        cum = np.arange(1, len(v) + 1)
+        i = int(np.searchsorted(cum, q * len(v), side="left"))
+        if cum[i] < q * len(v):
+            i += 1
+        return int(v[i])
+
+    bounds = {
+        et: (disc(g.vc, WINSOR_LO_Q), disc(g.vc, WINSOR_HI_Q))
+        for et, g in t.groupby("event_type")
+    }
+    ref = t.sort_values("event_id")
+    clipped_any = 0
+    for erow, (_, rrow) in zip(eng.itertuples(), ref.iterrows()):
+        lo, hi = bounds[rrow.event_type]
+        want = min(max(rrow.vc, lo), hi)
+        assert erow.clipped_cents == want, erow.event_id
+        assert erow.was_clipped == int(rrow.vc < lo or rrow.vc > hi)
+        clipped_any += erow.was_clipped
+    assert 0 < clipped_any < len(eng)  # the band actually clips a tail
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_small}/events.parquet')"
+    )
+    sql = con.execute(winsorized_values_sql()).df().sort_values("event_id")
+    assert list(eng.clipped_cents) == list(sql.clipped_cents)
