@@ -320,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_feature_hashing": _stage("terms", "feature_hashing"),
         "doc_dsir_weights": _stage("terms", "dsir_weights"),
         "doc_ppl_buckets": _stage("terms", "ppl_buckets"),
+        "doc_split_drift": _stage("terms", "split_drift"),
         "doc_refinedweb_filters": _stage("textstats", "refinedweb_filters"),
         "doc_source_datasheet": _stage("textstats", "source_datasheet"),
         # --- similarity search ---
@@ -520,6 +521,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_feature_hashing": TERMS.feature_hashing_sql(),
         "doc_dsir_weights": TERMS.dsir_weights_sql(),
         "doc_ppl_buckets": TERMS.ppl_buckets_sql(),
+        "doc_split_drift": TERMS.split_drift_sql(),
         "doc_refinedweb_filters": T.refinedweb_filters_sql(),
         "doc_source_datasheet": T.source_datasheet_sql(),
         "emb_knn_brute_force": SIM.knn_brute_force_sql(),

@@ -1834,3 +1834,137 @@ def ppl_buckets_sql() -> str:
                 ELSE 'tail' END AS bucket_label
     FROM t
     """
+
+
+# ---------------------------------------------------------------------------
+# Split-drift monitor: Jensen-Shannon divergence between the hashed
+# unigram distributions of a deterministic train/validation split — the
+# distribution-shift check a pipeline runs before trusting a held-out
+# set (a high-JS bucket means the split leaked a topic/source).  Split =
+# md5(doc_id) parity (the sample_docs hash contract); features = the
+# DSIR hashed-unigram buckets; the divergence is computed per bucket
+# with add-1 smoothing and quantized to integer nano-nats with an
+# expression tree shared verbatim with the SQL oracle.
+#
+# Scale shape: one narrow map + one DRIFT_DIM-row groupby; the finish
+# step runs on the fixed-size bucket table (driver-safe), so the corpus
+# is scanned exactly once whatever its size.
+# ---------------------------------------------------------------------------
+DRIFT_DIM = 64
+JS_SCALE = 1_000_000_000.0  # nano-nats: per-bucket contributions are tiny
+
+
+def split_drift(sf_dir: str, dim: int = DRIFT_DIM) -> ray.data.Dataset:
+    """(bucket, n_train, n_valid, js_nano): per-bucket JS-divergence
+    contribution between the two split halves' unigram distributions
+    (all `dim` buckets emitted; smoothing gives empty buckets a defined
+    contribution too)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum as _Sum
+
+    from ifctordf_ray.functions.kernels import stable_hash64, word_runs
+
+    docs = _clean_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        parents, flat = word_runs(t["text"])
+        uniq = pc.unique(flat)
+        bmap = {w: stable_hash64(w) % dim for w in uniq.to_pylist()}
+        buckets = np.fromiter(
+            (bmap[w] for w in flat.to_pylist()), np.int64, count=len(flat)
+        )
+        side_doc = np.fromiter(
+            (stable_hash64(str(d)) % 2 for d in t["doc_id"].to_pylist()),
+            np.int64,
+            count=t.num_rows,
+        )
+        par = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+        is_v = side_doc[par] == 1
+        n0 = np.bincount(buckets[~is_v], minlength=dim).astype(np.int64)
+        n1 = np.bincount(buckets[is_v], minlength=dim).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(dim, dtype=np.int64)),
+                "n_train": pa.array(n0),
+                "n_valid": pa.array(n1),
+            }
+        )
+
+    counts = (
+        docs.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            _Sum("n_train", alias_name="n_train"),
+            _Sum("n_valid", alias_name="n_valid"),
+        )
+        .take_all()
+    )  # <= dim rows: fixed-size, driver-safe
+    n0 = np.zeros(dim, np.int64)
+    n1 = np.zeros(dim, np.int64)
+    for r in counts:
+        n0[r["bucket"]] = r["n_train"]
+        n1[r["bucket"]] = r["n_valid"]
+    t0, t1 = float(n0.sum()), float(n1.sum())
+    # expression tree mirrored VERBATIM in SQL (same +1.0 smoothing, same
+    # division/ln/multiply order)
+    p = (n0 + 1.0) / (t0 + dim)
+    q = (n1 + 1.0) / (t1 + dim)
+    m = (p + q) / 2.0
+    js = 0.5 * p * np.log(p / m) + 0.5 * q * np.log(q / m)
+    js_nano = np.floor(js * JS_SCALE + 0.5).astype(np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "bucket": pa.array(np.arange(dim, dtype=np.int64)),
+                "n_train": pa.array(n0),
+                "n_valid": pa.array(n1),
+                "js_nano": pa.array(js_nano),
+            }
+        )
+    )
+
+
+def split_drift_sql(dim: int = DRIFT_DIM) -> str:
+    return f"""
+    WITH w AS (
+        SELECT CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) % 2 AS BIGINT)
+                   AS side,
+               CAST(md5_number_upper(word) % {dim} AS BIGINT) AS bucket
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                             '{WORD_RE}')) AS word
+            FROM documents
+        )
+    ),
+    c AS (
+        SELECT bucket,
+               CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        FROM w GROUP BY bucket
+    ),
+    allb AS (
+        SELECT CAST(t.b AS BIGINT) AS bucket,
+               coalesce(c.n0, 0) AS n0, coalesce(c.n1, 0) AS n1
+        FROM (SELECT unnest(range({dim})) AS b) t
+        LEFT JOIN c ON c.bucket = t.b
+    ),
+    tot AS (
+        SELECT CAST(sum(n0) AS DOUBLE) AS t0, CAST(sum(n1) AS DOUBLE) AS t1
+        FROM allb
+    ),
+    jsd AS (
+        SELECT bucket, n0, n1,
+               (CAST(n0 AS DOUBLE) + 1.0) / (t.t0 + {dim}) AS p,
+               (CAST(n1 AS DOUBLE) + 1.0) / (t.t1 + {dim}) AS q
+        FROM allb, tot t
+    )
+    SELECT bucket, n0 AS n_train, n1 AS n_valid,
+           CAST(floor((0.5 * p * ln(p / ((p + q) / 2.0))
+                       + 0.5 * q * ln(q / ((p + q) / 2.0)))
+                      * {JS_SCALE} + 0.5) AS BIGINT) AS js_nano
+    FROM jsd
+    """
