@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_drift": _stage("terms", "split_drift"),
         "doc_refinedweb_filters": _stage("textstats", "refinedweb_filters"),
         "doc_source_datasheet": _stage("textstats", "source_datasheet"),
+        "doc_lang_temperature_mix": _stage("textstats", "lang_temperature_mix"),
         # --- similarity search ---
         "emb_knn_brute_force": _stage("similarity", "knn_brute_force"),
         "emb_contrastive_triplets": _stage("similarity", "contrastive_triplets"),
@@ -524,6 +525,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_split_drift": TERMS.split_drift_sql(),
         "doc_refinedweb_filters": T.refinedweb_filters_sql(),
         "doc_source_datasheet": T.source_datasheet_sql(),
+        "doc_lang_temperature_mix": T.lang_temperature_mix_sql(),
         "emb_knn_brute_force": SIM.knn_brute_force_sql(),
         "emb_contrastive_triplets": SIM.contrastive_triplets_sql(),
         "emb_mmr_topk": SIM.mmr_topk_sql(),

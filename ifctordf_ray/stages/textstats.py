@@ -1397,3 +1397,72 @@ def source_datasheet_sql() -> str:
            CAST(sum(keep) AS BIGINT) AS n_keep
     FROM flagged GROUP BY source
     """
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled language mixture (the multilingual sampling recipe
+# of mBERT/XLM-R/mT5: p_i ∝ n_i^alpha with alpha < 1, upweighting
+# low-resource languages): per-language corpus counts -> temperature
+# weights -> exact integer mixture shares.  Complements export's
+# mixture_schedule (which CONSUMES fixed weights; this DERIVES them).
+#
+# Parity notes: DuckDB's exp/ln match Python's math.exp/math.log
+# bit-for-bit on this platform while numpy's SIMD exp differs in the
+# last ulp (measured) — so the #langs-sized finish uses math.*; the
+# share is then an exact BIGINT division, order-independent.
+# ---------------------------------------------------------------------------
+MIX_ALPHA = 0.3
+MIX_SCALE = 1_000_000
+
+
+def lang_temperature_mix(sf_dir: str, alpha: float = MIX_ALPHA) -> ray.data.Dataset:
+    """(lang, n_docs, w_micro, share_micro): temperature-weighted
+    sampling shares per language; share_micro = w_micro * 1e6 // sum(w)."""
+    import math
+
+    from ray.data.aggregate import Count as _Count
+
+    counts = (
+        _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+        .groupby("lang")
+        .aggregate(_Count(alias_name="n_docs"))
+        .take_all()
+    )  # #langs rows: fixed-size, driver-safe
+    langs = sorted(r["lang"] for r in counts)
+    n = {r["lang"]: int(r["n_docs"]) for r in counts}
+    w = {
+        lg: int(math.floor(math.exp(alpha * math.log(float(n[lg]))) * MIX_SCALE + 0.5))
+        for lg in langs
+    }
+    tot = sum(w.values())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "n_docs": pa.array([n[lg] for lg in langs], pa.int64()),
+                "w_micro": pa.array([w[lg] for lg in langs], pa.int64()),
+                "share_micro": pa.array(
+                    [w[lg] * MIX_SCALE // tot for lg in langs], pa.int64()
+                ),
+            }
+        )
+    )
+
+
+def lang_temperature_mix_sql(alpha: float = MIX_ALPHA) -> str:
+    return f"""
+    WITH c AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    ),
+    w AS (
+        SELECT lang, n_docs,
+               CAST(floor(exp({alpha} * ln(CAST(n_docs AS DOUBLE)))
+                          * {MIX_SCALE} + 0.5) AS BIGINT) AS w_micro
+        FROM c
+    ),
+    t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tot FROM w)
+    SELECT lang, n_docs, w_micro,
+           CAST((w_micro * {MIX_SCALE}) // t.tot AS BIGINT) AS share_micro
+    FROM w, t
+    """

@@ -72,3 +72,47 @@ def test_split_drift_identical_halves_zero():
         m = (p + q) / 2.0
         js = 0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)
         assert int(math.floor(js * JS_SCALE + 0.5)) == 0
+
+
+def test_lang_temperature_mix(sf_small, ray_session):
+    """Temperature mixture: parity + independent reference + the
+    upweighting property (low-resource share_ratio > raw count ratio)."""
+    import math
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from ifctordf_ray.stages.textstats import (
+        MIX_ALPHA,
+        MIX_SCALE,
+        lang_temperature_mix,
+        lang_temperature_mix_sql,
+    )
+
+    eng = lang_temperature_mix(sf_small).to_pandas().sort_values("lang")
+    t = pq.read_table(f"{sf_small}/documents.parquet", columns=["lang"]).to_pandas()
+    counts = t.lang.value_counts().to_dict()
+    ws = {
+        lg: int(math.floor(math.exp(MIX_ALPHA * math.log(n)) * MIX_SCALE + 0.5))
+        for lg, n in counts.items()
+    }
+    tot = sum(ws.values())
+    assert len(eng) == len(counts)
+    for r in eng.itertuples():
+        assert r.n_docs == counts[r.lang]
+        assert r.w_micro == ws[r.lang]
+        assert r.share_micro == ws[r.lang] * MIX_SCALE // tot
+
+    # alpha < 1 upweights the rarest language vs proportional sampling
+    rare = min(counts, key=counts.get)
+    n_total = sum(counts.values())
+    rare_share = eng.set_index("lang").loc[rare].share_micro / MIX_SCALE
+    assert rare_share > counts[rare] / n_total
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_small}/documents.parquet')"
+    )
+    sql = con.execute(lang_temperature_mix_sql()).df().sort_values("lang")
+    assert list(eng.share_micro) == list(sql.share_micro)
+    assert list(eng.w_micro) == list(sql.w_micro)
