@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_verified_near_dups": _stage("dedup", "verified_near_dups"),
         "doc_near_dup_clusters": _stage("dedup", "near_dup_clusters"),
         "doc_cluster_keepers": _stage("dedup", "cluster_keepers"),
+        "doc_pair_edit_distance": _stage("dedup", "pair_edit_distance"),
         "doc_near_dedup_ids": _stage("dedup", "near_dedup_doc_ids"),
         "doc_dup_rate_by_lang": _stage("dedup", "dup_rate_by_lang"),
         "doc_dup_span_stats": _stage("dedup", "dup_span_stats"),
@@ -510,6 +511,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_verified_near_dups": D.verified_near_dups_sql(),
         "doc_near_dup_clusters": D.near_dup_clusters_sql(),
         "doc_cluster_keepers": D.cluster_keepers_sql(),
+        "doc_pair_edit_distance": D.pair_edit_distance_sql(),
         "doc_near_dedup_ids": D.near_dedup_doc_ids_sql(),
         "doc_dup_rate_by_lang": D.dup_rate_by_lang_sql(),
         "doc_dup_span_stats": D.dup_span_stats_sql(),

@@ -1335,3 +1335,112 @@ def cluster_keepers_sql(threshold: float = 0.5) -> str:
            CAST(n_members AS BIGINT) AS n_members
     FROM r WHERE rn = 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verification of near-dup candidates: the second-stage
+# verifier a dedup pipeline runs when Jaccard is too coarse (boilerplate
+# with small patches) — exact Levenshtein distance over a bounded text
+# prefix for every MinHash-LSH candidate pair, plus an exact-integer
+# normalized similarity.  Byte-level DP (DuckDB's levenshtein() counts
+# UTF-8 BYTES, measured: levenshtein('café','cafe') = 2).
+#
+# Scale shape: candidates are the banded-LSH output (pair-bounded, never
+# corpus-sized); the texts of the involved docs are fetched by one
+# streaming is_in scan (bounded by 2x pairs); the DP itself is
+# pair-sized work, O(prefix^2) per pair.
+# ---------------------------------------------------------------------------
+LEV_PREFIX = 200  # chars of text compared (cost cap per pair)
+
+
+def _lev_bytes(a: bytes, b: bytes) -> int:
+    """Unit-cost Levenshtein over byte strings (two-row DP)."""
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(
+                prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)
+            )
+        prev = cur
+    return prev[-1]
+
+
+def pair_edit_distance(
+    sf_dir: str, threshold: float = 0.5, prefix: int = LEV_PREFIX
+) -> ray.data.Dataset:
+    """(doc_a, doc_b, lev_dist, sim_micro): exact prefix Levenshtein for
+    every MinHash candidate pair; sim_micro = (max_len - d) * 1e6 //
+    max_len (exact integers, 1e6 = identical prefixes)."""
+    import pyarrow.compute as pc
+
+    pairs = near_dup_pairs_minhash(sf_dir, threshold=threshold).take_all()
+    if not pairs:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "lev_dist": pa.array([], pa.int64()),
+                    "sim_micro": pa.array([], pa.int64()),
+                }
+            )
+        )
+    need = sorted({r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs})
+    idarr = pa.array(need, pa.int64())
+    rows = (
+        _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["doc_id"], value_set=idarr)),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )  # 2x-pairs-bounded, never corpus-sized
+    texts = {r["doc_id"]: (r["text"] or "")[:prefix].encode("utf-8") for r in rows}
+    out_a, out_b, out_d, out_s = [], [], [], []
+    for r in sorted(pairs, key=lambda x: (x["doc_a"], x["doc_b"])):
+        a, b = texts[r["doc_a"]], texts[r["doc_b"]]
+        d = _lev_bytes(a, b)
+        ml = max(len(a), len(b))
+        out_a.append(r["doc_a"])
+        out_b.append(r["doc_b"])
+        out_d.append(d)
+        out_s.append((ml - d) * 1_000_000 // ml if ml else 1_000_000)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "lev_dist": pa.array(out_d, pa.int64()),
+                "sim_micro": pa.array(out_s, pa.int64()),
+            }
+        )
+    )
+
+
+def pair_edit_distance_sql(threshold: float = 0.5, prefix: int = LEV_PREFIX) -> str:
+    return f"""
+    WITH cand AS ({near_dup_pairs_minhash_sql(threshold)}),
+    d AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(levenshtein(substr(coalesce(ta.text, ''), 1, {prefix}),
+                                substr(coalesce(tb.text, ''), 1, {prefix}))
+                    AS BIGINT) AS lev_dist,
+               CAST(greatest(
+                   strlen(substr(coalesce(ta.text, ''), 1, {prefix})),
+                   strlen(substr(coalesce(tb.text, ''), 1, {prefix})))
+                    AS BIGINT) AS max_len  -- strlen() = BYTE length
+        FROM cand c
+        JOIN documents ta ON ta.doc_id = c.doc_a
+        JOIN documents tb ON tb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, lev_dist,
+           CAST(CASE WHEN max_len = 0 THEN 1000000
+                ELSE (max_len - lev_dist) * 1000000 // max_len
+                END AS BIGINT) AS sim_micro
+    FROM d
+    """

@@ -337,3 +337,44 @@ def test_cluster_keepers(sf_small, ray_session):
     assert sorted(keep.index) == sorted(sql.index)
     for cid in keep.index:
         assert keep.loc[cid].keeper_doc_id == sql.loc[cid].keeper_doc_id
+
+
+def test_pair_edit_distance(sf_small, ray_session):
+    """Levenshtein verify of minhash candidates: parity + the DP itself
+    against known distances + byte-level semantics."""
+    import duckdb
+
+    from ifctordf_ray.stages.dedup import (
+        _lev_bytes,
+        pair_edit_distance,
+        pair_edit_distance_sql,
+    )
+
+    # pinned DP cases (incl. the UTF-8 byte semantics DuckDB uses)
+    assert _lev_bytes(b"kitten", b"sitting") == 3
+    assert _lev_bytes(b"", b"abc") == 3
+    assert _lev_bytes("café".encode(), "cafe".encode()) == 2
+    assert _lev_bytes(b"same", b"same") == 0
+
+    eng = (
+        pair_edit_distance(sf_small)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert len(eng) > 0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_small}/documents.parquet')"
+    )
+    sql = (
+        con.execute(pair_edit_distance_sql())
+        .df()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert list(eng.lev_dist) == list(sql.lev_dist)
+    assert list(eng.sim_micro) == list(sql.sim_micro)
+    # exact-duplicate prefixes score 1e6; others less
+    assert (eng.sim_micro <= 1_000_000).all()
+    assert (eng.lev_dist >= 0).all()
