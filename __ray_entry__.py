@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash": _stage("dedup", "simhash_fingerprints"),
         "doc_simhash_near_dups": _stage("dedup", "near_dup_pairs_simhash"),
         "doc_verified_near_dups": _stage("dedup", "verified_near_dups"),
+        "doc_containment_scores": _stage("dedup", "containment_scores"),
         "doc_near_dup_clusters": _stage("dedup", "near_dup_clusters"),
         "doc_cluster_keepers": _stage("dedup", "cluster_keepers"),
         "doc_pair_edit_distance": _stage("dedup", "pair_edit_distance"),
@@ -509,6 +510,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash": D.simhash_fingerprints_sql(),
         "doc_simhash_near_dups": D.near_dup_pairs_simhash_sql(),
         "doc_verified_near_dups": D.verified_near_dups_sql(),
+        "doc_containment_scores": D.containment_scores_sql(),
         "doc_near_dup_clusters": D.near_dup_clusters_sql(),
         "doc_cluster_keepers": D.cluster_keepers_sql(),
         "doc_pair_edit_distance": D.pair_edit_distance_sql(),

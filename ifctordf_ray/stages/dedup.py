@@ -503,16 +503,13 @@ class ShingleSets:
         )
 
 
-def verified_near_dups(
-    sf_dir: str, threshold: float = 0.5, num_partitions: int | None = None
+def _candidate_shingle_pairs(
+    sf_dir: str, num_partitions: int | None = None
 ) -> ray.data.Dataset:
-    """Full near-dup pipeline: LSH candidates -> exact n-gram Jaccard.
-
-    The candidate pair stream is hash-joined (Dataset.join) against the
-    per-doc shingle dataset twice (doc_a side, doc_b side); the corpus is
-    never collected to the driver or broadcast whole — at 100x data both
-    joins stay partitioned exchanges proportional to the candidate count.
-    """
+    """Shared verify-stage input: every MinHash candidate pair joined to
+    BOTH members' shingle sets -> (doc_a, doc_b, est_jaccard, sh_a,
+    sh_b).  Two chained safe_joins; exchanges stay proportional to the
+    candidate count at any corpus size."""
     from ifctordf_ray.functions.kernels import safe_join
 
     # safe_join armors BOTH sides of each chained join: the candidate
@@ -560,6 +557,20 @@ def verified_near_dups(
         right_on=("db",),
         num_partitions=num_partitions,
     )
+    return j2
+
+
+def verified_near_dups(
+    sf_dir: str, threshold: float = 0.5, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Full near-dup pipeline: LSH candidates -> exact n-gram Jaccard.
+
+    The candidate pair stream is hash-joined (Dataset.join) against the
+    per-doc shingle dataset twice (doc_a side, doc_b side); the corpus is
+    never collected to the driver or broadcast whole — at 100x data both
+    joins stay partitioned exchanges proportional to the candidate count.
+    """
+    j2 = _candidate_shingle_pairs(sf_dir, num_partitions)
     thresh = threshold
 
     def verify(t: pa.Table) -> pa.Table:
@@ -582,6 +593,77 @@ def verified_near_dups(
         return out.filter(pc.greater_equal(out["jaccard"], thresh))
 
     return j2.map_batches(verify, batch_format="pyarrow")
+
+
+def containment_scores(
+    sf_dir: str, threshold: float = 0.6, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Broder containment over the MinHash candidate pairs (quote /
+    subset detection): C(A,B) = |A∩B| / |A|.  Unlike Jaccard, containment
+    is asymmetric — a short document fully quoted inside a long one has
+    C(short,long) ≈ 1 but low Jaccard — so both directions are emitted
+    and pairs are kept when max(C_ab, C_ba) >= threshold.
+
+    Same physical shape as verified_near_dups: the candidate stream is
+    joined twice against the distributed shingle dataset; nothing
+    corpus-sized touches the driver."""
+    j2 = _candidate_shingle_pairs(sf_dir, num_partitions)
+    thresh = threshold
+
+    def score(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c_ab, c_ba = [], []
+        for la, lb in zip(t["sh_a"].to_pylist(), t["sh_b"].to_pylist()):
+            sa = set(la.split(SHINGLE_SEP)) if la else set()
+            sb = set(lb.split(SHINGLE_SEP)) if lb else set()
+            ninter = len(sa & sb)
+            c_ab.append(ninter / len(sa) if sa else 0.0)
+            c_ba.append(ninter / len(sb) if sb else 0.0)
+        out = pa.table(
+            {
+                "doc_a": t["doc_a"],
+                "doc_b": t["doc_b"],
+                "containment_ab": pa.array(c_ab, pa.float64()),
+                "containment_ba": pa.array(c_ba, pa.float64()),
+            }
+        )
+        return out.filter(
+            pc.greater_equal(
+                pc.max_element_wise(out["containment_ab"], out["containment_ba"]),
+                thresh,
+            )
+        )
+
+    return j2.map_batches(score, batch_format="pyarrow")
+
+
+def containment_scores_sql(threshold: float = 0.6) -> str:
+    return f"""WITH {_shingle_cte()},
+{_sig_cte()},
+{_candidates_cte()},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS ninter
+    FROM cand c
+    JOIN sh s1 ON s1.doc_id = c.doc_a
+    JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+    GROUP BY c.doc_a, c.doc_b
+),
+cont AS (
+    SELECT e.doc_a, e.doc_b,
+           CASE WHEN coalesce(na.n, 0) = 0 THEN 0.0
+                ELSE coalesce(i.ninter, 0) * 1.0 / na.n END AS containment_ab,
+           CASE WHEN coalesce(nb.n, 0) = 0 THEN 0.0
+                ELSE coalesce(i.ninter, 0) * 1.0 / nb.n END AS containment_ba
+    FROM est e
+    LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+    LEFT JOIN sizes na ON na.doc_id = e.doc_a
+    LEFT JOIN sizes nb ON nb.doc_id = e.doc_b
+)
+SELECT doc_a, doc_b, containment_ab, containment_ba
+FROM cont
+WHERE greatest(containment_ab, containment_ba) >= {threshold}"""
 
 
 def verified_near_dups_sql(threshold: float = 0.5) -> str:

@@ -93,6 +93,38 @@ def test_verified_near_dups_at_driver_scale_partitions(tmp_path):
     assert (20, 21) in got
 
 
+def test_containment_asymmetric_quote(tmp_path):
+    """A short doc fully quoted inside a long one: containment of the
+    short side is ~1.0 while Jaccard is low — the asymmetric score must
+    catch it from the quoted direction."""
+    # Tail tuned so the pair deterministically collides in one LSH band
+    # (md5-derived permutations are fixed) at Jaccard 0.40 — BELOW the
+    # verified_near_dups 0.5 bar — while containment_ab is exactly 1.0.
+    quote = (
+        "the quick brown fox jumps over the lazy dog near the river bank today "
+        "while birds sing softly above the quiet meadow and wind moves through tall grass "
+        "carrying seeds across the open field toward distant hills under a pale morning sky"
+    )
+    long_doc = quote + " " + " ".join(
+        f"tail4 word {i} extra {i * 3 + 4}" for i in range(12)
+    )
+    texts = [f"unrelated filler document {i} with words {i * 11} " * 4 for i in range(10)]
+    texts += [quote, long_doc]  # ids 10 (short), 11 (long)
+    sf = _docs_ds(tmp_path, texts)
+    rows = dedup.containment_scores(sf, threshold=0.6, num_partitions=8).take_all()
+    got = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    assert (10, 11) in got
+    r = got[(10, 11)]
+    sa, sb = dedup.shingles(texts[10]), dedup.shingles(texts[11])
+    assert r["containment_ab"] == pytest.approx(len(sa & sb) / len(sa))
+    assert r["containment_ab"] == 1.0
+    assert r["containment_ba"] == pytest.approx(len(sa & sb) / len(sb))
+    assert r["containment_ba"] < 0.5
+    # symmetric Jaccard verify at its default 0.5 threshold misses it
+    ver = dedup.verified_near_dups(sf, threshold=0.5, num_partitions=8).take_all()
+    assert (10, 11) not in {(v["doc_a"], v["doc_b"]) for v in ver}
+
+
 def test_verified_near_dups_no_candidates(tmp_path):
     """All-unique corpus: the candidate set is EMPTY — the join must
     return zero rows, not crash (sentinel-row path in join_ready)."""
