@@ -224,6 +224,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_shipping_priority": _mj("shipping_priority"),
         "rel_forecast_revenue": _mj("forecast_revenue"),
         "rel_linestatus_priority": _mj("linestatus_priority"),
+        "rel_min_cost_supplier": _mj("min_cost_supplier"),
+        "rel_important_parts": _mj("important_parts"),
+        "rel_ramping_suppliers": _mj("ramping_suppliers"),
         "rel_purchase_follow_events": _pipeline_rangejoin,
         "rel_user_type_unpivot": _pipeline_reshape("user_type_unpivot"),
         "rel_priority_mode": _pipeline_reshape("nation_priority_mode"),
@@ -307,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_near_dups": _stage("dedup", "near_dup_pairs_simhash"),
         "doc_verified_near_dups": _stage("dedup", "verified_near_dups"),
         "doc_containment_scores": _stage("dedup", "containment_scores"),
+        "doc_paragraph_dedup": _stage("dedup", "paragraph_dedup"),
         "doc_near_dup_clusters": _stage("dedup", "near_dup_clusters"),
         "doc_cluster_keepers": _stage("dedup", "cluster_keepers"),
         "doc_pair_edit_distance": _stage("dedup", "pair_edit_distance"),
@@ -423,6 +427,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_shipping_priority": MJ.shipping_priority_sql(),
         "rel_forecast_revenue": MJ.forecast_revenue_sql(),
         "rel_linestatus_priority": MJ.linestatus_priority_sql(),
+        "rel_min_cost_supplier": MJ.min_cost_supplier_sql(),
+        "rel_important_parts": MJ.important_parts_sql(),
+        "rel_ramping_suppliers": MJ.ramping_suppliers_sql(),
         "rel_disjunctive_revenue": MJ.disjunctive_revenue_sql(),
         "rel_part_supplier_counts": MJ.part_supplier_counts_sql(),
         "rel_purchase_follow_events": __import__(
@@ -511,6 +518,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash_near_dups": D.near_dup_pairs_simhash_sql(),
         "doc_verified_near_dups": D.verified_near_dups_sql(),
         "doc_containment_scores": D.containment_scores_sql(),
+        "doc_paragraph_dedup": D.paragraph_dedup_sql(),
         "doc_near_dup_clusters": D.near_dup_clusters_sql(),
         "doc_cluster_keepers": D.cluster_keepers_sql(),
         "doc_pair_edit_distance": D.pair_edit_distance_sql(),

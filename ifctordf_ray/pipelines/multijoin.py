@@ -18,7 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Min, Sum
 
 from ifctordf_ray.functions.dimjoin import attach_dimension
 from ifctordf_ray.functions.kernels import cents as _cents
@@ -1509,4 +1509,306 @@ def linestatus_priority_sql(year: int = Q12_YEAR) -> str:
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE year(l.l_shipdate) = {year}
     GROUP BY l.l_linestatus
+    """
+
+
+# ---------------------------------------------------------------------------
+# Q2-style: minimum-cost supplier per part (argmin join-back).  The
+# schema has no partsupp table, so the (part, supplier) supply cost is
+# derived from lineitem: min observed unit price in integer cents.  The
+# per-part argmin with supplier tiebreak is ONE packed-integer Min
+# aggregate (no join-back on float equality, no window shuffle): packed
+# = cost_cents * PACK + suppkey, exact in int64 under the asserted
+# bounds.
+# ---------------------------------------------------------------------------
+Q2_SIZE_LO, Q2_SIZE_HI = 10, 20
+_Q2_PACK = 10**9  # suppkey < 1e9 and cost_cents < ~9.2e9: packed fits int64
+
+
+def min_cost_supplier(sf_dir: str) -> ray.data.Dataset:
+    li = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+    )
+
+    def unit(t: pa.Table) -> pa.Table:
+        cost = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(
+                        pc.divide(t["l_extendedprice"], t["l_quantity"]), 100.0
+                    ),
+                    0.5,
+                )
+            ),
+            pa.int64(),
+        )
+        # per-batch pre-combine before the shuffle
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "l_suppkey": t["l_suppkey"],
+                "cost_cents": cost,
+            }
+        ).group_by(["l_partkey", "l_suppkey"]).aggregate(
+            [("cost_cents", "min")]
+        ).rename_columns(["l_partkey", "l_suppkey", "cost_cents"])
+
+    pairs = (
+        li.map_batches(unit, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Min("cost_cents", alias_name="min_cost_cents"))
+    )
+
+    def pack(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        sk = t["l_suppkey"].to_numpy()
+        cc = t["min_cost_cents"].to_numpy()
+        if len(sk):
+            assert sk.max() < _Q2_PACK and sk.min() >= 0, "suppkey outside pack domain"
+            assert cc.max() < (2**63) // _Q2_PACK and cc.min() >= 0, (
+                "cost outside pack domain"
+            )
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "packed": pa.array(cc * _Q2_PACK + sk, pa.int64()),
+            }
+        )
+
+    win = (
+        pairs.map_batches(pack, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Min("packed", alias_name="packed_min"))
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        packed = t["packed_min"].to_numpy()
+        return pa.table(
+            {
+                "p_partkey": t["l_partkey"],
+                "l_suppkey": pa.array(packed % _Q2_PACK, pa.int64()),
+                "min_cost_cents": pa.array(packed // _Q2_PACK, pa.int64()),
+            }
+        )
+
+    winners = win.map_batches(unpack, batch_format="pyarrow")
+    winners = attach_dimension(
+        winners,
+        f"{sf_dir}/part.parquet",
+        key_col="p_partkey",
+        probe_col="p_partkey",
+        val_cols=["p_name", "p_size"],
+    )
+    winners = winners.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["p_size"], Q2_SIZE_LO),
+                pc.less_equal(t["p_size"], Q2_SIZE_HI),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    winners = attach_dimension(
+        winners,
+        f"{sf_dir}/supplier.parquet",
+        key_col="s_suppkey",
+        probe_col="l_suppkey",
+        val_cols=["s_name"],
+    )
+    return winners.map_batches(
+        lambda t: pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "p_name": t["p_name"],
+                "s_name": t["s_name"],
+                "min_cost_cents": t["min_cost_cents"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def min_cost_supplier_sql() -> str:
+    return f"""
+    WITH pairs AS (
+        SELECT l_partkey, l_suppkey,
+               min(CAST(floor(l_extendedprice / l_quantity * 100.0 + 0.5) AS BIGINT))
+                   AS min_cost_cents
+        FROM lineitem GROUP BY 1, 2
+    ), w AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY l_partkey ORDER BY min_cost_cents, l_suppkey
+        ) AS rn
+        FROM pairs
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name, w.min_cost_cents
+    FROM w
+    JOIN part p ON p.p_partkey = w.l_partkey
+    JOIN supplier s ON s.s_suppkey = w.l_suppkey
+    WHERE w.rn = 1 AND p.p_size BETWEEN {Q2_SIZE_LO} AND {Q2_SIZE_HI}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Q11-style: important parts — per-part value share vs a GLOBAL scalar.
+# TPC-H Q11 scales its HAVING fraction by 1/SF; the self-normalizing
+# analog keeps parts whose lineitem value exceeds 1.2x the MEAN part
+# value, exact in integer arithmetic at every scale (value * n_parts *
+# 10 > total * 12).  Distributed plan: one per-part groupby (the only
+# corpus shuffle) materialized at part-count size, its global total +
+# count reduced distributively, then a broadcast-scalar filter.
+# ---------------------------------------------------------------------------
+Q11_NUM, Q11_DEN = 12, 10  # keep parts with value > (NUM/DEN) x mean
+
+
+def important_parts(sf_dir: str) -> ray.data.Dataset:
+    li = _read(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_extendedprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "l_partkey": t["l_partkey"],
+                    "value_cents": _cents(t["l_extendedprice"]),
+                }
+            )
+            .group_by("l_partkey")
+            .aggregate([("value_cents", "sum")])
+            .rename_columns(["l_partkey", "value_cents"])
+        )
+
+    per_part = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("value_cents", alias_name="value_cents"))
+        .materialize()  # part-count-sized; consumed twice (scalars + filter)
+    )
+    total = per_part.sum("value_cents") or 0
+    n_parts = per_part.count()
+    if n_parts == 0:
+        return per_part  # empty in == empty out, schema preserved
+    return per_part.map_batches(
+        lambda t: t.filter(
+            pc.greater(
+                pc.multiply(t["value_cents"], n_parts * Q11_DEN),
+                total * Q11_NUM,
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def important_parts_sql() -> str:
+    return f"""
+    WITH v AS (
+        SELECT l_partkey,
+               sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS value_cents
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_partkey, CAST(value_cents AS BIGINT) AS value_cents FROM v
+    WHERE value_cents * (SELECT count(*) FROM v) * {Q11_DEN}
+          > (SELECT sum(value_cents) FROM v) * {Q11_NUM}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Q20-style: ramping suppliers — correlated 2x-threshold semi-join.  A
+# (part, supplier) pair "ramps" when its 1995 shipped quantity exceeds
+# half its all-time quantity (Q20's availqty > 0.5 * sum(qty) shape
+# without a partsupp table); output is each qualifying supplier with its
+# ramping-part count.  ONE fact shuffle: both the windowed and total
+# quantity are conditional sums in the same pre-combined groupby.
+# ---------------------------------------------------------------------------
+Q20_YEAR = 1995
+
+
+def ramping_suppliers(sf_dir: str) -> ray.data.Dataset:
+    li = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        qc = pc.cast(
+            pc.floor(pc.add(pc.multiply(t["l_quantity"], 100.0), 0.5)), pa.int64()
+        )
+        in_win = pc.equal(pc.year(t["l_shipdate"]), Q20_YEAR)
+        q_win = pc.if_else(in_win, qc, pa.scalar(0, pa.int64()))
+        return (
+            pa.table(
+                {
+                    "l_partkey": t["l_partkey"],
+                    "l_suppkey": t["l_suppkey"],
+                    "q_tot": qc,
+                    "q_win": q_win,
+                }
+            )
+            .group_by(["l_partkey", "l_suppkey"])
+            .aggregate([("q_tot", "sum"), ("q_win", "sum")])
+            .rename_columns(["l_partkey", "l_suppkey", "q_tot", "q_win"])
+        )
+
+    pairs = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(
+            Sum("q_tot", alias_name="q_tot"), Sum("q_win", alias_name="q_win")
+        )
+    )
+    qual = pairs.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater(t["q_win"], 0),
+                pc.greater(pc.multiply(t["q_win"], 2), t["q_tot"]),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    per_supp = (
+        qual.map_batches(
+            lambda t: t.select(["l_suppkey"]), batch_format="pyarrow"
+        )
+        .groupby("l_suppkey")
+        .aggregate(Count(alias_name="n_ramping_parts"))
+    )
+    per_supp = attach_dimension(
+        per_supp,
+        f"{sf_dir}/supplier.parquet",
+        key_col="s_suppkey",
+        probe_col="l_suppkey",
+        val_cols=["s_name"],
+    )
+    return per_supp.map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": t["l_suppkey"],
+                "s_name": t["s_name"],
+                "n_ramping_parts": pc.cast(t["n_ramping_parts"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def ramping_suppliers_sql() -> str:
+    return f"""
+    WITH pair AS (
+        SELECT l_partkey, l_suppkey,
+               sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS q_tot,
+               sum(CASE WHEN year(l_shipdate) = {Q20_YEAR}
+                        THEN CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS q_win
+        FROM lineitem GROUP BY 1, 2
+    ), qual AS (
+        SELECT * FROM pair WHERE q_win > 0 AND 2 * q_win > q_tot
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS n_ramping_parts
+    FROM qual JOIN supplier s ON s.s_suppkey = qual.l_suppkey
+    GROUP BY 1, 2
     """

@@ -38,6 +38,7 @@ from itertools import combinations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ifctordf_ray.sources.transcripts import clean_read_parquet as _clean_read_parquet
 from ray.data.aggregate import Count, Min
@@ -1526,3 +1527,195 @@ def pair_edit_distance_sql(threshold: float = 0.5, prefix: int = LEV_PREFIX) -> 
                 END AS BIGINT) AS sim_micro
     FROM d
     """
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level (sub-document) dedup: C4/RefinedWeb-style duplicate-
+# segment accounting.  Doc-level dedup (exact_duplicates /
+# verified_near_dups above) misses boilerplate shared BETWEEN otherwise-
+# distinct documents; this operator segments every doc into fixed
+# SEG_WORDS-word windows, hashes each, and scores each doc by the share
+# of its segments that also appear in at least one OTHER document.
+# Reference analog: per-statement (not per-file) dedup granularity of
+# resolveDuplicates (IfcSpfParser.java:147-165).
+# ---------------------------------------------------------------------------
+SEG_WORDS = 10
+_SEG_MOD = (1 << 63) - 1  # fits BIGINT both engines; any collision hits
+#                           both sides identically (same hash spec)
+PARA_MAX_RATIO = 0.5
+
+
+def _segments_fn(batch: pa.Table) -> pa.Table:
+    """Explode docs into (doc_id, seg_h) rows — one per consecutive
+    SEG_WORDS-word window (ragged tail kept, same as the SQL arm).
+    Per-doc Python segmentation, same convention as MinHasher."""
+    doc_ids: list[int] = []
+    hashes: list[int] = []
+    for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        words = re.findall(WORD_RE, (text or "").lower())
+        for i in range(0, len(words), SEG_WORDS):
+            doc_ids.append(did)
+            hashes.append(
+                int(_stable_hash64(" ".join(words[i : i + SEG_WORDS])) % _SEG_MOD)
+            )
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "seg_h": pa.array(hashes, pa.int64()),
+        }
+    )
+
+
+def paragraph_dedup(
+    sf_dir: str, max_ratio: float = PARA_MAX_RATIO, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Per-doc duplicate-paragraph ratio + keep flag (ratio < max_ratio).
+
+    A segment INSTANCE counts as duplicated iff its hash occurs in >1
+    DISTINCT document (within-doc repetition alone is repetition_scores'
+    job, not dedup).  Distributed plan: explode -> one (seg_h, doc_id)
+    groupby (the only corpus-sized shuffle) -> bounded seg_h-keyed
+    dup-key set -> two doc-count-sized joins back onto documents.  The
+    (seg_h, doc_id)-distinct table is materialized because it feeds two
+    consumers AND splits the chained-join plan (see module head / Ray
+    deadlock note); at extreme scale the alternative is re-deriving it
+    per consumer from the source read."""
+    from ray.data.aggregate import Sum
+
+    from ifctordf_ray.functions.kernels import safe_join
+
+    seg = _clean_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_segments_fn, batch_format="pyarrow")
+
+    inst = (
+        seg.groupby(["seg_h", "doc_id"])
+        .aggregate(Count(alias_name="n_inst"))
+        .materialize()  # distinct-(seg,doc)-sized; consumed twice
+    )
+    dup_keys = (
+        inst.groupby("seg_h")
+        .aggregate(Count(alias_name="n_docs"))
+        .map_batches(
+            lambda t: pa.table(
+                {"dup_seg_h": t.filter(pc.greater(t["n_docs"], 1))["seg_h"]}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    inst_schema = pa.schema(
+        [("seg_h", pa.int64()), ("doc_id", pa.int64()), ("n_inst", pa.int64())]
+    )
+    dup_schema = pa.schema([("dup_seg_h", pa.int64())])
+    dup_per_doc = (
+        safe_join(
+            inst,
+            inst_schema,
+            dup_keys,
+            dup_schema,
+            join_type="inner",
+            on=("seg_h",),
+            right_on=("dup_seg_h",),
+            num_partitions=num_partitions,
+        )
+        .groupby("doc_id")
+        .aggregate(Sum("n_inst", alias_name="n_dup_segments"))
+        .materialize()  # doc-count-sized; splits the chained-join plan
+    )
+    totals = (
+        inst.groupby("doc_id")
+        .aggregate(Sum("n_inst", alias_name="n_segments"))
+        .map_batches(
+            lambda t: pa.table(
+                {"t_doc_id": t["doc_id"], "n_segments": t["n_segments"]}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    docs = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    docs_schema = pa.schema([("doc_id", pa.int64())])
+    tot_schema = pa.schema([("t_doc_id", pa.int64()), ("n_segments", pa.int64())])
+    r1 = safe_join(
+        docs,
+        docs_schema,
+        totals,
+        tot_schema,
+        join_type="left_outer",
+        on=("doc_id",),
+        right_on=("t_doc_id",),
+        num_partitions=num_partitions,
+    ).materialize()  # doc-count-sized; splits the chained-join plan
+    # Dataset.join coalesces the right key column away: r1 blocks carry
+    # only (doc_id, n_segments)
+    r1_schema = pa.schema([("doc_id", pa.int64()), ("n_segments", pa.int64())])
+    dup_named = dup_per_doc.map_batches(
+        lambda t: pa.table(
+            {"d_doc_id": t["doc_id"], "n_dup_segments": t["n_dup_segments"]}
+        ),
+        batch_format="pyarrow",
+    )
+    dpd_schema = pa.schema([("d_doc_id", pa.int64()), ("n_dup_segments", pa.int64())])
+    r2 = safe_join(
+        r1,
+        r1_schema,
+        dup_named,
+        dpd_schema,
+        join_type="left_outer",
+        on=("doc_id",),
+        right_on=("d_doc_id",),
+        num_partitions=num_partitions,
+    )
+
+    mr = max_ratio
+
+    def finish(t: pa.Table) -> pa.Table:
+        n_seg = pc.coalesce(t["n_segments"], pa.scalar(0, pa.int64()))
+        n_dup = pc.coalesce(t["n_dup_segments"], pa.scalar(0, pa.int64()))
+        ratio = pc.if_else(
+            pc.equal(n_seg, 0),
+            pa.scalar(0.0, pa.float64()),
+            pc.divide(pc.cast(n_dup, pa.float64()), pc.cast(n_seg, pa.float64())),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_segments": n_seg,
+                "n_dup_segments": n_dup,
+                "dup_ratio": ratio,
+                "keep": pc.less(ratio, mr),
+            }
+        )
+
+    return r2.map_batches(finish, batch_format="pyarrow")
+
+
+def paragraph_dedup_sql(max_ratio: float = PARA_MAX_RATIO) -> str:
+    return f"""WITH wl AS (
+    SELECT doc_id,
+           regexp_extract_all(lower(coalesce(text, '')), '{WORD_RE}') AS ws
+    FROM documents
+),
+seg AS (
+    SELECT doc_id,
+           CAST(md5_number_upper(array_to_string(ws[i*{SEG_WORDS}+1 : i*{SEG_WORDS}+{SEG_WORDS}], ' '))
+                % {_SEG_MOD} AS BIGINT) AS seg_h
+    FROM wl, UNNEST(range(CAST(ceil(len(ws) / {SEG_WORDS}.0) AS BIGINT))) AS t(i)
+    WHERE len(ws) > 0
+),
+inst AS (SELECT doc_id, seg_h, count(*) AS n_inst FROM seg GROUP BY 1, 2),
+nd AS (SELECT seg_h FROM inst GROUP BY seg_h HAVING count(*) > 1),
+tot AS (SELECT doc_id, sum(n_inst) AS n_segments FROM inst GROUP BY 1),
+dup AS (
+    SELECT i.doc_id, sum(i.n_inst) AS n_dup
+    FROM inst i JOIN nd USING (seg_h) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(t.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_segments,
+       CASE WHEN coalesce(t.n_segments, 0) = 0 THEN 0.0
+            ELSE coalesce(p.n_dup, 0) * 1.0 / t.n_segments END AS dup_ratio,
+       (CASE WHEN coalesce(t.n_segments, 0) = 0 THEN 0.0
+             ELSE coalesce(p.n_dup, 0) * 1.0 / t.n_segments END) < {max_ratio} AS keep
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN dup p USING (doc_id)"""

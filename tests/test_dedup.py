@@ -410,3 +410,36 @@ def test_pair_edit_distance(sf_small, ray_session):
     # exact-duplicate prefixes score 1e6; others less
     assert (eng.sim_micro <= 1_000_000).all()
     assert (eng.lev_dist >= 0).all()
+
+
+def test_paragraph_dedup_crafted(tmp_path):
+    """Doc 2 = 2 segments copied from doc 0 + 2 unique segments ->
+    dup_ratio exactly 0.5 and keep=False at the 0.5 bar; fully-unique
+    docs score 0.0; an exact duplicate pair scores 1.0 both sides."""
+    segA = [f"alpha{i} " * dedup.SEG_WORDS for i in range(4)]  # 4 x 10 words
+    seg0 = " ".join(f"w{i}x{j}" for i in range(4) for j in range(dedup.SEG_WORDS))
+    shared = " ".join(f"s{j}" for j in range(2 * dedup.SEG_WORDS))
+    uniq2 = " ".join(f"u{j}" for j in range(2 * dedup.SEG_WORDS))
+    doc0 = shared + " " + " ".join(f"z{j}" for j in range(2 * dedup.SEG_WORDS))
+    doc2 = shared + " " + uniq2
+    texts = [doc0, seg0, doc2, "twin doc " * 7, "twin doc " * 7]
+    sf = _docs_ds(tmp_path, texts)
+    rows = {r["doc_id"]: r for r in dedup.paragraph_dedup(sf).take_all()}
+    assert len(rows) == 5
+    assert rows[0]["n_segments"] == 4 and rows[0]["n_dup_segments"] == 2
+    assert rows[0]["dup_ratio"] == pytest.approx(0.5) and not rows[0]["keep"]
+    assert rows[2]["dup_ratio"] == pytest.approx(0.5) and not rows[2]["keep"]
+    assert rows[1]["n_dup_segments"] == 0 and rows[1]["keep"]
+    # exact twins: every segment (incl. ragged tail) duplicated
+    assert rows[3]["dup_ratio"] == 1.0 and rows[4]["dup_ratio"] == 1.0
+
+
+def test_paragraph_dedup_driver_scale_partitions(tmp_path):
+    """Regression shape from round 2's verified_near_dups crash: the
+    chained joins must survive partition counts far above the candidate
+    block count (empty-schema partitions)."""
+    texts = [f"solo doc {i} " * 12 for i in range(6)]
+    sf = _docs_ds(tmp_path, texts)
+    rows = dedup.paragraph_dedup(sf, num_partitions=16).take_all()
+    assert len(rows) == 6
+    assert all(r["n_dup_segments"] == 0 and r["keep"] for r in rows)

@@ -1,8 +1,8 @@
 """TPC-H Q7/Q8/Q9/Q15/Q19 analogs (pipelines/multijoin.py round-3
 additions) — cross-engine parity vs DuckDB plus shape invariants.  The
 input hint carries no partsupp table, so Q9 substitutes p_retailprice
-for ps_supplycost (same join/aggregate shape) and Q2/Q11/Q16/Q20 are out
-of scope."""
+for ps_supplycost (same join/aggregate shape); the Q2/Q11/Q20 analogs
+live in test_tpch_q2_q11_q20.py and Q16 in part_supplier_counts."""
 
 import duckdb
 import pandas as pd
