@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_counts": _stage("terms", "bigram_counts"),
         "doc_pmi_collocations": _stage("terms", "pmi_collocations"),
         "kg_cooccurring_mentions": _stage("graphq", "cooccurring_mentions"),
+        "kg_mention_components": _stage("graphq", "mention_components"),
         "kg_mention_triangles": _stage("graphq", "mention_triangles"),
         "kg_mention_pagerank": _stage("graphq", "mention_pagerank_step"),
         "doc_weighted_sample": _stage("textstats", "weighted_sample"),
@@ -360,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_audio_spectral": _stage("multimodal", "audio_spectral"),
         "mm_image_histograms": _stage("multimodal", "image_histograms"),
         "mm_image_edges": _stage("multimodal", "image_edges"),
+        "mm_video_framesample": _stage("multimodal", "video_frame_sample"),
     }
 
 
@@ -478,6 +480,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bigram_counts": TERMS.bigram_counts_sql(),
         "doc_pmi_collocations": TERMS.pmi_collocations_sql(),
         "kg_cooccurring_mentions": GQ.cooccurring_mentions_sql(),
+        "kg_mention_components": GQ.mention_components_sql(),
         "kg_mention_triangles": GQ.mention_triangles_sql(),
         "kg_mention_pagerank": GQ.mention_pagerank_step_sql(),
         "doc_weighted_sample": T.weighted_sample_sql(),
@@ -569,4 +572,5 @@ def oracle_sql() -> dict[str, str]:
         "mm_audio_spectral": MM.audio_spectral_sql(),
         "mm_image_histograms": MM.image_histograms_sql(),
         "mm_image_edges": MM.image_edges_sql(),
+        "mm_video_framesample": MM.video_frame_sample_sql(),
     }

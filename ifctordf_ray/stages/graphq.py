@@ -14,6 +14,7 @@ bounded by mentions-per-turn (skew-capped upstream by the extractor).
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ifctordf_ray import schema as S
@@ -427,3 +428,151 @@ def top_hub_triples_sql(top_k: int = HUB_TOP_K) -> str:
     SELECT t.subj, t.pred, t.obj, t.obj_kind
     FROM t JOIN hubs USING (subj)
     """
+
+
+# ---------------------------------------------------------------------------
+# Connected components over the mention co-occurrence graph — entity-
+# community discovery on the KG side (which mention groups form one
+# topic/conversation cluster).  Reuses the generic distributed min-label
+# propagation kernel (stages/dedup.min_label_components); mention
+# strings ride as stable 62-bit hashes so the integer kernel applies,
+# and any hash collision hits the Ray side and the SQL oracle
+# identically (same md5-derived spec).
+# ---------------------------------------------------------------------------
+MENT_MOD = 1 << 62
+
+
+def mention_components(
+    sf_dir: str, max_iters: int = 25, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """(mention, cluster_h, component_size) for every mention that
+    co-occurs with at least one other mention; cluster_h = min mention-
+    hash in the component (an opaque but deterministic component id).
+
+    Physical shape: hashed edge list (edge-count-sized, materialized —
+    reused every propagation round) -> min-label CC -> two bounded hash
+    joins (labels x mention map, labels x size counts)."""
+    from ray.data.aggregate import Count as _Count
+
+    from ifctordf_ray.functions.kernels import safe_join, stable_hash64
+    from ifctordf_ray.stages.dedup import min_label_components
+
+    cooc = cooccurring_mentions(sf_dir)
+
+    def hash_edges(t: pa.Table) -> pa.Table:
+        h1 = pa.array(
+            [int(stable_hash64(m) % MENT_MOD) for m in t["m1"].to_pylist()],
+            pa.int64(),
+        )
+        h2 = pa.array(
+            [int(stable_hash64(m) % MENT_MOD) for m in t["m2"].to_pylist()],
+            pa.int64(),
+        )
+        return pa.table({"m1": t["m1"], "m2": t["m2"], "h1": h1, "h2": h2})
+
+    he = cooc.map_batches(hash_edges, batch_format="pyarrow").materialize()
+    # edge-count-sized; reused by the CC rounds and the node derivation
+
+    nodes = (
+        he.map_batches(
+            lambda t: pa.table(
+                {
+                    "mention": pa.concat_arrays(
+                        [t["m1"].combine_chunks(), t["m2"].combine_chunks()]
+                    ),
+                    "h": pa.concat_arrays(
+                        [t["h1"].combine_chunks(), t["h2"].combine_chunks()]
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["mention", "h"])
+        .aggregate(_Count(alias_name="_n"))
+        .map_batches(lambda t: t.select(["mention", "h"]), batch_format="pyarrow")
+        .materialize()  # distinct-mention-sized; consumed twice
+    )
+    ids = nodes.map_batches(lambda t: t.select(["h"]), batch_format="pyarrow")
+    comps = min_label_components(
+        he, "h1", "h2", ids, "h",
+        max_iters=max_iters, num_partitions=num_partitions,
+    ).materialize()  # node-count-sized; consumed twice + splits join plan
+
+    sizes = (
+        comps.groupby("cluster_id")
+        .aggregate(_Count(alias_name="component_size"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "s_cluster": t["cluster_id"],
+                    "component_size": pc.cast(t["component_size"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    comp_schema = pa.schema([("h", pa.int64()), ("cluster_id", pa.int64())])
+    node_schema = pa.schema([("mention", pa.string()), ("h", pa.int64())])
+    labeled = safe_join(
+        comps,
+        comp_schema,
+        nodes,
+        node_schema,
+        join_type="inner",
+        on=("h",),
+        right_on=("h",),
+        num_partitions=num_partitions,
+    ).materialize()  # node-count-sized; splits the chained-join plan
+    lab_schema = pa.schema(
+        [("h", pa.int64()), ("cluster_id", pa.int64()), ("mention", pa.string())]
+    )
+    size_schema = pa.schema([("s_cluster", pa.int64()), ("component_size", pa.int64())])
+    out = safe_join(
+        labeled,
+        lab_schema,
+        sizes,
+        size_schema,
+        join_type="inner",
+        on=("cluster_id",),
+        right_on=("s_cluster",),
+        num_partitions=num_partitions,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "mention": t["mention"],
+                "cluster_h": t["cluster_id"],
+                "component_size": t["component_size"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def mention_components_sql(cap: int = COOC_CAP) -> str:
+    return f"""WITH RECURSIVE cooc AS ({cooccurring_mentions_sql(cap)}),
+hm AS (
+    SELECT DISTINCT m FROM (
+        SELECT m1 AS m FROM cooc UNION ALL SELECT m2 FROM cooc
+    )
+),
+hh AS (
+    SELECT m, CAST(md5_number_upper(m) % {MENT_MOD} AS BIGINT) AS h FROM hm
+),
+e AS (
+    SELECT a.h AS ha, b.h AS hb
+    FROM cooc JOIN hh a ON a.m = cooc.m1 JOIN hh b ON b.m = cooc.m2
+),
+esym AS (SELECT ha AS a, hb AS b FROM e UNION ALL SELECT hb, ha FROM e),
+reach(n, lbl) AS (
+    SELECT a, a FROM esym
+    UNION
+    SELECT esym.b, r.lbl FROM reach r JOIN esym ON esym.a = r.n
+),
+comp AS (SELECT n, min(lbl) AS cluster_h FROM reach GROUP BY n),
+sizes AS (SELECT cluster_h, count(*) AS component_size FROM comp GROUP BY 1)
+SELECT hh.m AS mention, c.cluster_h,
+       CAST(s.component_size AS BIGINT) AS component_size
+FROM hh
+JOIN comp c ON c.n = hh.h
+JOIN sizes s ON s.cluster_h = c.cluster_h"""

@@ -961,3 +961,167 @@ SELECT doc_id AS item_id,
        CAST(count(*) AS BIGINT) AS n_interior
 FROM g GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Video: multi-frame container + frame sampling.  The "video" is a REAL
+# (if minimal) container — back-to-back binary PPM (P6) frames, the
+# moral equivalent of MJPEG's concatenated-JPEG stream — so the decode
+# is a genuine repeated container parse (header regex per frame, frame
+# count discovered from the payload, trailing-garbage detection), not a
+# fixed-offset slice.  Frame-sample = keep every FRAME_STEP-th frame,
+# per-frame integer luminance (BT.709 integer weights, exact in SQL).
+# ---------------------------------------------------------------------------
+FRAME_STEP = 2
+VID_MAX_FRAMES = 4                     # n_frames(doc) = 1 + doc_id % 4
+_LUMA_W = (2126, 7152, 722)            # BT.709 x 10000, integer-exact
+# _PPM_HEAD_RE is ^-anchored ('^' never matches at pos>0 under
+# Pattern.match(s, pos)); mid-stream frame headers need the unanchored
+# form (match() itself pins the match to pos).
+_PPM_FRAME_RE = re.compile(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+
+
+def video_n_frames(doc_id: int) -> int:
+    return 1 + doc_id % VID_MAX_FRAMES
+
+
+def text_to_video(text: str | None, n_frames: int) -> bytes:
+    """Deterministic multi-frame PPM stream: frame f's 192 pixel bytes
+    are the document's printable-ASCII bytes [f*192, (f+1)*192), space-
+    padded — same canonicalization as every other media oracle here."""
+    b = _canon_bytes(text)
+    frames = []
+    for f in range(n_frames):
+        chunk = b[f * N_PIX_BYTES : (f + 1) * N_PIX_BYTES]
+        buf = (chunk + bytes([PAD_BYTE]) * N_PIX_BYTES)[:N_PIX_BYTES]
+        frames.append(
+            encode_ppm(np.frombuffer(buf, np.uint8).reshape(PPM_H, PPM_W, 3))
+        )
+    return b"".join(frames)
+
+
+def decode_video_ppm(payload: bytes) -> list[np.ndarray]:
+    """REAL multi-frame parse: at each offset, parse a P6 header (regex,
+    whitespace-tolerant), compute that frame's byte length from its OWN
+    header fields, slice + decode, advance.  Raises on truncation or
+    trailing garbage — the frame count is a property of the bytes."""
+    frames: list[np.ndarray] = []
+    off = 0
+    n = len(payload)
+    while off < n:
+        m = _PPM_FRAME_RE.match(payload, off)
+        if not m:
+            raise ValueError(f"not a P6 frame header at offset {off}")
+        w, h, maxval = (int(m.group(i)) for i in (1, 2, 3))
+        if maxval != 255:
+            raise ValueError(f"unsupported PPM maxval {maxval}")
+        end = m.end() + w * h * 3
+        if end > n:
+            raise ValueError("truncated video frame")
+        frames.append(decode_ppm(payload[off:end]))
+        off = end
+    return frames
+
+
+def video_from_documents(sf_dir: str) -> ray.data.Dataset:
+    """Derived video table: EVERY document becomes a 1-4 frame PPM
+    stream (frame count varies by doc_id so the sampler's ragged-output
+    path is exercised); payloads are real decodable containers."""
+    ds = _clean_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def to_video(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        payloads = [text_to_video(s, video_n_frames(i)) for i, s in zip(ids, texts)]
+        return pa.table(
+            {
+                "item_id": t["doc_id"],
+                "media_type": pa.array(["video"] * len(ids), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "meta": pa.array(
+                    ['{"codec": "ppm-stream", "w": %d, "h": %d}' % (PPM_W, PPM_H)]
+                    * len(ids),
+                    pa.string(),
+                ),
+            }
+        )
+
+    return ds.map_batches(to_video, batch_format="pyarrow")
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: repeated-container decode -> keep every
+    FRAME_STEP-th frame -> integer BT.709 luminance sum per kept frame.
+    flat_map-shaped (one input row -> ceil(n_frames/step) output rows)."""
+
+    def __init__(self, step: int = FRAME_STEP):
+        self.step = step
+        self.w = np.array(_LUMA_W, np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        items, fidx, nfr, luma = [], [], [], []
+        for item, payload in zip(
+            batch["item_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            frames = decode_video_ppm(payload)
+            for f in range(0, len(frames), self.step):
+                rgb = frames[f].astype(np.int64)
+                items.append(item)
+                fidx.append(f)
+                nfr.append(len(frames))
+                luma.append(int((rgb * self.w).sum()))
+        return pa.table(
+            {
+                "item_id": pa.array(items, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "n_frames": pa.array(nfr, pa.int64()),
+                "luma_sum": pa.array(luma, pa.int64()),
+            }
+        )
+
+
+def video_frame_sample(sf_dir: str, batch_size: int = 64) -> ray.data.Dataset:
+    """queries() entry: video decode + frame-sample + per-frame integer
+    luminance over the derived video table — exact DuckDB oracle
+    (video_frame_sample_sql).  Small batches: payload rows are large."""
+    return video_from_documents(sf_dir).map_batches(
+        VideoFrameSampler, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, 4),
+        max_restarts=0,  # silence ray#53727 actor-restart warning
+    )
+
+
+def video_frame_sample_sql() -> str:
+    """Exact replica: frame f's pixel byte i (1-based within the frame)
+    is text byte f*{N_PIX}+i (space-padded past the end); channel weight
+    from (i-1)%3 (R,G,B row-major)."""
+    wr, wg, wb = _LUMA_W
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           regexp_replace(coalesce(text, ''), '[^ -~]', ' ', 'g') AS txt,
+           1 + doc_id % {VID_MAX_FRAMES} AS n_frames
+    FROM documents
+),
+fr AS (
+    SELECT doc_id, n_frames, unnest(range(0, n_frames, {FRAME_STEP})) AS frame_idx
+    FROM t
+),
+px AS (
+    SELECT fr.doc_id, fr.n_frames, fr.frame_idx, i,
+           CASE WHEN fr.frame_idx * {N_PIX_BYTES} + i <= length(t.txt)
+                THEN unicode(substr(t.txt,
+                         CAST(fr.frame_idx * {N_PIX_BYTES} + i AS INTEGER), 1))
+                ELSE {PAD_BYTE} END AS b
+    FROM fr JOIN t USING (doc_id)
+    CROSS JOIN (SELECT unnest(range(1, {N_PIX_BYTES + 1})) AS i)
+)
+SELECT doc_id AS item_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(sum(b * (CASE (i - 1) % 3 WHEN 0 THEN {wr} WHEN 1 THEN {wg}
+                     ELSE {wb} END)) AS BIGINT) AS luma_sum
+FROM px GROUP BY doc_id, frame_idx, n_frames
+"""

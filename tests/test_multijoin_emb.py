@@ -106,6 +106,19 @@ def test_cooccurring_mentions_parity(sf_small):
     assert (a["m1"] < a["m2"]).all()
 
 
+def test_mention_components_parity(sf_small):
+    con = _duck(sf_small, ["events"])
+    a = _compare(
+        graphq.mention_components(sf_small), graphq.mention_components_sql(), con
+    )
+    assert len(a) > 0
+    # every component has >= 2 members (nodes come from the edge list)
+    assert (a["component_size"] >= 2).all()
+    # cluster label is the min mention-hash of the component
+    g = a.groupby("cluster_h")["mention"].nunique()
+    assert (g >= 1).all()
+
+
 def test_dim_covariance_matches_numpy(sf_small):
     embs = np.asarray(
         pq.read_table(f"{sf_small}/embeddings.parquet", columns=["embedding"])[

@@ -295,3 +295,51 @@ def test_image_edges(sf_small, ray_session):
     )
     assert out["edge_energy"][0].as_py() == 0
     assert out["edge_energy"][1].as_py() > 0
+
+
+def test_video_frame_sample_parity(sf_small):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from ifctordf_ray.stages.multimodal import (
+        FRAME_STEP,
+        VID_MAX_FRAMES,
+        _LUMA_W,
+        decode_video_ppm,
+        text_to_video,
+        video_frame_sample,
+        video_frame_sample_sql,
+    )
+
+    # real multi-frame container: roundtrip + truncation/garbage rejection
+    payload = text_to_video("frame bytes " * 80, 3)
+    frames = decode_video_ppm(payload)
+    assert len(frames) == 3 and frames[0].shape == (8, 8, 3)
+    for bad in (payload[:-1], payload + b"X"):
+        try:
+            decode_video_ppm(bad)
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_small}/documents.parquet')"
+    )
+    a = video_frame_sample(sf_small).to_pandas()
+    b = con.execute(video_frame_sample_sql()).df()
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True).astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b)
+    # sampling contract: frame_idx hits 0, step, ... below n_frames
+    assert ((a.frame_idx % FRAME_STEP) == 0).all()
+    assert (a.frame_idx < a.n_frames).all()
+    assert a.n_frames.between(1, VID_MAX_FRAMES).all()
+    # per-doc output row count == ceil(n_frames / step)
+    g = a.groupby("item_id").agg(n=("frame_idx", "count"), nf=("n_frames", "max"))
+    assert (g.n == -(-g.nf // FRAME_STEP)).all()
+    # luminance bounded by all-255 pixels
+    assert (a.luma_sum <= 255 * 64 * sum(_LUMA_W)).all() and (a.luma_sum >= 0).all()
