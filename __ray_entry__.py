@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pmi_collocations": _stage("terms", "pmi_collocations"),
         "kg_cooccurring_mentions": _stage("graphq", "cooccurring_mentions"),
         "kg_mention_components": _stage("graphq", "mention_components"),
+        "kg_mention_neighbor_jaccard": _stage("graphq", "mention_neighbor_jaccard"),
         "kg_mention_triangles": _stage("graphq", "mention_triangles"),
         "kg_mention_pagerank": _stage("graphq", "mention_pagerank_step"),
         "doc_weighted_sample": _stage("textstats", "weighted_sample"),
@@ -481,6 +482,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pmi_collocations": TERMS.pmi_collocations_sql(),
         "kg_cooccurring_mentions": GQ.cooccurring_mentions_sql(),
         "kg_mention_components": GQ.mention_components_sql(),
+        "kg_mention_neighbor_jaccard": GQ.mention_neighbor_jaccard_sql(),
         "kg_mention_triangles": GQ.mention_triangles_sql(),
         "kg_mention_pagerank": GQ.mention_pagerank_step_sql(),
         "doc_weighted_sample": T.weighted_sample_sql(),

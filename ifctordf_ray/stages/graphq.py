@@ -576,3 +576,158 @@ SELECT hh.m AS mention, c.cluster_h,
 FROM hh
 JOIN comp c ON c.n = hh.h
 JOIN sizes s ON s.cluster_h = c.cluster_h"""
+
+
+# ---------------------------------------------------------------------------
+# Structural node similarity over the mention co-occurrence graph:
+# neighborhood Jaccard of every mention pair that shares at least one
+# neighbor (the classic "similar entities link to the same things"
+# signal; the wedge-enumeration shape is the same one SimRank/LSH
+# link-prediction pipelines use).  Physical shape: symmetric adjacency
+# -> groupby(center).map_groups pair emission (one task per center, work
+# bounded by C(degree,2) — degree is tamed upstream by the per-turn
+# mention cap, same skew argument as mention_triangles) -> one pair
+# groupby -> two bounded joins against the mention-vocab-sized degree
+# table.  True (uncapped) Jaccard, so common <= min(deg) and the
+# denominator |N(a) u N(b)| is always >= 1.
+# ---------------------------------------------------------------------------
+def mention_neighbor_jaccard(
+    sf_dir: str, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """(m1, m2, common_neighbors, deg_m1, deg_m2, jaccard) for mention
+    pairs with >= 1 shared co-occurrence neighbor (m1 < m2 lexically)."""
+    from ray.data.aggregate import Count as _Count
+
+    from ifctordf_ray.functions.kernels import safe_join
+
+    edges = cooccurring_mentions(sf_dir)
+
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n": pa.concat_arrays(
+                    [t["m1"].combine_chunks(), t["m2"].combine_chunks()]
+                ),
+                "nb": pa.concat_arrays(
+                    [t["m2"].combine_chunks(), t["m1"].combine_chunks()]
+                ),
+            }
+        )
+
+    adj = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    # adjacency-sized (2x edge count); consumed by wedges AND degrees
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        from itertools import combinations
+
+        nbs = sorted(g["nb"].to_pylist())
+        a, b = [], []
+        for x, y in combinations(nbs, 2):
+            a.append(x)
+            b.append(y)
+        return pa.table(
+            {"m1": pa.array(a, pa.string()), "m2": pa.array(b, pa.string())}
+        )
+
+    common = (
+        adj.groupby("n")
+        .map_groups(emit_pairs, batch_format="pyarrow")
+        .groupby(["m1", "m2"])
+        .aggregate(_Count(alias_name="common_neighbors"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "m1": t["m1"],
+                    "m2": t["m2"],
+                    "common_neighbors": pc.cast(t["common_neighbors"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    deg = (
+        adj.groupby("n")
+        .aggregate(_Count(alias_name="d"))
+        .map_batches(
+            lambda t: pa.table({"n": t["n"], "d": pc.cast(t["d"], pa.int64())}),
+            batch_format="pyarrow",
+        )
+    )
+
+    pair_schema = pa.schema(
+        [("m1", pa.string()), ("m2", pa.string()), ("common_neighbors", pa.int64())]
+    )
+    deg_schema = pa.schema([("n", pa.string()), ("d", pa.int64())])
+    with_da = safe_join(
+        common,
+        pair_schema,
+        deg,
+        deg_schema,
+        join_type="inner",
+        on=("m1",),
+        right_on=("n",),
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "m1": t["m1"],
+                "m2": t["m2"],
+                "common_neighbors": t["common_neighbors"],
+                "deg_m1": t["d"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # pair-count-sized; splits the chained-join plan
+    wa_schema = pa.schema(
+        [
+            ("m1", pa.string()),
+            ("m2", pa.string()),
+            ("common_neighbors", pa.int64()),
+            ("deg_m1", pa.int64()),
+        ]
+    )
+    out = safe_join(
+        with_da,
+        wa_schema,
+        deg,
+        deg_schema,
+        join_type="inner",
+        on=("m2",),
+        right_on=("n",),
+        num_partitions=num_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = pc.cast(t["common_neighbors"], pa.float64())
+        union = pc.subtract(
+            pc.add(t["deg_m1"], t["d"]), t["common_neighbors"]
+        )
+        return pa.table(
+            {
+                "m1": t["m1"],
+                "m2": t["m2"],
+                "common_neighbors": t["common_neighbors"],
+                "deg_m1": t["deg_m1"],
+                "deg_m2": t["d"],
+                "jaccard": pc.divide(c, pc.cast(union, pa.float64())),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def mention_neighbor_jaccard_sql(cap: int = COOC_CAP) -> str:
+    return f"""WITH e AS ({cooccurring_mentions_sql(cap)}),
+sym AS (SELECT m1 AS n, m2 AS nb FROM e UNION ALL SELECT m2, m1 FROM e),
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY n),
+p AS (
+    SELECT a.nb AS m1, b.nb AS m2, CAST(count(*) AS BIGINT) AS common_neighbors
+    FROM sym a JOIN sym b ON a.n = b.n AND a.nb < b.nb
+    GROUP BY 1, 2
+)
+SELECT p.m1, p.m2, p.common_neighbors,
+       da.d AS deg_m1, db.d AS deg_m2,
+       CAST(p.common_neighbors AS DOUBLE)
+           / (da.d + db.d - p.common_neighbors) AS jaccard
+FROM p JOIN deg da ON da.n = p.m1 JOIN deg db ON db.n = p.m2"""

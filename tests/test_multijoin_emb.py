@@ -119,6 +119,20 @@ def test_mention_components_parity(sf_small):
     assert (g >= 1).all()
 
 
+def test_mention_neighbor_jaccard_parity(sf_small):
+    con = _duck(sf_small, ["events"])
+    a = _compare(
+        graphq.mention_neighbor_jaccard(sf_small),
+        graphq.mention_neighbor_jaccard_sql(),
+        con,
+    )
+    assert len(a) > 0
+    assert (a["m1"] < a["m2"]).all()
+    # true Jaccard bounds: common <= min(deg), 0 < jaccard <= 1
+    assert (a["common_neighbors"] <= a[["deg_m1", "deg_m2"]].min(axis=1)).all()
+    assert ((a["jaccard"] > 0) & (a["jaccard"] <= 1)).all()
+
+
 def test_dim_covariance_matches_numpy(sf_small):
     embs = np.asarray(
         pq.read_table(f"{sf_small}/embeddings.parquet", columns=["embedding"])[
