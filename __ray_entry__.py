@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_custdist": _rel("custdist"),
         "rel_weekend_cohorts": _rel("weekend_weekday_cohorts"),
         "rel_user_interarrival": _rel("user_interarrival"),
+        "rel_late_events": _rel("late_events"),
         "rel_hopping_active_users": _rel("hopping_active_users"),
         "rel_nation_revenue_share": _rel("nation_revenue_share"),
         "emb_power_iteration": _stage("similarity", "power_iteration_step"),
@@ -496,6 +497,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_custdist": R.custdist_sql(),
         "rel_weekend_cohorts": R.weekend_weekday_cohorts_sql(),
         "rel_user_interarrival": R.user_interarrival_sql(),
+        "rel_late_events": R.late_events_sql(),
         "rel_hopping_active_users": R.hopping_active_users_sql(),
         "rel_nation_revenue_share": R.nation_revenue_share_sql(),
         "emb_power_iteration": SIM.power_iteration_step_sql(),

@@ -3107,3 +3107,69 @@ def winsorized_values_sql() -> str:
                 AS BIGINT) AS was_clipped
     FROM v JOIN b USING (event_type)
     """
+
+
+# ---------------------------------------------------------------------------
+# Event-time watermark / late-arrival accounting — the streaming-engine
+# out-of-orderness primitive (Flink/Beam watermark semantics): arrival
+# order is the ingest sequence (event_id), the per-key watermark is the
+# running max EVENT time seen so far, and an event is late iff its event
+# time is behind the watermark its key had already advanced to.  Batch
+# shape: groupby(key).map_groups with an in-group arrival sort + one
+# vectorized running max — the same bounded-group contract as
+# user_running_totals (salted pre-split applies for power-user skew).
+# ---------------------------------------------------------------------------
+def _late_events_group(g: pa.Table) -> pa.Table:
+    import numpy as np
+
+    g = g.sort_by([("event_id", "ascending")])
+    tu = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    # watermark BEFORE each event: running max shifted by one arrival
+    wm = np.maximum.accumulate(tu)
+    late = np.zeros(len(tu), dtype=bool)
+    lateness = np.zeros(len(tu), dtype=np.int64)
+    if len(tu) > 1:
+        prev_wm = wm[:-1]
+        late[1:] = tu[1:] < prev_wm
+        lateness[1:] = np.where(late[1:], prev_wm - tu[1:], 0)
+    return pa.table(
+        {
+            "user_id": g["user_id"][:1],
+            "n_events": pa.array([len(tu)], pa.int64()),
+            "n_late": pa.array([int(late.sum())], pa.int64()),
+            "max_late_us": pa.array([int(lateness.max(initial=0))], pa.int64()),
+            "sum_late_us": pa.array([int(lateness.sum())], pa.int64()),
+        }
+    )
+
+
+def late_events(sf_dir: str) -> ray.data.Dataset:
+    """(user_id, n_events, n_late, max_late_us, sum_late_us): per-user
+    out-of-order arrival statistics under per-key watermark semantics."""
+    ds = _clean_read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return ds.groupby("user_id").map_groups(
+        _late_events_group, batch_format="pyarrow"
+    )
+
+
+def late_events_sql() -> str:
+    return """
+    WITH w AS (
+        SELECT user_id, epoch_us(ts) AS tu,
+               max(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN wm IS NOT NULL AND tu < wm
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(coalesce(max(CASE WHEN wm IS NOT NULL AND tu < wm
+                                  THEN wm - tu END), 0) AS BIGINT) AS max_late_us,
+           CAST(coalesce(sum(CASE WHEN wm IS NOT NULL AND tu < wm
+                                  THEN wm - tu ELSE 0 END), 0) AS BIGINT) AS sum_late_us
+    FROM w GROUP BY user_id
+    """

@@ -65,3 +65,17 @@ def test_user_interarrival_parity(sf_small):
     ).df()
     merged = a.merge(per_user, on="user_id")
     assert (merged["n_gaps"] == merged["g"]).all()
+
+
+def test_late_events_parity(sf_small):
+    from ifctordf_ray.pipelines.relational import late_events, late_events_sql
+
+    con = _duck(sf_small, ["events"])
+    a = _compare(late_events(sf_small), late_events_sql(), con)
+    n_users = con.execute("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert len(a) == n_users
+    assert (a["n_late"] <= a["n_events"] - 1).all()  # the first arrival is never late
+    z = a["n_late"] == 0
+    assert (a.loc[z, "max_late_us"] == 0).all() and (a.loc[z, "sum_late_us"] == 0).all()
+    nz = ~z
+    assert (a.loc[nz, "sum_late_us"] >= a.loc[nz, "max_late_us"]).all()
