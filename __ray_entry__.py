@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_verified_near_dups": _stage("dedup", "verified_near_dups"),
         "doc_containment_scores": _stage("dedup", "containment_scores"),
         "doc_paragraph_dedup": _stage("dedup", "paragraph_dedup"),
+        "doc_ngram_novelty": _stage("dedup", "ngram_novelty"),
         "doc_near_dup_clusters": _stage("dedup", "near_dup_clusters"),
         "doc_cluster_keepers": _stage("dedup", "cluster_keepers"),
         "doc_pair_edit_distance": _stage("dedup", "pair_edit_distance"),
@@ -526,6 +527,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_verified_near_dups": D.verified_near_dups_sql(),
         "doc_containment_scores": D.containment_scores_sql(),
         "doc_paragraph_dedup": D.paragraph_dedup_sql(),
+        "doc_ngram_novelty": D.ngram_novelty_sql(),
         "doc_near_dup_clusters": D.near_dup_clusters_sql(),
         "doc_cluster_keepers": D.cluster_keepers_sql(),
         "doc_pair_edit_distance": D.pair_edit_distance_sql(),

@@ -1719,3 +1719,135 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN tot t USING (doc_id)
 LEFT JOIN dup p USING (doc_id)"""
+
+
+# ---------------------------------------------------------------------------
+# First-occurrence n-gram novelty — the curation signal "how much of
+# this document's content has never been seen in any EARLIER document"
+# (doc_id order = ingest order; Gopher/RefinedWeb-style freshness
+# weighting uses exactly this shape).  A shingle instance is novel in
+# the doc that owns its corpus-wide MIN doc_id.  Distributed plan: per-
+# doc shingle-hash sets (map) -> one corpus-sized groupby(min) for the
+# first-owner table -> one hash join back -> doc-sized rollup + a
+# doc-count-sized left join onto documents.
+# ---------------------------------------------------------------------------
+class _DocShingleHashes:
+    """Per-doc DISTINCT shingle hashes (mod-p, same spec as minhash —
+    collisions hit the Ray side and the SQL oracle identically)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for h in {_stable_hash64(s) % _P31 for s in shingles(t)}:
+                ids.append(i)
+                hs.append(h)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "sh_h": pa.array(hs, pa.int64())}
+        )
+
+
+def ngram_novelty(sf_dir: str, num_partitions: int | None = None) -> ray.data.Dataset:
+    """(doc_id, n_shingles, n_novel, novelty) for EVERY document;
+    novelty = share of the doc's distinct shingles whose corpus-wide
+    first owner (min doc_id) is this doc; shingle-free docs are
+    vacuously novel (1.0)."""
+    from ray.data.aggregate import Sum
+
+    from ifctordf_ray.functions.kernels import safe_join
+
+    inst = (
+        _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(
+            _DocShingleHashes, batch_format="pyarrow", concurrency=(1, 4),
+            max_restarts=0,
+        )
+        .materialize()  # distinct-(doc,shingle)-sized; consumed twice
+    )
+    first = inst.groupby("sh_h").aggregate(Min("doc_id", alias_name="first_doc"))
+
+    inst_schema = pa.schema([("doc_id", pa.int64()), ("sh_h", pa.int64())])
+    first_schema = pa.schema([("sh_h", pa.int64()), ("first_doc", pa.int64())])
+    per_doc = (
+        safe_join(
+            inst,
+            inst_schema,
+            first,
+            first_schema,
+            join_type="inner",
+            on=("sh_h",),
+            right_on=("sh_h",),
+            num_partitions=num_partitions,
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "one": pa.array(np.ones(len(t), np.int64)),
+                    "novel": pc.cast(
+                        pc.equal(t["doc_id"], t["first_doc"]), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("doc_id")
+        .aggregate(
+            Sum("one", alias_name="n_shingles"), Sum("novel", alias_name="n_novel")
+        )
+        .materialize()  # doc-count-sized; splits the chained-join plan
+    )
+
+    docs = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    docs_schema = pa.schema([("doc_id", pa.int64())])
+    per_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_shingles", pa.int64()), ("n_novel", pa.int64())]
+    )
+    out = safe_join(
+        docs,
+        docs_schema,
+        per_doc,
+        per_schema,
+        join_type="left_outer",
+        on=("doc_id",),
+        right_on=("doc_id",),
+        num_partitions=num_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ns = pc.coalesce(t["n_shingles"], pa.scalar(0, pa.int64()))
+        nv = pc.coalesce(t["n_novel"], pa.scalar(0, pa.int64()))
+        novelty = pc.if_else(
+            pc.greater(ns, 0),
+            pc.divide(pc.cast(nv, pa.float64()), pc.cast(ns, pa.float64())),
+            pa.scalar(1.0, pa.float64()),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_shingles": pc.cast(ns, pa.int64()),
+                "n_novel": pc.cast(nv, pa.int64()),
+                "novelty": novelty,
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def ngram_novelty_sql() -> str:
+    return f"""WITH {_shingle_cte()},
+d AS (SELECT DISTINCT doc_id, h FROM hv),
+f AS (SELECT h, min(doc_id) AS first_doc FROM d GROUP BY h),
+per AS (
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN d.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel
+    FROM d JOIN f ON d.h = f.h GROUP BY d.doc_id
+)
+SELECT doc.doc_id,
+       coalesce(per.n_shingles, 0) AS n_shingles,
+       coalesce(per.n_novel, 0) AS n_novel,
+       CASE WHEN coalesce(per.n_shingles, 0) > 0
+            THEN CAST(per.n_novel AS DOUBLE) / per.n_shingles
+            ELSE 1.0 END AS novelty
+FROM documents doc LEFT JOIN per ON per.doc_id = doc.doc_id"""

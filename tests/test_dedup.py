@@ -443,3 +443,31 @@ def test_paragraph_dedup_driver_scale_partitions(tmp_path):
     rows = dedup.paragraph_dedup(sf, num_partitions=16).take_all()
     assert len(rows) == 6
     assert all(r["n_dup_segments"] == 0 and r["keep"] for r in rows)
+
+
+def test_ngram_novelty_parity_and_invariants(sf_small, tmp_path):
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_small}/documents.parquet')"
+    )
+    a = dedup.ngram_novelty(sf_small).to_pandas()
+    b = con.execute(dedup.ngram_novelty_sql()).df()
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True).astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_novel"] <= a["n_shingles"]).all()
+    assert ((a["novelty"] >= 0) & (a["novelty"] <= 1)).all()
+
+    # crafted: doc 1 copies doc 0 verbatim -> 0 novel; doc 2 is fresh -> 1.0
+    texts = ["one two three four five six", "one two three four five six",
+             "seven eight nine ten eleven twelve"]
+    sf = _docs_ds(tmp_path, texts)
+    rows = {r["doc_id"]: r for r in dedup.ngram_novelty(sf).take_all()}
+    assert rows[0]["novelty"] == 1.0 and rows[0]["n_shingles"] == 4
+    assert rows[1]["novelty"] == 0.0 and rows[1]["n_novel"] == 0
+    assert rows[2]["novelty"] == 1.0
