@@ -304,6 +304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_region_nation_cross": _rel("region_nation_cross"),
         "rel_user_first_last": _rel("user_first_last_event"),
         "rel_user_rolling_median": _rel("user_rolling_median"),
+        "rel_value_trend": _rel("value_trend"),
+        "rel_order_skyline": _rel("order_skyline"),
         # --- dedup ---
         "doc_exact_duplicates": _stage("dedup", "exact_duplicates"),
         "doc_deduped_ids": _stage("dedup", "deduped_doc_ids"),
@@ -321,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_near_dedup_ids": _stage("dedup", "near_dedup_doc_ids"),
         "doc_dup_rate_by_lang": _stage("dedup", "dup_rate_by_lang"),
         "doc_dup_span_stats": _stage("dedup", "dup_span_stats"),
+        "doc_blocking_pairs": _stage("dedup", "blocking_pairs"),
         "doc_keyword_search": _stage("terms", "keyword_search"),
         "doc_bm25_search": _stage("terms", "bm25_search"),
         "doc_lm_bigram_scores": _stage("terms", "lm_bigram_scores"),
@@ -516,6 +519,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_region_nation_cross": R.region_nation_cross_sql(),
         "rel_user_first_last": R.user_first_last_event_sql(),
         "rel_user_rolling_median": R.user_rolling_median_sql(),
+        "rel_value_trend": R.value_trend_sql(),
+        "rel_order_skyline": R.order_skyline_sql(),
         "doc_exact_duplicates": D.exact_duplicates_sql(),
         "doc_deduped_ids": D.deduped_doc_ids_sql(),
         "doc_decontaminated": D.decontaminate_sql(),
@@ -534,6 +539,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_near_dedup_ids": D.near_dedup_doc_ids_sql(),
         "doc_dup_rate_by_lang": D.dup_rate_by_lang_sql(),
         "doc_dup_span_stats": D.dup_span_stats_sql(),
+        "doc_blocking_pairs": D.blocking_pairs_sql(),
         "doc_keyword_search": TERMS.keyword_search_sql(),
         "doc_bm25_search": TERMS.bm25_search_sql(),
         "doc_lm_bigram_scores": TERMS.lm_bigram_scores_sql(),

@@ -3173,3 +3173,189 @@ def late_events_sql() -> str:
                                   THEN wm - tu ELSE 0 END), 0) AS BIGINT) AS sum_late_us
     FROM w GROUP BY user_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group OLS trend (regression aggregate as integer rationals)
+# ---------------------------------------------------------------------------
+_TREND_EPOCH = "2024-01-01"  # x origin: keeps x small so n*Sxy stays in int64
+
+
+def _trend_epoch_day() -> int:
+    import datetime
+
+    d = datetime.date.fromisoformat(_TREND_EPOCH)
+    return (d - datetime.date(1970, 1, 1)).days
+
+
+def value_trend(sf_dir: str) -> ray.data.Dataset:
+    """(event_type, n, slope_num, slope_den): least-squares slope of
+    value (cents) over time (days since 2024-01-01) per event type,
+    returned as the EXACT integer rational slope_num/slope_den with
+    slope_num = n*Sxy - Sx*Sy and slope_den = n*Sxx - Sx^2 — the
+    regression-aggregate operator family (regr_slope), done bit-exact
+    so the DuckDB oracle hash-matches (no float summation order issues).
+
+    Shape: one narrow map emits (x, y, xy, xx); ONE groupby computes the
+    five algebraic sums (pre-combined per block by Ray's aggregate
+    pushdown); a final #groups-row map derives the rational.  Nothing
+    driver-side; the only exchange carries one row per (block, type).
+    Overflow bound: |n*Sxy| < n^2 * max|x| * max|y| — int64-safe to
+    ~10^8 rows/group at this corpus's value range; beyond that, switch
+    x to a per-window origin or the sums to two-limb accumulators."""
+    ds = _clean_read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    epoch0 = _trend_epoch_day()
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.cast(pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.date32()), pa.int32()),
+            pa.int64(),
+        )
+        x = pc.subtract(day, pa.scalar(epoch0, pa.int64()))
+        y = _cents(t["value"])
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "x": x,
+                "y": y,
+                "xy": pc.multiply(x, y),
+                "xx": pc.multiply(x, x),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("x", alias_name="sx"),
+            Sum("y", alias_name="sy"),
+            Sum("xy", alias_name="sxy"),
+            Sum("xx", alias_name="sxx"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.int64())
+        num = pc.subtract(pc.multiply(n, t["sxy"]), pc.multiply(t["sx"], t["sy"]))
+        den = pc.subtract(pc.multiply(n, t["sxx"]), pc.multiply(t["sx"], t["sx"]))
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": n,
+                "slope_num": num,
+                "slope_den": den,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def value_trend_sql() -> str:
+    return f"""
+    WITH e AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '{_TREND_EPOCH}', CAST(ts AS DATE)) AS BIGINT) AS x,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y
+        FROM events
+    ), s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM e GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+    FROM s
+    """
+
+
+# ---------------------------------------------------------------------------
+# 2-D Pareto frontier (skyline) over orders
+# ---------------------------------------------------------------------------
+def order_skyline(sf_dir: str) -> ray.data.Dataset:
+    """(o_orderkey, o_orderdate, price_cents): the Pareto frontier of
+    orders under (earlier date, higher price) — an order is dominated
+    iff some STRICTLY earlier-dated order has a STRICTLY higher price.
+    The naive skyline is an O(n^2) NOT-EXISTS self-join; the distributed
+    shape exploits the 2-D structure: per-date max reduces the frontier
+    test to a strict-prefix running max over DATES, so the only global
+    state is one row per distinct date.
+
+    Shape: narrow map -> groupby(day).Max (the one exchange, carrying
+    per-block pre-combined day maxima) -> #dates-row table on the driver
+    (bounded by the date RANGE, not the row count) -> running strict-
+    prefix max -> broadcast (closure; `ray.put` once it outgrows a task
+    payload) -> vectorized searchsorted filter over the streamed rows."""
+    ds = _clean_read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        od = pc.cast(t["o_orderdate"], pa.timestamp("us"))
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderdate": od,
+                "day_us": pc.cast(od, pa.int64()),
+                "price_cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    narrow = ds.map_batches(prep, batch_format="pyarrow")
+
+    daymax = (
+        narrow.select_columns(["day_us", "price_cents"])
+        .groupby("day_us")
+        .aggregate(Max("price_cents", alias_name="m"))
+        .take_all()
+    )
+    daymax.sort(key=lambda r: r["day_us"])
+    days = np.array([r["day_us"] for r in daymax], dtype=np.int64)
+    prev = np.empty(len(daymax), dtype=np.int64)
+    run = -1  # prices are positive cents: -1 == "no earlier day"
+    for i, r in enumerate(daymax):
+        prev[i] = run
+        run = max(run, r["m"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = t["day_us"].to_numpy(zero_copy_only=False)
+        pm = prev[np.searchsorted(days, d)]
+        out = t.filter(pa.array(t["price_cents"].to_numpy(zero_copy_only=False) > pm))
+        return pa.table(
+            {
+                "o_orderkey": out["o_orderkey"],
+                "o_orderdate": out["o_orderdate"],
+                "price_cents": out["price_cents"],
+            }
+        )
+
+    return narrow.map_batches(keep, batch_format="pyarrow")
+
+
+def order_skyline_sql() -> str:
+    return """
+    WITH o AS (
+        SELECT o_orderkey, o_orderdate,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        FROM orders
+    ), d AS (
+        SELECT o_orderdate, max(price_cents) AS m FROM o GROUP BY o_orderdate
+    ), r AS (
+        SELECT o_orderdate,
+               max(m) OVER (ORDER BY o_orderdate
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prevmax
+        FROM d
+    )
+    SELECT o.o_orderkey, o.o_orderdate, o.price_cents
+    FROM o JOIN r USING (o_orderdate)
+    WHERE r.prevmax IS NULL OR o.price_cents > r.prevmax
+    """

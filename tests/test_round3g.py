@@ -1,0 +1,75 @@
+"""Round-3g operators: sorted-neighborhood blocking (ER candidate
+generation), exact rational OLS trend, 2-D Pareto skyline."""
+
+import duckdb
+import pandas as pd
+
+from ifctordf_ray.pipelines.relational import (
+    order_skyline,
+    order_skyline_sql,
+    value_trend,
+    value_trend_sql,
+)
+from ifctordf_ray.stages.dedup import BLOCK_WINDOW, blocking_pairs, blocking_pairs_sql
+
+
+def _duck(sf_dir, tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _compare(ds, sql, con):
+    a = ds.to_pandas()
+    b = con.execute(sql).df()
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True).astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b)
+    return a
+
+
+def test_value_trend_parity(sf_small):
+    con = _duck(sf_small, ["events"])
+    a = _compare(value_trend(sf_small), value_trend_sql(), con)
+    assert len(a) > 0
+    # den = n*Sxx - Sx^2 >= 0 (Cauchy-Schwarz), 0 only for single-x groups
+    assert (a["slope_den"] >= 0).all()
+    assert (a["n"] > 1).all()
+
+
+def test_order_skyline_parity(sf_small):
+    con = _duck(sf_small, ["orders"])
+    a = _compare(order_skyline(sf_small), order_skyline_sql(), con)
+    assert len(a) > 0
+    # frontier invariant: sorted by date, prices strictly exceed every
+    # strictly-earlier frontier price
+    a = a.sort_values(["o_orderdate", "price_cents"]).reset_index(drop=True)
+    best = -1
+    prev_date = None
+    for _, r in a.iterrows():
+        if prev_date is not None and r["o_orderdate"] > prev_date:
+            assert r["price_cents"] > best
+        best = max(best, r["price_cents"])
+        prev_date = r["o_orderdate"]
+
+
+def test_blocking_pairs_parity(sf_small):
+    con = _duck(sf_small, ["documents"])
+    a = _compare(blocking_pairs(sf_small), blocking_pairs_sql(), con)
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    # exact SNM pair count: every row pairs with its next W successors
+    w = BLOCK_WINDOW
+    assert len(a) == w * n_docs - w * (w + 1) // 2
+    assert not (a["doc_a"] == a["doc_b"]).any()
+
+
+def test_blocking_pairs_window_1(sf_small):
+    """window=1 == adjacent pairs only; exercises the cross-bucket border
+    reconstruction with the tightest window."""
+    con = _duck(sf_small, ["documents"])
+    _compare(blocking_pairs(sf_small, window=1), blocking_pairs_sql(window=1), con)
