@@ -188,6 +188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_dedup_turns": _stage_tr("turndedup", "dedup_turns"),
         "kg_turn_redirects": _stage_tr("turndedup", "turn_redirects"),
         "kg_linked_mentions": _stage_tr("link", "link_mentions"),
+        "kg_sft_pairs": _stage_tr("chunking", "sft_pairs"),
+        "kg_context_windows": _stage_tr("chunking", "context_windows"),
         # --- relational operator coverage ---
         "rel_pricing_summary": _rel("pricing_summary"),
         "rel_nation_revenue": _rel("nation_revenue"),
@@ -402,6 +404,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_dedup_turns": TD.dedup_turns_sql(),
         "kg_turn_redirects": TD.turn_redirects_sql(),
         "kg_linked_mentions": L.link_mentions_sql(),
+        "kg_sft_pairs": CH.sft_pairs_sql(),
+        "kg_context_windows": CH.context_windows_sql(),
         "rel_pricing_summary": R.pricing_summary_sql(),
         "rel_nation_revenue": R.nation_revenue_sql(),
         "rel_order_lineitem_join": R.order_lineitem_join_sql(),

@@ -204,3 +204,174 @@ def packed_sequences_sql(seq_len: int = SEQ_LEN) -> str:
                 AS BIGINT) AS seq_id
     FROM tc
     """
+
+
+# ---------------------------------------------------------------------------
+# Dialogue training-data shaping over TRANSCRIPTS: SFT prompt/response
+# pair extraction and rolling conversation-context windows.
+# ---------------------------------------------------------------------------
+CTX_K = 3  # context window: up to 3 preceding turns
+
+
+def sft_pairs(tr: ray.data.Dataset, num_partitions: int | None = None) -> ray.data.Dataset:
+    """(conv_id, prompt_idx, prompt, response): supervised-fine-tuning
+    pairs — every user turn whose IMMEDIATE successor (turn_idx+1, same
+    conversation) is an assistant turn.  The reference's analogous move
+    is the turn->turn successor edge (nextTurn, T7-T10 list chains);
+    here the successor is materialized as training rows.
+
+    Distributed shape: NO per-conversation grouping at all — the
+    successor lookup is a hash self-join on the composite key
+    conv_id#turn_idx (user side keyed at turn_idx+1), so the stage is
+    two narrow filtered maps + one safe_join; skewed conversation
+    lengths are irrelevant because the join key is per-TURN."""
+    import pyarrow.compute as pc
+
+    from ifctordf_ray.functions.kernels import safe_join
+
+    def prep_user(t: pa.Table) -> pa.Table:
+        s = t.filter(pc.equal(t["role"], "user"))
+        nxt = pc.add(pc.cast(s["turn_idx"], pa.int64()), 1)
+        return pa.table(
+            {
+                "pkey": pc.binary_join_element_wise(
+                    s["conv_id"], pc.cast(nxt, pa.string()), "#"
+                ),
+                "conv_id": s["conv_id"],
+                "prompt_idx": pc.cast(s["turn_idx"], pa.int64()),
+                "prompt": s["text"],
+            }
+        )
+
+    def prep_assistant(t: pa.Table) -> pa.Table:
+        s = t.filter(pc.equal(t["role"], "assistant"))
+        return pa.table(
+            {
+                "akey": pc.binary_join_element_wise(
+                    s["conv_id"],
+                    pc.cast(pc.cast(s["turn_idx"], pa.int64()), pa.string()),
+                    "#",
+                ),
+                "response": s["text"],
+            }
+        )
+
+    left = tr.map_batches(prep_user, batch_format="pyarrow")
+    right = tr.map_batches(prep_assistant, batch_format="pyarrow")
+    j = safe_join(
+        left,
+        pa.schema(
+            [
+                ("pkey", pa.string()),
+                ("conv_id", pa.string()),
+                ("prompt_idx", pa.int64()),
+                ("prompt", pa.string()),
+            ]
+        ),
+        right,
+        pa.schema([("akey", pa.string()), ("response", pa.string())]),
+        join_type="inner",
+        on=("pkey",),
+        right_on=("akey",),
+        num_partitions=num_partitions,
+    )
+    return j.map_batches(
+        lambda t: pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "prompt_idx": t["prompt_idx"],
+                "prompt": t["prompt"],
+                "response": t["response"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def sft_pairs_sql() -> str:
+    from ifctordf_ray.sources.transcripts import transcripts_from_events_sql
+
+    return f"""
+    WITH tr AS ({transcripts_from_events_sql()})
+    SELECT u.conv_id, CAST(u.turn_idx AS BIGINT) AS prompt_idx,
+           u.text AS prompt, a.text AS response
+    FROM tr u JOIN tr a
+      ON a.conv_id = u.conv_id AND a.turn_idx = u.turn_idx + 1
+    WHERE u.role = 'user' AND a.role = 'assistant'
+    """
+
+
+def context_windows(tr: ray.data.Dataset, k: int = CTX_K) -> ray.data.Dataset:
+    """(conv_id, turn_idx, context, target): rolling dialogue context —
+    for every non-first turn, `context` is the newline-joined "role:
+    text" lines of up to `k` preceding turns (oldest first) and `target`
+    is the turn's own text: the canonical next-turn-prediction training
+    layout.
+
+    In-group vectorized: lines via ONE binary_join_element_wise, the k
+    shifted copies via null-padded slices, and the rolling join via
+    binary_join_element_wise(null_handling='skip') — no per-row Python.
+    Grouping is per conversation (bounded by TURNS_PER_CONV, so group
+    skew is structurally capped)."""
+    import pyarrow.compute as pc
+
+    _schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int64()),
+            ("context", pa.string()),
+            ("target", pa.string()),
+        ]
+    )
+
+    def per_conv(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("turn_idx", "ascending")])
+        n = g.num_rows
+        if n <= 1:
+            return _schema.empty_table()
+        lines = pc.binary_join_element_wise(
+            g["role"], g["text"], ": "
+        ).combine_chunks()
+        # context rows are turns 1..n-1 ONLY: their s=1 shift (the
+        # immediate predecessor) is never null, so no row is all-null —
+        # binary_join_element_wise(null_handling='skip') DROPS all-null
+        # rows outright instead of emitting null/empty.
+        m = n - 1
+        shifted = [
+            pa.concat_arrays(
+                [
+                    pa.nulls(min(s - 1, m), pa.string()),
+                    lines.slice(0, max(m - (s - 1), 0)),
+                ]
+            )
+            for s in range(k, 0, -1)
+        ]
+        ctx = pc.binary_join_element_wise(*shifted, "\n", null_handling="skip")
+        tail = g.slice(1)
+        out = pa.table(
+            {
+                "conv_id": tail["conv_id"],
+                "turn_idx": pc.cast(tail["turn_idx"], pa.int64()),
+                "context": ctx,
+                "target": tail["text"],
+            },
+            schema=_schema,
+        )
+        return out.filter(pc.greater(out["turn_idx"], 0))
+
+    return tr.groupby("conv_id").map_groups(per_conv, batch_format="pyarrow")
+
+
+def context_windows_sql(k: int = CTX_K) -> str:
+    from ifctordf_ray.sources.transcripts import transcripts_from_events_sql
+
+    return f"""
+    WITH tr AS ({transcripts_from_events_sql()})
+    SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+           string_agg(role || ': ' || text, chr(10)) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN {k} PRECEDING AND 1 PRECEDING) AS context,
+           text AS target
+    FROM tr
+    QUALIFY turn_idx > 0
+    """

@@ -73,3 +73,31 @@ def test_blocking_pairs_window_1(sf_small):
     reconstruction with the tightest window."""
     con = _duck(sf_small, ["documents"])
     _compare(blocking_pairs(sf_small, window=1), blocking_pairs_sql(window=1), con)
+
+
+def test_sft_pairs_parity(sf_small):
+    from ifctordf_ray.sources.transcripts import transcripts_from_events
+    from ifctordf_ray.stages.chunking import sft_pairs, sft_pairs_sql
+
+    con = _duck(sf_small, ["events"])
+    a = _compare(sft_pairs(transcripts_from_events(sf_small)), sft_pairs_sql(), con)
+    assert len(a) > 0
+    assert (a["prompt_idx"] >= 0).all()
+
+
+def test_context_windows_parity(sf_small):
+    from ifctordf_ray.sources.transcripts import transcripts_from_events
+    from ifctordf_ray.stages.chunking import context_windows, context_windows_sql
+
+    con = _duck(sf_small, ["events"])
+    a = _compare(
+        context_windows(transcripts_from_events(sf_small)),
+        context_windows_sql(),
+        con,
+    )
+    assert len(a) > 0
+    # a turn_idx>=3 row has exactly 3 context lines; turn 1 exactly one
+    k3 = a[a["turn_idx"] >= 3]["context"].str.count("\n")
+    assert (k3 == 2).all()
+    k1 = a[a["turn_idx"] == 1]["context"].str.count("\n")
+    assert (k1 == 0).all()
