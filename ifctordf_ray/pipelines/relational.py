@@ -3359,3 +3359,49 @@ def order_skyline_sql() -> str:
     FROM o JOIN r USING (o_orderdate)
     WHERE r.prevmax IS NULL OR o.price_cents > r.prevmax
     """
+
+
+# ---------------------------------------------------------------------------
+# Benford first-significant-digit audit (data-quality / forensics family)
+# ---------------------------------------------------------------------------
+def benford_digits(sf_dir: str) -> ray.data.Dataset:
+    """(event_type, digit, n): first-significant-digit distribution of
+    value_cents per event type — the Benford's-law data-audit operator a
+    pipeline runs to flag fabricated or truncated numeric feeds.  Exact
+    integer path: cents -> decimal string -> first char, so no float log
+    and the DuckDB oracle matches bit-for-bit.  One pre-combined groupby
+    on (type, digit) <= 9 rows per type; scale-free."""
+    ds = _clean_read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = _cents(t["value"])
+        keep = pc.greater(cents, 0)
+        tt = pa.table({"event_type": t["event_type"], "cents": cents}).filter(keep)
+        digit = pc.cast(
+            pc.utf8_slice_codeunits(pc.cast(tt["cents"], pa.string()), 0, 1),
+            pa.int64(),
+        )
+        return pa.table({"event_type": tt["event_type"], "digit": digit})
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "digit"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def benford_digits_sql() -> str:
+    return """
+    WITH c AS (
+        SELECT event_type,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_type,
+           CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+           CAST(count(*) AS BIGINT) AS n
+    FROM c WHERE cents > 0
+    GROUP BY event_type, digit
+    """

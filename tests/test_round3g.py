@@ -101,3 +101,17 @@ def test_context_windows_parity(sf_small):
     assert (k3 == 2).all()
     k1 = a[a["turn_idx"] == 1]["context"].str.count("\n")
     assert (k1 == 0).all()
+
+
+def test_benford_digits_parity(sf_small):
+    from ifctordf_ray.pipelines.relational import benford_digits, benford_digits_sql
+
+    con = _duck(sf_small, ["events"])
+    a = _compare(benford_digits(sf_small), benford_digits_sql(), con)
+    assert len(a) > 0
+    assert a["digit"].between(1, 9).all()
+    # partition check: per-type digit counts sum to the positive-cents rows
+    total = con.execute(
+        "SELECT count(*) FROM events WHERE CAST(floor(value*100+0.5) AS BIGINT) > 0"
+    ).fetchone()[0]
+    assert a["n"].sum() == total
