@@ -3320,7 +3320,10 @@ def order_skyline(sf_dir: str) -> ray.data.Dataset:
     daymax.sort(key=lambda r: r["day_us"])
     days = np.array([r["day_us"] for r in daymax], dtype=np.int64)
     prev = np.empty(len(daymax), dtype=np.int64)
-    run = -1  # prices are positive cents: -1 == "no earlier day"
+    # "no earlier day" == int64 min, NOT -1: the SQL oracle keeps an
+    # earliest-date order whenever prevmax IS NULL, regardless of sign,
+    # so a -1 sentinel would wrongly drop non-positive prices.
+    run = np.iinfo(np.int64).min
     for i, r in enumerate(daymax):
         prev[i] = run
         run = max(run, r["m"])

@@ -440,10 +440,18 @@ def add_subject_bucket(batch: pa.Table) -> pa.Table:
     return batch.append_column("bucket", pa.array(buckets, pa.string()))
 
 
-def write_graph_parquet(triples: ray.data.Dataset, out_dir: str) -> None:
-    """Bucketed Parquet graph partitions (hive layout bucket=<hex>)."""
+def write_graph_parquet(
+    triples: ray.data.Dataset, out_dir: str, compression: str = "zstd"
+) -> None:
+    """Bucketed Parquet graph partitions (hive layout bucket=<hex>).
+
+    zstd default: the flagship's E2E scaling is bounded by bytes through
+    the ONE shared disk of this box (BASELINE.md) — columnar + zstd
+    moves the sink from disk-bound to CPU work, which DOES scale with
+    workers.  This is the north star's sanctioned graph materialization
+    alongside .nt text."""
     triples.map_batches(add_subject_bucket, batch_format="pyarrow").write_parquet(
-        out_dir, partition_cols=["bucket"]
+        out_dir, partition_cols=["bucket"], compression=compression
     )
 
 

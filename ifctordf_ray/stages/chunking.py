@@ -47,24 +47,61 @@ class Chunker:
         self.size = size
         self.stride = stride
 
+    _EMPTY = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("chunk_idx", pa.int64()),
+            ("n_chunk_chars", pa.int64()),
+            ("chunk_fp", pa.string()),
+        ]
+    )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, idxs, lens, fps = [], [], [], []
-        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            t = t or ""
-            for ci, start in enumerate(range(0, len(t), self.stride)):
-                chunk = t[start : start + self.size]
-                doc_ids.append(d)
-                idxs.append(ci)
-                lens.append(len(chunk))
-                fps.append(hashlib.md5(chunk.encode("utf-8")).hexdigest())
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "chunk_idx": pa.array(idxs, pa.int64()),
-                "n_chunk_chars": pa.array(lens, pa.int64()),
-                "chunk_fp": pa.array(fps, pa.string()),
-            }
+        # Vectorized windowing (the dedup._span_grid shape): ONE
+        # full-column slice kernel per grid offset — max_len/stride calls
+        # per batch — instead of a per-row Python loop.  Only the md5
+        # stays per-chunk (the engine-wide hash spec is inherently
+        # per-value).
+        import pyarrow.compute as pc
+
+        txt = pc.fill_null(
+            pc.cast(batch["text"].combine_chunks(), pa.string()), ""
         )
+        n = pc.utf8_length(txt)
+        max_len = pc.max(n).as_py() if batch.num_rows else None
+        parts = []
+        start, k = 0, 0
+        while max_len and start < max_len:
+            mask = pc.greater(n, start)
+            sub = pc.utf8_slice_codeunits(
+                txt, start=start, stop=start + self.size
+            ).filter(mask)
+            chunk_strs = sub.to_pylist()
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pc.cast(
+                            batch["doc_id"].combine_chunks().filter(mask),
+                            pa.int64(),
+                        ),
+                        "chunk_idx": pa.array([k] * len(chunk_strs), pa.int64()),
+                        "n_chunk_chars": pc.cast(pc.utf8_length(sub), pa.int64()),
+                        "chunk_fp": pa.array(
+                            [
+                                hashlib.md5(s.encode("utf-8")).hexdigest()
+                                for s in chunk_strs
+                            ],
+                            pa.string(),
+                        ),
+                    },
+                    schema=self._EMPTY,
+                )
+            )
+            k += 1
+            start = k * self.stride
+        if not parts:
+            return self._EMPTY.empty_table()
+        return pa.concat_tables(parts)
 
 
 _TASK_CHUNKER = Chunker()
@@ -82,7 +119,7 @@ def chunk_batch(t: pa.Table) -> pa.Table:
 
 def doc_chunks(sf_dir: str) -> ray.data.Dataset:
     ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(Chunker, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(Chunker, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
 
 
 def doc_chunks_sql(size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE) -> str:
@@ -157,6 +194,7 @@ def packed_sequences(
         fn_constructor_kwargs={"bucket": bucket},
         batch_format="pyarrow",
         concurrency=(1, 4),
+        max_restarts=0,
     )
 
     # Phase 1+2: per-bucket sums (small) -> driver exclusive scan.
@@ -312,7 +350,15 @@ def context_windows(tr: ray.data.Dataset, k: int = CTX_K) -> ray.data.Dataset:
     shifted copies via null-padded slices, and the rolling join via
     binary_join_element_wise(null_handling='skip') — no per-row Python.
     Grouping is per conversation (bounded by TURNS_PER_CONV, so group
-    skew is structurally capped)."""
+    skew is structurally capped).
+
+    Null parity with string_agg: a line is null when role or text is
+    null (SQL `role || ': ' || text`); string_agg SKIPS nulls and
+    returns NULL for an all-null/empty frame.  The skip-join kernel
+    instead DROPS rows whose inputs are ALL null (verified: it shortens
+    the output), so the join runs only over rows with >=1 valid shifted
+    value and NULL context is scattered back for the rest."""
+    import numpy as np
     import pyarrow.compute as pc
 
     _schema = pa.schema(
@@ -327,33 +373,43 @@ def context_windows(tr: ray.data.Dataset, k: int = CTX_K) -> ray.data.Dataset:
     def per_conv(g: pa.Table) -> pa.Table:
         g = g.sort_by([("turn_idx", "ascending")])
         n = g.num_rows
-        if n <= 1:
+        if n == 0:
             return _schema.empty_table()
         lines = pc.binary_join_element_wise(
             g["role"], g["text"], ": "
         ).combine_chunks()
-        # context rows are turns 1..n-1 ONLY: their s=1 shift (the
-        # immediate predecessor) is never null, so no row is all-null —
-        # binary_join_element_wise(null_handling='skip') DROPS all-null
-        # rows outright instead of emitting null/empty.
-        m = n - 1
+        # One shifted copy per window slot: shifted[s][i] = lines[i-s].
+        # Length n (NOT n-1): the SQL oracle keeps every turn_idx > 0
+        # row, including a conversation's FIRST row when its turn_idx
+        # happens to be > 0 (empty frame -> NULL context) — a positional
+        # g.slice(1) would silently drop it.
         shifted = [
             pa.concat_arrays(
-                [
-                    pa.nulls(min(s - 1, m), pa.string()),
-                    lines.slice(0, max(m - (s - 1), 0)),
-                ]
+                [pa.nulls(min(s, n), pa.string()), lines.slice(0, max(n - s, 0))]
             )
             for s in range(k, 0, -1)
         ]
-        ctx = pc.binary_join_element_wise(*shifted, "\n", null_handling="skip")
-        tail = g.slice(1)
+        valid = pc.is_valid(shifted[0])
+        for arr in shifted[1:]:
+            valid = pc.or_(valid, pc.is_valid(arr))
+        vmask = valid.to_numpy(zero_copy_only=False)
+        if vmask.all():
+            ctx = pc.binary_join_element_wise(*shifted, "\n", null_handling="skip")
+        elif not vmask.any():
+            ctx = pa.nulls(n, pa.string())
+        else:
+            idx = pa.array(np.flatnonzero(vmask))
+            joined = pc.binary_join_element_wise(
+                *[a.take(idx) for a in shifted], "\n", null_handling="skip"
+            )
+            assert len(joined) == len(idx)  # skip-join drops ONLY all-null rows
+            ctx = pc.replace_with_mask(pa.nulls(n, pa.string()), valid, joined)
         out = pa.table(
             {
-                "conv_id": tail["conv_id"],
-                "turn_idx": pc.cast(tail["turn_idx"], pa.int64()),
+                "conv_id": g["conv_id"],
+                "turn_idx": pc.cast(g["turn_idx"], pa.int64()),
                 "context": ctx,
-                "target": tail["text"],
+                "target": g["text"],
             },
             schema=_schema,
         )

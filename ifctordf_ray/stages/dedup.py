@@ -132,7 +132,13 @@ def _explode_bands(batch: pa.Table) -> pa.Table:
     return pa.table(
         {
             "band_id": pa.array(band_ids, pa.int32()),
-            "band_hash": pa.array(band_hashes, pa.uint64()),
+            # signed reinterpret: band_hash is a SHUFFLE KEY, and uint64
+            # values > 2^63 can crash Ray's groupby reduce (int64
+            # inference in convert_to_pyarrow_array); equality joins only
+            # need a bijection, so the int64 view is safe.
+            "band_hash": pa.array(
+                np.array(band_hashes, dtype=np.uint64).view(np.int64), pa.int64()
+            ),
             "doc_id": pa.array(doc_ids, pa.int64()),
             "sig": pa.array(sigs, pa.list_(pa.uint64())),
         }
@@ -396,7 +402,10 @@ def _simhash_bucket_pairs(group: pa.Table) -> pa.Table:
         da, db = docs[x], docs[y]
         if da == db:
             continue
-        ham = (hashes[x] ^ hashes[y]).bit_count()
+        # mask to 64 bits: hashes may arrive as the signed int64 VIEW of
+        # the uint64 fingerprint (negative Python ints sign-extend, and
+        # int.bit_count() counts |x|'s bits — both wrong unmasked).
+        ham = ((hashes[x] ^ hashes[y]) & 0xFFFFFFFFFFFFFFFF).bit_count()
         if ham <= SIMHASH_MAX_HAMMING:
             a_l.append(min(da, db))
             b_l.append(max(da, db))
@@ -433,13 +442,24 @@ def near_dup_pairs_simhash(sf_dir: str) -> ray.data.Dataset:
                 ),
                 pa.scalar((1 << SIMHASH_BAND_BITS) - 1, pa.uint64()),
             )
+            # int64 reinterpret for everything that crosses the shuffle:
+            # band_key is the groupby key and simhash rides along — raw
+            # uint64 values > 2^63 can crash Ray's reduce (int64
+            # inference).  band_key < 2^16 so the cast is value-exact;
+            # simhash is a signed VIEW, undone bitwise in the bucket fn.
             parts.append(
                 pa.table(
                     {
                         "band_id": pa.nulls(t.num_rows, pa.int32()).fill_null(b),
-                        "band_key": shifted.cast(pa.uint64()),
+                        "band_key": shifted.cast(pa.int64()),
                         "doc_id": t["doc_id"],
-                        "simhash": t["simhash"],
+                        "simhash": pa.array(
+                            t["simhash"]
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.uint64)
+                            .view(np.int64),
+                            pa.int64(),
+                        ),
                     }
                 )
             )
@@ -703,7 +723,7 @@ def exact_duplicates(sf_dir: str) -> ray.data.Dataset:
     from ifctordf_ray.stages.textstats import Fingerprinter
 
     ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    fps = ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 4))
+    fps = ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
     return fps.groupby("fingerprint").aggregate(
         Min("doc_id", alias_name="keep_doc_id"),
         Count(alias_name="n_docs"),
@@ -721,7 +741,7 @@ def deduped_doc_ids(sf_dir: str, num_partitions: int | None = None) -> ray.data.
     ds = _clean_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    fps = ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 4))
+    fps = ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
     from ifctordf_ray.functions.kernels import safe_join
 
     # safe_join: keepers is a groupby output (empty partitions are
@@ -1454,55 +1474,88 @@ def _lev_bytes(a: bytes, b: bytes) -> int:
 
 
 def pair_edit_distance(
-    sf_dir: str, threshold: float = 0.5, prefix: int = LEV_PREFIX
+    sf_dir: str,
+    threshold: float = 0.5,
+    prefix: int = LEV_PREFIX,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """(doc_a, doc_b, lev_dist, sim_micro): exact prefix Levenshtein for
     every MinHash candidate pair; sim_micro = (max_len - d) * 1e6 //
-    max_len (exact integers, 1e6 = identical prefixes)."""
-    import pyarrow.compute as pc
+    max_len (exact integers, 1e6 = identical prefixes).
 
-    pairs = near_dup_pairs_minhash(sf_dir, threshold=threshold).take_all()
-    if not pairs:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "lev_dist": pa.array([], pa.int64()),
-                    "sim_micro": pa.array([], pa.int64()),
-                }
+    Fully distributed (the verified_near_dups shape): the candidate pair
+    stream is hash-joined against the per-doc text-prefix dataset twice
+    (doc_a side, doc_b side), then the O(prefix^2) DP runs inside
+    map_batches.  Nothing pair-count- or corpus-sized ever touches the
+    driver — at web scale the near-dup pair count is unbounded, so a
+    take_all() of the pairs (the r3 shape) is not.
+    """
+    from ifctordf_ray.functions.kernels import safe_join
+
+    cand_schema = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("est_jaccard", pa.float64()),
+        ]
+    )
+
+    def prefixes(side: str, key: str):
+        def fn(t: pa.Table) -> pa.Table:
+            pfx = [
+                (x or "")[:prefix].encode("utf-8") for x in t["text"].to_pylist()
+            ]
+            return pa.table(
+                {key: t["doc_id"], f"pfx_{side}": pa.array(pfx, pa.binary())}
             )
-        )
-    need = sorted({r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs})
-    idarr = pa.array(need, pa.int64())
-    rows = (
-        _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(
-            lambda t: t.filter(pc.is_in(t["doc_id"], value_set=idarr)),
-            batch_format="pyarrow",
-        )
-        .take_all()
-    )  # 2x-pairs-bounded, never corpus-sized
-    texts = {r["doc_id"]: (r["text"] or "")[:prefix].encode("utf-8") for r in rows}
-    out_a, out_b, out_d, out_s = [], [], [], []
-    for r in sorted(pairs, key=lambda x: (x["doc_a"], x["doc_b"])):
-        a, b = texts[r["doc_a"]], texts[r["doc_b"]]
-        d = _lev_bytes(a, b)
-        ml = max(len(a), len(b))
-        out_a.append(r["doc_a"])
-        out_b.append(r["doc_b"])
-        out_d.append(d)
-        out_s.append((ml - d) * 1_000_000 // ml if ml else 1_000_000)
-    return ray.data.from_arrow(
-        pa.table(
+
+        return fn
+
+    docs = _clean_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    pfx_a = docs.map_batches(prefixes("a", "da"), batch_format="pyarrow")
+    pfx_b = docs.map_batches(prefixes("b", "db"), batch_format="pyarrow")
+    j1 = safe_join(
+        near_dup_pairs_minhash(sf_dir, threshold=threshold),
+        cand_schema,
+        pfx_a,
+        pa.schema([("da", pa.int64()), ("pfx_a", pa.binary())]),
+        join_type="inner",
+        on=("doc_a",),
+        right_on=("da",),
+        num_partitions=num_partitions,
+    )
+    j2 = safe_join(
+        j1,
+        cand_schema.append(pa.field("pfx_a", pa.binary())),
+        pfx_b,
+        pa.schema([("db", pa.int64()), ("pfx_b", pa.binary())]),
+        join_type="inner",
+        on=("doc_b",),
+        right_on=("db",),
+        num_partitions=num_partitions,
+    )
+
+    def lev(t: pa.Table) -> pa.Table:
+        out_d, out_s = [], []
+        for a, b in zip(t["pfx_a"].to_pylist(), t["pfx_b"].to_pylist()):
+            a = a or b""
+            b_ = b or b""
+            d = _lev_bytes(a, b_)
+            ml = max(len(a), len(b_))
+            out_d.append(d)
+            out_s.append((ml - d) * 1_000_000 // ml if ml else 1_000_000)
+        return pa.table(
             {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
+                "doc_a": t["doc_a"],
+                "doc_b": t["doc_b"],
                 "lev_dist": pa.array(out_d, pa.int64()),
                 "sim_micro": pa.array(out_s, pa.int64()),
             }
         )
-    )
+
+    return j2.map_batches(lev, batch_format="pyarrow")
 
 
 def pair_edit_distance_sql(threshold: float = 0.5, prefix: int = LEV_PREFIX) -> str:

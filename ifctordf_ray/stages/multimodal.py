@@ -185,6 +185,7 @@ def featurize_media(
     media: ray.data.Dataset,
     batch_size: int = 64,
     concurrency=(1, 4),
+    max_restarts=0,
 ) -> ray.data.Dataset:
     """media Dataset (MEDIA_SCHEMA) -> feature Dataset.  Small batches:
     binary payloads are large; batch x concurrency must fit worker heap."""
@@ -193,6 +194,7 @@ def featurize_media(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        max_restarts=0,
     )
 
 
@@ -385,6 +387,7 @@ def media_stats(sf_dir: str, batch_size: int = 64) -> ray.data.Dataset:
     return media_from_documents(sf_dir).map_batches(
         MediaStats, batch_format="pyarrow", batch_size=batch_size,
         concurrency=(1, 4),
+        max_restarts=0,
     )
 
 
@@ -500,6 +503,7 @@ def media_thumbnails(sf_dir: str, batch_size: int = 64) -> ray.data.Dataset:
     return media_from_documents(sf_dir).map_batches(
         MediaTransformer, batch_format="pyarrow", batch_size=batch_size,
         concurrency=(1, 4),
+        max_restarts=0,
     )
 
 
@@ -712,6 +716,7 @@ def image_histograms(sf_dir: str, batch_size: int = 64) -> ray.data.Dataset:
     return media.map_batches(images_only, batch_format="pyarrow").map_batches(
         ImageHistogram, batch_format="pyarrow", batch_size=batch_size,
         concurrency=(1, 4),
+        max_restarts=0,
     )
 
 

@@ -793,7 +793,7 @@ def label_token_stats(sf_dir: str, num_partitions: int | None = None):
     docs = _clean_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    tokens = docs.map_batches(TokenCounter, batch_format="pyarrow", concurrency=(1, 4))
+    tokens = docs.map_batches(TokenCounter, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
     labels = _clean_read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
     ).map_batches(

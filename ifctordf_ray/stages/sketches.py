@@ -69,7 +69,7 @@ def hll_registers(sf_dir: str) -> ray.data.Dataset:
 
     ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     return (
-        ds.map_batches(_RegisterPartials, batch_format="pyarrow", concurrency=(1, 4))
+        ds.map_batches(_RegisterPartials, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
         .groupby("bucket")
         .aggregate(_Max("max_rank", alias_name="max_rank"))
     )

@@ -83,7 +83,7 @@ def tfidf_top_terms(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     n_docs = docs.count()  # parquet metadata count, no scan
-    tf = docs.map_batches(TermCounter, batch_format="pyarrow", concurrency=(1, 4))
+    tf = docs.map_batches(TermCounter, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
     df = (
         tf.groupby("word")
         .aggregate(_Count(alias_name="df"))
@@ -199,7 +199,7 @@ class PiiScreen:
 
 def pii_screen(sf_dir: str) -> ray.data.Dataset:
     ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(PiiScreen, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(PiiScreen, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
 
 
 def pii_screen_sql() -> str:
@@ -262,7 +262,7 @@ def posting_lists(sf_dir: str, cap: int = POSTINGS_CAP) -> ray.data.Dataset:
     docs = _clean_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    pairs = docs.map_batches(TermCounter, batch_format="pyarrow", concurrency=(1, 4))
+    pairs = docs.map_batches(TermCounter, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
     return pairs.groupby("word").aggregate(
         _Count(alias_name="df"), _postings_agg(cap)
     )
@@ -407,14 +407,14 @@ def pmi_collocations(
     nb = float(tot["nb"] or 0)
 
     uni = (
-        docs.map_batches(WordPartialCounts, batch_format="pyarrow", concurrency=(1, 4))
+        docs.map_batches(WordPartialCounts, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
         .groupby("word")
         .aggregate(_Sum("n", alias_name="c"))
         .materialize()  # vocab-sized (not corpus-sized); consumed twice
     )
 
     big = (
-        docs.map_batches(_BigramPartials, batch_format="pyarrow", concurrency=(1, 4))
+        docs.map_batches(_BigramPartials, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
         .groupby(["w1", "w2"])
         .aggregate(_Sum("n", alias_name="n"))
         .map_batches(

@@ -59,7 +59,7 @@ class TokenCounter:
 
 def token_counts(sf_dir: str) -> ray.data.Dataset:
     ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(TokenCounter, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(TokenCounter, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
 
 
 def token_counts_sql() -> str:
@@ -104,7 +104,7 @@ class QualityScorer:
 
 def quality_scores(sf_dir: str) -> ray.data.Dataset:
     ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
 
 
 def quality_scores_sql() -> str:
@@ -153,7 +153,7 @@ class LangId:
 
 def lang_id(sf_dir: str) -> ray.data.Dataset:
     ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
 
 
 def lang_id_sql() -> str:
@@ -198,7 +198,7 @@ class Fingerprinter:
 
 def fingerprints(sf_dir: str) -> ray.data.Dataset:
     ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
 
 
 def fingerprints_sql() -> str:
@@ -545,7 +545,7 @@ class BpeTokenCounter:
 
 def bpe_token_counts(sf_dir: str) -> ray.data.Dataset:
     ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(BpeTokenCounter, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(BpeTokenCounter, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
 
 
 def bpe_token_counts_sql() -> str:
@@ -595,7 +595,7 @@ def vocabulary(sf_dir: str, top_k: int = VOCAB_TOP_K) -> ray.data.Dataset:
 
     ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     totals = (
-        ds.map_batches(WordPartialCounts, batch_format="pyarrow", concurrency=(1, 4))
+        ds.map_batches(WordPartialCounts, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
         .groupby("word")
         .aggregate(_Sum("n", alias_name="n"))
     )
@@ -630,12 +630,18 @@ def stratified_sample(sf_dir: str, per_group: int = STRATA_K) -> ray.data.Datase
     from ifctordf_ray.functions.kernels import stable_hash64
 
     ds = _clean_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    langs = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    langs = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
 
     def with_rank(t: pa.Table) -> pa.Table:
-        rk = pa.array(
-            [stable_hash64(str(d)) for d in t["doc_id"].to_pylist()], pa.uint64()
+        # sign-flip map uint64 -> int64 (x ^ 2^63): ORDER-preserving, so
+        # the per-group ascending sort still matches the oracle's
+        # unsigned md5 order, while the column that rides the groupby
+        # shuffle is int64 (raw uint64 > 2^63 can crash Ray's reduce).
+        h = np.array(
+            [stable_hash64(str(d)) for d in t["doc_id"].to_pylist()],
+            dtype=np.uint64,
         )
+        rk = pa.array((h ^ np.uint64(1 << 63)).view(np.int64), pa.int64())
         return t.append_column("rk", rk)
 
     def head_k(g: pa.Table) -> pa.Table:
