@@ -98,6 +98,16 @@ def _q_kg_degree_histogram(sf_dir: str):
     return deg.groupby("degree").aggregate(Count(alias_name="n_subjects"))
 
 
+def _q_kg_vocab_dispatch(sf_dir: str):
+    """Multi-version vocabulary dispatch (getExpressSchema 5-way dispatch
+    analog, IfcSpfReader.java:186-223): version-tagged transcripts through
+    the flagship extraction, role/tool membership judged per-row against
+    the row's vocabulary generation."""
+    from ifctordf_ray.pipelines import kg
+
+    return kg.kg_vocab_dispatch(sf_dir)
+
+
 def _stage_tr(module, name):
     """Stage operating on the derived transcript Dataset.  Multi-consumer
     stages (link_mentions) re-execute the cheap pruned derivation per
@@ -184,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_canonical_mentions": _q_kg_canonical_mentions,
         "kg_predicate_stats": _q_kg_predicate_stats,
         "kg_degree_histogram": _q_kg_degree_histogram,
+        "kg_vocab_dispatch": _q_kg_vocab_dispatch,
         "kg_mention_next_hop": _stage("graphq", "mention_next_hop"),
         "kg_dedup_turns": _stage_tr("turndedup", "dedup_turns"),
         "kg_turn_redirects": _stage_tr("turndedup", "turn_redirects"),
@@ -326,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_near_dedup_ids": _stage("dedup", "near_dedup_doc_ids"),
         "doc_dup_rate_by_lang": _stage("dedup", "dup_rate_by_lang"),
         "doc_dup_span_stats": _stage("dedup", "dup_span_stats"),
+        "doc_dup_span_exact": _stage("dedup", "dup_span_exact"),
         "doc_blocking_pairs": _stage("dedup", "blocking_pairs"),
         "doc_keyword_search": _stage("terms", "keyword_search"),
         "doc_bm25_search": _stage("terms", "bm25_search"),
@@ -401,6 +413,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_canonical_mentions": O.kg_canonical_mentions_sql(),
         "kg_predicate_stats": O.kg_predicate_stats_sql(),
         "kg_degree_histogram": O.kg_degree_histogram_sql(),
+        "kg_vocab_dispatch": O.kg_vocab_dispatch_sql(),
         "kg_mention_next_hop": GQ.mention_next_hop_sql(),
         "kg_dedup_turns": TD.dedup_turns_sql(),
         "kg_turn_redirects": TD.turn_redirects_sql(),
@@ -545,6 +558,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_near_dedup_ids": D.near_dedup_doc_ids_sql(),
         "doc_dup_rate_by_lang": D.dup_rate_by_lang_sql(),
         "doc_dup_span_stats": D.dup_span_stats_sql(),
+        "doc_dup_span_exact": D.dup_span_exact_sql(),
         "doc_blocking_pairs": D.blocking_pairs_sql(),
         "doc_keyword_search": TERMS.keyword_search_sql(),
         "doc_bm25_search": TERMS.bm25_search_sql(),

@@ -110,6 +110,14 @@ def _run_benchmarks() -> dict:
     headline = time.time() - t0
     queries["kg_construct"] = round(headline, 3)
 
+    # stage isolation for the scaling table (GRAFT_BENCH_STAGES=1):
+    # derive+extract+distinct WITHOUT the sink (count-consumed) — the
+    # headline minus this is the sink stage's wall.
+    if os.environ.get("GRAFT_BENCH_STAGES"):
+        t0 = time.time()
+        kg.kg_from_events(sf_dir, mode="fast", replicate=replicate).count()
+        queries["kg_extract_distinct"] = round(time.time() - t0, 3)
+
     # compute-bound sub-pipeline (derive + extract, no sorted exchange):
     # isolates software scaling from the single-box memory-bandwidth
     # ceiling that the full sorted-dedup shuffle hits (see BASELINE.md)
@@ -124,6 +132,20 @@ def _run_benchmarks() -> dict:
     queries["kg_extract_only"] = round(time.time() - t0, 3)
 
     if not os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        # the OTHER sanctioned flagship materialization, same corpus: the
+        # one not used for the headline above (nt text vs bucketed zstd
+        # Parquet graph partitions) so every BENCH round records both.
+        alt_dir = f"/tmp/bench_kg_alt_{num_cpus}"
+        shutil.rmtree(alt_dir, ignore_errors=True)
+        t0 = time.time()
+        alt_triples = kg.kg_from_events(sf_dir, mode="fast", replicate=replicate)
+        if sink_fmt == "parquet":
+            kg.materialize(alt_triples, alt_dir, compression=sink_comp)
+            queries["kg_construct_nt"] = round(time.time() - t0, 3)
+        else:
+            kg.materialize_parquet(alt_triples, alt_dir)
+            queries["kg_construct_parquet"] = round(time.time() - t0, 3)
+
         # secondary pipelines at replicate=1 (operator-level timings)
         t0 = time.time()
         kg.kg_from_events(sf_dir, mode="grouped").count()
@@ -217,11 +239,18 @@ def _scaling() -> None:
     compute_eff = (
         round((x_lo / x_hi) / (hi / lo), 3) if x_lo and x_hi else None
     )
+    stage_detail = {}
+    if os.environ.get("GRAFT_BENCH_STAGES"):
+        stage_detail = {
+            f"queries_{lo}": med_lo["queries"],
+            f"queries_{hi}": med_hi["queries"],
+        }
     print(
         json.dumps(
             {
                 "metric": "scaling_efficiency",
                 "sink_format": os.environ.get("GRAFT_SINK_FORMAT", "nt"),
+                **stage_detail,
                 "cpus": [lo, hi],
                 f"sec_{lo}": t_lo,
                 f"sec_{hi}": t_hi,

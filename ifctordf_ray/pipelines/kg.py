@@ -60,6 +60,32 @@ def kg_from_events(
     return kg_triples(tr, mode=mode)
 
 
+def kg_vocab_dispatch(sf_dir: str) -> ray.data.Dataset:
+    """Multi-version vocabulary dispatch pipeline (the getExpressSchema
+    5-way dispatch analog, IfcSpfReader.java:186-223): transcripts tagged
+    with a deterministic dataset-level vocab version (md5-parity — the
+    single-table stand-in for the per-file footer sniff exercised by
+    sources.read_transcripts_versioned) flow through the SAME flagship
+    fast extraction, where role/tool membership is judged per-row against
+    that row's vocabulary generation.  Output is projected to the two
+    vocabulary-sensitive predicates so the dispatch is directly visible:
+    a 'view' role emits a hasRole triple under v2 and nothing under v1."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ifctordf_ray import schema as S
+    from ifctordf_ray.sources.transcripts import tag_vocab_by_conv
+
+    tr = tag_vocab_by_conv(
+        transcripts_from_events(sf_dir, drop_dangling=True)
+    )
+    triples = extract.extract_fast(tr, prevalidated=True)
+    keep = pa.array([S.P_HAS_ROLE, S.P_USED_TOOL])
+    return triples.map_batches(
+        lambda t: t.filter(pc.is_in(t["pred"], keep)), batch_format="pyarrow"
+    )
+
+
 def materialize(
     triples: ray.data.Dataset, out_dir: str, parquet: bool = False,
     turtle: bool = False, compression: str | None = None,
@@ -118,12 +144,27 @@ def materialize_parquet(
 
     import pyarrow.parquet as _pq
 
-    sinks.write_graph_parquet(triples, f"{out_dir}/parquet", compression=compression)
-    files = sorted(glob.glob(f"{out_dir}/parquet/bucket=*/*.parquet"))
-    per_file = [
-        {"path": f, "n_triples": _pq.ParquetFile(f).metadata.num_rows}
-        for f in files
-    ]
+    # RANGE-partitioned layout, not hive buckets: the triple stream is
+    # already subject-sorted (the distinct shuffle), so one file per
+    # block IS a disjoint subject range — the same prunability the .nt
+    # manifest provides, without each task fanning every block out into
+    # 16 hive dirs (a small-file explosion at many blocks).  The
+    # hive-bucketed layout remains available via sinks.write_graph_parquet
+    # for point-lookup workloads (subject_triples).
+    triples.write_parquet(f"{out_dir}/parquet", compression=compression)
+    per_file = []
+    for f in sorted(glob.glob(f"{out_dir}/parquet/*.parquet")):
+        md = _pq.ParquetFile(f).metadata
+        subj_idx = md.schema.to_arrow_schema().get_field_index("subj")
+        stats = [
+            md.row_group(g).column(subj_idx).statistics
+            for g in range(md.num_row_groups)
+        ]
+        lo = min((s.min for s in stats if s is not None), default=None)
+        hi = max((s.max for s in stats if s is not None), default=None)
+        per_file.append(
+            {"path": f, "n_triples": md.num_rows, "subj_min": lo, "subj_max": hi}
+        )
     from ifctordf_ray import schema as S
 
     os.makedirs(out_dir, exist_ok=True)

@@ -243,6 +243,68 @@ assert [p for _, p in WIRE_PREFIX_TABLE] == sorted(p for _, p in WIRE_PREFIX_TAB
 assert [c for c, _ in WIRE_PREFIX_TABLE] == sorted(c for c, _ in WIRE_PREFIX_TABLE)
 
 
+# --------------------------------------------------------------------------
+# Vocabulary-version registry — the getExpressSchema multi-version dispatch
+# analog (IfcSpfReader.java:186-223, 249-307): the reference sniffs each
+# file's FILE_SCHEMA header line and selects among 5 serialized schema
+# dictionaries; the engine sniffs a dataset-level version tag (Parquet
+# footer key-value metadata, or an explicit per-row tag) and selects the
+# matching closed ROLE/TOOL vocabulary.  One run can mix generations:
+# each input partition is validated under ITS OWN vocab.
+# --------------------------------------------------------------------------
+@dataclass(frozen=True)
+class Vocab:
+    version: str
+    roles: tuple[str, ...]
+    tools: tuple[str, ...]
+
+
+VOCAB_REGISTRY: dict[str, Vocab] = {
+    "v1": Vocab("v1", ROLES, TOOLS),
+    # v2 — the next vocabulary generation: 'view' became a first-class
+    # role and 'mailer' a sanctioned tool (the IFC2X3->IFC4 analog: the
+    # same value is an unknown enum under one schema version and a
+    # NamedIndividual under the next).
+    "v2": Vocab("v2", ROLES + ("view",), TOOLS + ("mailer",)),
+}
+DEFAULT_VOCAB_VERSION = "v1"
+VOCAB_METADATA_KEY = b"vocab_version"
+
+# composite "version#value" membership keys: per-row version dispatch
+# inside extraction is ONE vectorized is_in regardless of version count
+VOCAB_ROLE_KEYS: tuple[str, ...] = tuple(
+    sorted(f"{v}#{r}" for v, vo in VOCAB_REGISTRY.items() for r in vo.roles)
+)
+VOCAB_TOOL_KEYS: tuple[str, ...] = tuple(
+    sorted(f"{v}#{t}" for v, vo in VOCAB_REGISTRY.items() for t in vo.tools)
+)
+
+
+def sniff_vocab_version(path: str) -> str:
+    """Per-file vocabulary-version sniff (the FILE_SCHEMA header-line
+    analog, IfcSpfReader.java:186-223): reads ONLY the Parquet footer's
+    key-value metadata — driver-side, no data IO.  Files without a tag
+    are the default generation; an unknown tag is a hard error (the
+    reference likewise aborts on an unsupported schema, 'Could not
+    convert file with schema')."""
+    import pyarrow.parquet as _pq
+
+    try:
+        md = _pq.read_schema(path).metadata or {}
+    except Exception:
+        return DEFAULT_VOCAB_VERSION
+    raw = md.get(VOCAB_METADATA_KEY)
+    if raw is None:
+        return DEFAULT_VOCAB_VERSION
+    v = raw.decode("utf-8")
+    if v not in VOCAB_REGISTRY:
+        raise ValueError(
+            f"unknown vocab_version {v!r} in {path} "
+            f"(known: {sorted(VOCAB_REGISTRY)})"
+        )
+    return v
+
+
 # sort key giving the reference's "first-seen wins" total order for
 # canonical-ID assignment (resolveDuplicates, IfcSpfParser.java:147-165):
 # lexicographic on conv_id then zero-padded turn_idx.  Must match the SQL

@@ -197,9 +197,17 @@ def transcripts_from_events(
     """
     import functools
 
+    from ifctordf_ray.tuning import read_parallelism
+
+    # block count pins every downstream all-to-all's partition count
+    # (Ray sort: num_outputs = num_mappers) — size it to the session so
+    # the assembly groupby AND the final distinct sort pack all CPUs
+    # (see tuning.read_parallelism; measured 10-block default = 2 ragged
+    # waves at 8 CPUs and 12x sort skew).
     ev = clean_read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "props"],
+        override_num_blocks=read_parallelism(),
     )
     if replicate == 1 and not drop_dangling:
         fn = _events_group_to_turns
@@ -242,6 +250,55 @@ def transcripts_from_events_sql() -> str:
             )
         )
     """
+
+
+def read_transcripts_versioned(paths: list[str]) -> ray.data.Dataset:
+    """Multi-version transcript source — the S2 getExpressSchema analog
+    (IfcSpfReader.java:186-223): each input file's vocabulary version is
+    sniffed from its Parquet FOOTER key-value metadata (driver-side,
+    metadata-only — the FILE_SCHEMA header-line sniff), and its rows are
+    tagged with a `vocab_ver` column so downstream extraction validates
+    every row against ITS file's vocabulary generation.  One run mixes
+    generations freely; an unknown tag aborts at plan time (the
+    reference's 'Could not convert file with schema' behavior)."""
+    from ifctordf_ray import schema as S
+
+    def tag(v: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "vocab_ver", pa.nulls(t.num_rows, pa.string()).fill_null(v)
+            )
+
+        return fn
+
+    parts = [
+        read_transcripts(p).map_batches(
+            tag(S.sniff_vocab_version(p)), batch_format="pyarrow"
+        )
+        for p in paths
+    ]
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.union(d)
+    return out
+
+
+def tag_vocab_by_conv(tr: ray.data.Dataset) -> ray.data.Dataset:
+    """Deterministic dataset-level version tag over a single untagged
+    table: the conversation id's md5 parity picks the vocabulary
+    generation (md5 >= '8' -> v2, else v1).  The single-table stand-in
+    for the per-file footer sniff — shared verbatim with the SQL oracle
+    (`CASE WHEN md5(conv_id) >= '8' THEN 'v2' ELSE 'v1' END`)."""
+    import hashlib as _hl
+
+    def tag(t: pa.Table) -> pa.Table:
+        vv = [
+            "v2" if _hl.md5(c.encode("utf-8")).hexdigest() >= "8" else "v1"
+            for c in t["conv_id"].to_pylist()
+        ]
+        return t.append_column("vocab_ver", pa.array(vv, pa.string()))
+
+    return tr.map_batches(tag, batch_format="pyarrow")
 
 
 def transcripts_table(rows: list[dict]) -> pa.Table:

@@ -272,6 +272,30 @@ SELECT surface_key,
 FROM m GROUP BY surface_key"""
 
 
+def kg_vocab_dispatch_sql() -> str:
+    """Multi-version vocabulary dispatch (getExpressSchema analog): the
+    md5-parity version tag shared verbatim with tag_vocab_by_conv, then
+    role/tool triple arms whose membership test is the composite
+    'version#value' key against the full registry — exactly the
+    vectorized is_in the Ray extraction runs."""
+    role_keys = ", ".join(f"'{k}'" for k in S.VOCAB_ROLE_KEYS)
+    tool_keys = ", ".join(f"'{k}'" for k in S.VOCAB_TOOL_KEYS)
+    return f"""WITH {_live_turn_cte()},
+v AS (
+    SELECT *, CASE WHEN md5(conv_id) >= '8' THEN 'v2' ELSE 'v1' END AS vocab_ver
+    FROM turn
+)
+SELECT DISTINCT subj, pred, obj, obj_kind FROM (
+    SELECT t_iri AS subj, '{S.P_HAS_ROLE}' AS pred,
+           'ont:role/' || role AS obj, 'uri' AS obj_kind
+    FROM v WHERE vocab_ver || '#' || coalesce(role, '') IN ({role_keys})
+    UNION ALL
+    SELECT t_iri, '{S.P_USED_TOOL}', 'ont:tool/' || tool, 'uri'
+    FROM v WHERE tool IS NOT NULL
+      AND vocab_ver || '#' || tool IN ({tool_keys})
+)"""
+
+
 def kg_predicate_stats_sql() -> str:
     """Per-predicate triple counts over the deduplicated graph."""
     return f"""WITH t AS ({kg_triples_sql()})

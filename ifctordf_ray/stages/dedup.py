@@ -1172,13 +1172,22 @@ GROUP BY co.doc_id"""
 
 # ---------------------------------------------------------------------------
 # Duplicated-SPAN measurement: the ExactSubstr-dedup shape ("Deduplicating
-# Training Data Makes Language Models Better", Lee et al. 2022), grid-
-# approximated for distribution.  A true suffix array is inherently a
-# shared global index; the distributable analog samples fixed-length
-# character windows on a stride grid, so duplicated spans >= span_len
-# are detected at stride granularity with ONE groupby shuffle — no
-# global structure, no driver state.  Emits per-doc counters a curation
-# pass thresholds on (n_dup_grid / n_grid = duplicated-text fraction).
+# Training Data Makes Language Models Better", Lee et al. 2022), in TWO
+# tiers:
+#
+# - dup_span_stats (below): the cheap stride-grid SCREEN — duplicated
+#   spans are detected only when aligned to the stride grid in both
+#   copies (misses cross-offset duplicates), at 1/stride of the rows.
+# - dup_span_exact (further below): the EXACT tier — stride-1 L-grams.
+#   A character span of length >= L duplicated between two documents
+#   always contains a duplicated L-gram in BOTH copies, so per-doc
+#   duplicated-gram counts (and "has any duplicated span >= L") are
+#   exact, with ONE corpus-sized groupby exchange and no global suffix
+#   structure (Lee et al. pay a shared suffix array for the same
+#   guarantee; the distributed trade is rows = total chars).
+#
+# Emits per-doc counters a curation pass thresholds on
+# (n_dup / n_total = duplicated-text fraction).
 #
 # Both engines slice by CODEPOINT (pyarrow utf8_slice_codeunits on a
 # utf8 array, DuckDB substr on VARCHAR), so parity holds on non-ASCII
@@ -1316,6 +1325,129 @@ def dup_span_stats(
         )
 
     return res.map_batches(finish, batch_format="pyarrow")
+
+
+def dup_span_exact(
+    sf_dir: str,
+    span_len: int = SPAN_LEN,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """(doc_id, n_grams, n_dup_grams): EXACT duplicated-span measurement —
+    per document, how many of its DISTINCT span_len-char grams (stride 1)
+    also occur verbatim in at least one other document.
+
+    Exactness argument: any character span of length >= span_len shared
+    verbatim by two documents contains, in each copy, every one of its
+    stride-1 grams — in particular its first span_len-gram — so a doc
+    has n_dup_grams > 0 IFF it shares a span >= span_len with another
+    doc, with no alignment blind spot (the stride-grid sibling above
+    misses duplicates whose copies sit at different offsets mod stride).
+
+    Physical shape (all streaming, one corpus-sized exchange):
+    stride-1 _span_grid -> distinct (gram, doc) via groupby -> gram
+    doc-frequency -> semi-join back -> per-doc counts.  The exchange
+    moves ~one (16-char gram, doc_id) row per character of text — the
+    honest cost of exactness; run the grid screen first and this tier
+    only on the screened-in partition when 16x row volume matters."""
+    import pyarrow.compute as pc
+
+    from ifctordf_ray.functions.kernels import safe_join
+
+    ds = _clean_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    pos = ds.map_batches(
+        _span_grid,
+        fn_kwargs={"span_len": span_len, "stride": 1},
+        batch_format="pyarrow",
+    )
+    # distinct (gram, doc) — Count is unused, the groupby IS the distinct
+    pairs = pos.groupby(["sh", "doc_id"]).aggregate(Count(alias_name="npos"))
+    pair_schema = pa.schema(
+        [("sh", pa.string()), ("doc_id", pa.int64()), ("npos", pa.int64())]
+    )
+    dup_sh = (
+        pairs.groupby("sh")
+        .aggregate(Count(alias_name="ndocs"))
+        .map_batches(
+            lambda t: pa.table(
+                {"shd": t.filter(pc.greater_equal(t["ndocs"], 2))["sh"]}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    total = pairs.groupby("doc_id").aggregate(Count(alias_name="n_grams"))
+    dup_per_doc = (
+        safe_join(
+            pairs,
+            pair_schema,
+            dup_sh,
+            pa.schema([("shd", pa.string())]),
+            join_type="inner",
+            on=("sh",),
+            right_on=("shd",),
+            num_partitions=num_partitions,
+        )
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_dup_grams"))
+        .materialize()  # doc-count-sized; splits the chained-join plan
+    )
+    res = safe_join(
+        total,
+        pa.schema([("doc_id", pa.int64()), ("n_grams", pa.int64())]),
+        dup_per_doc.map_batches(
+            lambda t: pa.table(
+                {"did": t["doc_id"], "n_dup_grams": t["n_dup_grams"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("did", pa.int64()), ("n_dup_grams", pa.int64())]),
+        join_type="left_outer",
+        on=("doc_id",),
+        right_on=("did",),
+        num_partitions=num_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_grams": t["n_grams"],
+                "n_dup_grams": pc.fill_null(
+                    t["n_dup_grams"], pa.scalar(0, pa.int64())
+                ),
+            }
+        )
+
+    return res.map_batches(finish, batch_format="pyarrow")
+
+
+def dup_span_exact_sql(span_len: int = SPAN_LEN) -> str:
+    return f"""
+    WITH g AS (
+        SELECT DISTINCT doc_id,
+               substr(text, CAST(k + 1 AS INTEGER), {span_len}) AS sh
+        FROM (
+            SELECT doc_id, coalesce(text, '') AS text FROM documents
+        ), UNNEST(range(CAST(length(text) - {span_len} AS BIGINT) + 1)) AS u(k)
+    ),
+    dup AS (
+        SELECT sh FROM (SELECT sh, count(*) AS c FROM g GROUP BY sh)
+        WHERE c >= 2
+    ),
+    total AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        FROM g GROUP BY doc_id
+    ),
+    dupd AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
+        FROM g WHERE sh IN (SELECT sh FROM dup)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_grams,
+           coalesce(d.n_dup_grams, CAST(0 AS BIGINT)) AS n_dup_grams
+    FROM total t LEFT JOIN dupd d USING (doc_id)
+    """
 
 
 def dup_span_stats_sql(

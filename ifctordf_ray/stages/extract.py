@@ -184,6 +184,10 @@ class ExtractTriples:
         )
 
 
+# composite "version#value" vocab membership keys (multi-version dispatch)
+_VOCAB_ROLE_KEYS_ARR = pa.array(S.VOCAB_ROLE_KEYS)
+_VOCAB_TOOL_KEYS_ARR = pa.array(S.VOCAB_TOOL_KEYS)
+
 _WIRE_CODES = pa.array([c for c, _ in S.WIRE_PREFIX_TABLE])
 _WIRE_PREFIXES = pa.array([x for _, x in S.WIRE_PREFIX_TABLE])
 
@@ -289,12 +293,29 @@ def extract_batch_triples(
     # atTime literal (verbatim strftime lexical)
     ts_lex = pa.array(_ts_lexical(batch["ts"]), pa.string())
     emit(conv, turn_iri, S.P_AT_TIME, _str_concat(ts_lex, "^^" + S.XSD_DATETIME))
-    # hasRole enum individual — unmatched emits nothing (ERROR 9 contract)
-    role_ok = pc.is_in(role, pa.array(sorted(roles)))
+    # hasRole / usedTool enum individuals — unmatched emits nothing
+    # (ERROR 9 contract).  When the batch carries a `vocab_ver` tag (the
+    # multi-version source, S2 getExpressSchema analog), membership is
+    # judged against THAT row's vocabulary generation: one vectorized
+    # is_in over composite "version#value" keys, any number of versions.
+    if "vocab_ver" in batch.column_names:
+        vv = batch["vocab_ver"]
+        role_ok = pc.is_in(
+            pc.binary_join_element_wise(vv, pc.fill_null(role, ""), "#"),
+            _VOCAB_ROLE_KEYS_ARR,
+        )
+        tool_in = pc.is_in(
+            pc.binary_join_element_wise(vv, pc.fill_null(tool, ""), "#"),
+            _VOCAB_TOOL_KEYS_ARR,
+        )
+        tool_ok = pc.fill_null(pc.and_kleene(pc.is_valid(tool), tool_in), False)
+    else:
+        role_ok = pc.is_in(role, pa.array(sorted(roles)))
+        tool_ok = pc.and_kleene(
+            pc.is_valid(tool), pc.is_in(tool, pa.array(sorted(tools)))
+        )
+        tool_ok = pc.fill_null(tool_ok, False)
     emit(conv, turn_iri, S.P_HAS_ROLE, _str_concat(S.W_ROLE, role), mask=role_ok)
-    # usedTool enum individual
-    tool_ok = pc.and_kleene(pc.is_valid(tool), pc.is_in(tool, pa.array(sorted(tools))))
-    tool_ok = pc.fill_null(tool_ok, False)
     emit(conv, turn_iri, S.P_USED_TOOL,
          _str_concat(S.W_TOOL, pc.fill_null(tool, "")), mask=tool_ok)
     # hasText -> canonical wrapper + wrapper hasString literal (T11/D3 analog)
@@ -456,9 +477,19 @@ def extract_batch_triples(
             )
 
     out = pa.concat_tables(tables).combine_chunks()
-    # local pre-dedup: shrinks the global distinct shuffle (SURVEY.md §7.3)
-    return out.group_by(["conv_id"] + COMPACT_COLS).aggregate([]).select(
-        ["conv_id"] + COMPACT_COLS
+    # local pre-dedup: shrinks the global distinct shuffle (SURVEY.md §7.3).
+    # Keyed on the TRIPLE ONLY (round 4; was conv_id+triple): wrapper
+    # triples have content-derived subjects, so identical rows recur
+    # across conversations within a batch — set semantics make any one
+    # copy sufficient, and the conv_id column is unused downstream of
+    # emission (distinct() drops it); a deterministic min is kept for
+    # schema compatibility.  Measured: 17% of the flagship's pre-distinct
+    # exchange rows were cross-conversation wrapper repeats.
+    return (
+        out.group_by(COMPACT_COLS)
+        .aggregate([("conv_id", "min")])
+        .rename_columns(COMPACT_COLS + ["conv_id"])
+        .select(["conv_id"] + COMPACT_COLS)
     )
 
 
@@ -740,7 +771,31 @@ def conversation_errors_group(group: pa.Table) -> pa.Table:
 # --------------------------------------------------------------------------
 # public pipelines
 # --------------------------------------------------------------------------
-def distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
+def _sort_key8(arr) -> pa.Array:
+    """ORDER-PRESERVING int64 sort key from a utf8 column: the first 8
+    UTF-8 BYTES big-endian (zero-padded), sign-flipped into int64.  For
+    any strings a < b bytewise, key(a) <= key(b), and key(a) == key(b)
+    only when they share an 8-byte prefix — so a range exchange on the
+    key plus a local (key, col...) sort yields exactly the global
+    bytewise order of the column, while the exchange compares 8-byte
+    ints instead of variable-length strings."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    b = pc.binary_slice(pc.cast(arr, pa.binary()), 0, 8)
+    zeros = pa.nulls(len(arr), pa.binary()).fill_null(b"\x00" * 8)
+    fixed = pc.cast(
+        pc.binary_slice(pc.binary_join_element_wise(b, zeros, b""), 0, 8),
+        pa.binary(8),
+    )
+    k = np.frombuffer(
+        fixed.buffers()[-1], dtype=">u8", count=len(fixed), offset=fixed.offset * 8
+    )
+    return pa.array((k.astype(np.uint64) ^ np.uint64(1 << 63)).view(np.int64))
+
+
+def distinct(
+    ds: ray.data.Dataset, cols: list[str], int_prefix_key: bool = False
+) -> ray.data.Dataset:
     """Global distinct on `cols` — set semantics, the D2 resourceMap analog
     — via SORT + vectorized adjacent-row dedup, NOT groupby-aggregate.
 
@@ -758,14 +813,33 @@ def distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
     short-string compares in the exchange); each block then FULLY sorts
     on all cols locally (Arrow C++ sort of an in-memory block) before the
     adjacency mask.  Exact because two equal rows share cols[0], hence
-    land in the same range partition."""
-    sorted_ds = ds.select_columns(cols).sort(cols[0])
+    land in the same range partition.
+
+    int_prefix_key=True (requires cols[0] to be utf8): the exchange keys
+    on the ORDER-PRESERVING int64 first-8-bytes key instead of the string
+    itself (_sort_key8) — 8-byte integer compares in the sample/partition
+    path, measured ~7%% off the flagship exchange wall.  Global bytewise
+    order of cols[0] is preserved exactly: equal keys co-locate (8-byte
+    prefix groups never split) and the local sort re-orders within a
+    block on (key, cols...) == (cols...)."""
+    key_col = "__k8" if int_prefix_key else cols[0]
+    if int_prefix_key:
+        def add_key(t: pa.Table) -> pa.Table:
+            return t.select(cols).append_column("__k8", _sort_key8(t[cols[0]]))
+
+        keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    else:
+        keyed = ds.select_columns(cols)
+    sorted_ds = keyed.sort(key_col)
+    local_keys = ([("__k8", "ascending")] if int_prefix_key else []) + [
+        (c, "ascending") for c in cols
+    ]
 
     def dedup_sorted(t: pa.Table) -> pa.Table:
         n = t.num_rows
         if n == 0:
-            return t
-        t = t.sort_by([(c, "ascending") for c in cols])
+            return t.select(cols)
+        t = t.sort_by(local_keys).select(cols)
         if n == 1:
             return t
         keep = np.ones(n, dtype=bool)
@@ -807,13 +881,21 @@ def extract_fast(
     else:
         dangling, _ = resolve_references(transcripts)
         fn_kwargs = {"dangling_ref": ray.put(dangling)}
+    # batch_size 8192: with the triple-keyed in-batch pre-dedup (see
+    # extract_batch_triples), this scope already collapses ~99% of the
+    # duplicate rows before the exchange (measured 20.64M pre-distinct
+    # vs 20.57M distinct on the 2M-turn corpus); 65536 collapsed barely
+    # more rows but slowed the per-batch group_by/mention loops ~1.8x.
+    # Deterministic and retry-exact — a worker-level seen-cache was tried
+    # and rejected in round 4 (leaks across executions, breaks lineage
+    # recompute).
     triples = transcripts.map_batches(
         extract_triples_fn,
         fn_kwargs=fn_kwargs,
         batch_format="pyarrow",
         batch_size=8192,
     )
-    return decode_triples(distinct(triples, COMPACT_COLS))
+    return decode_triples(distinct(triples, COMPACT_COLS, int_prefix_key=True))
 
 
 def extract_grouped_mapgroups(transcripts: ray.data.Dataset) -> ray.data.Dataset:
@@ -824,7 +906,7 @@ def extract_grouped_mapgroups(transcripts: ray.data.Dataset) -> ray.data.Dataset
     triples = transcripts.groupby("conv_id").map_groups(
         extract_conversation_group, batch_format="pyarrow"
     )
-    return decode_triples(distinct(triples, COMPACT_COLS))
+    return decode_triples(distinct(triples, COMPACT_COLS, int_prefix_key=True))
 
 
 def _extract_sorted_block(t: pa.Table, dedup: bool = False) -> pa.Table:
@@ -934,7 +1016,7 @@ def extract_grouped(transcripts: ray.data.Dataset) -> ray.data.Dataset:
     triples = transcripts.sort("conv_id").map_batches(
         _extract_sorted_block, batch_format="pyarrow", batch_size=None
     )
-    return decode_triples(distinct(triples, COMPACT_COLS))
+    return decode_triples(distinct(triples, COMPACT_COLS, int_prefix_key=True))
 
 
 def extract_deduped(transcripts: ray.data.Dataset) -> ray.data.Dataset:
@@ -950,7 +1032,7 @@ def extract_deduped(transcripts: ray.data.Dataset) -> ray.data.Dataset:
         batch_format="pyarrow",
         batch_size=None,
     )
-    return decode_triples(distinct(triples, COMPACT_COLS))
+    return decode_triples(distinct(triples, COMPACT_COLS, int_prefix_key=True))
 
 
 # --------------------------------------------------------------------------
@@ -1079,7 +1161,7 @@ def extract_salted(
         .sort("conv_id")
         .map_batches(stitch_block, batch_format="pyarrow", batch_size=None)
     )
-    return decode_triples(distinct(triples.union(stitch), COMPACT_COLS))
+    return decode_triples(distinct(triples.union(stitch), COMPACT_COLS, int_prefix_key=True))
 
 
 def extract_errors(transcripts: ray.data.Dataset) -> ray.data.Dataset:

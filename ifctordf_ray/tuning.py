@@ -56,6 +56,25 @@ def join_kwargs(num_partitions: int | None = None) -> dict:
     }
 
 
+def read_parallelism(mult: int = 3, cap: int = 512) -> int:
+    """Block count for the flagship's input read, sized to the session:
+    ~3x total CPUs.  Why this matters: Ray's sort/groupby exchanges emit
+    num_outputs == num_input_blocks partitions (sort_task_spec:
+    num_outputs = num_mappers), so the INPUT read's block count pins the
+    parallelism AND the skew granularity of every downstream all-to-all.
+    Measured on the 2M-turn flagship: the default read produced 10
+    blocks end-to-end — 10 extract tasks and a 10-partition sort with
+    12x row skew between output blocks; at 8 CPUs that is two ragged
+    waves (~5 effective slots).  3x CPUs gives near-perfect task packing
+    at every session size and 3x finer range boundaries.  On a real
+    multi-node cluster this scales with aggregate cores automatically;
+    `cap` bounds per-task scheduling overhead."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(8, min(cap, cpus * mult))
+
+
 def apply_exec_cpu_cap(max_exec_cpus: int | None) -> None:
     if not max_exec_cpus:
         return

@@ -471,3 +471,87 @@ def test_ngram_novelty_parity_and_invariants(sf_small, tmp_path):
     assert rows[0]["novelty"] == 1.0 and rows[0]["n_shingles"] == 4
     assert rows[1]["novelty"] == 0.0 and rows[1]["n_novel"] == 0
     assert rows[2]["novelty"] == 1.0
+
+
+def test_dup_span_exact(sf_small):
+    """Exact tier (stride-1 grams): engine vs SQL oracle vs an
+    independent brute-force reference, plus the exactness guarantee the
+    grid screen lacks — a doc has n_dup_grams > 0 IFF it shares a
+    >= span_len char span with another doc at ANY offset."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from ifctordf_ray.stages.dedup import (
+        SPAN_LEN,
+        dup_span_exact,
+        dup_span_exact_sql,
+    )
+
+    got = (
+        dup_span_exact(sf_small)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"create view documents as select * from "
+        f"'{sf_small}/documents.parquet'"
+    )
+    exp = con.sql(dup_span_exact_sql()).df().sort_values(
+        "doc_id", ignore_index=True
+    )
+    assert got.equals(exp)
+
+    # independent reference: dict gram -> docs, distinct-gram counts
+    t = pq.read_table(
+        f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+    )
+    gram_docs: dict = {}
+    per_doc: dict = {}
+    for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        x = x or ""
+        grams = {
+            x[i : i + SPAN_LEN] for i in range(len(x) - SPAN_LEN + 1)
+        }
+        if grams:
+            per_doc[d] = grams
+            for g in grams:
+                gram_docs.setdefault(g, set()).add(d)
+    ref = {
+        d: (len(gs), sum(1 for g in gs if len(gram_docs[g]) >= 2))
+        for d, gs in per_doc.items()
+    }
+    mine = {
+        r.doc_id: (r.n_grams, r.n_dup_grams) for r in got.itertuples()
+    }
+    assert mine == ref
+
+
+def test_dup_span_exact_cross_offset(tmp_path):
+    """The case the stride grid misses: identical 24-char span at
+    offsets 0 and 2 (offset difference not a multiple of SPAN_STRIDE=4
+    plus misaligned); the exact tier must flag both docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ifctordf_ray.stages.dedup import dup_span_exact
+
+    span = "abcdefghijklmnopqrstuvwx"  # 24 chars
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                span + " tail one",
+                "zq" + span + " other tail",
+                "completely unrelated text here",
+            ],
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = (
+        dup_span_exact(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")["n_dup_grams"]
+        .to_dict()
+    )
+    assert got[1] > 0 and got[2] > 0 and got[3] == 0
