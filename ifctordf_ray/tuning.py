@@ -69,15 +69,30 @@ def read_parallelism(mult: int = 3, cap: int = 512) -> int:
     at every session size and 3x finer range boundaries.  On a real
     multi-node cluster this scales with aggregate cores automatically;
     `cap` bounds per-task scheduling overhead."""
+    import os
+
     import ray
 
+    env = os.environ.get("GRAFT_READ_BLOCKS")
+    if env:
+        return int(env)
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    return max(8, min(cap, cpus * mult))
+    # key off EFFECTIVE exec slots, not raw CPUs: when an exec-CPU cap is
+    # applied (bench default 16 on the 32-vCPU box), blocks beyond
+    # 3x the cap over-fragment the sort (32-CPU nt headline A/B:
+    # 48 blocks 10.9s, 96 blocks 13.3s, 16 blocks 13.0s).
+    slots = min(cpus, _EXEC_CPU_CAP) if _EXEC_CPU_CAP else cpus
+    return max(8, min(cap, slots * mult))
+
+
+_EXEC_CPU_CAP: int | None = None
 
 
 def apply_exec_cpu_cap(max_exec_cpus: int | None) -> None:
+    global _EXEC_CPU_CAP
     if not max_exec_cpus:
         return
+    _EXEC_CPU_CAP = int(max_exec_cpus)
     from ray.data._internal.execution.interfaces import ExecutionResources
 
     ctx = DataContext.get_current()
