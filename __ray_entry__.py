@@ -108,6 +108,15 @@ def _q_kg_vocab_dispatch(sf_dir: str):
     return kg.kg_vocab_dispatch(sf_dir)
 
 
+def _q_kg_delta_triples(sf_dir: str):
+    """Incremental construction: triples contributed only by the 'new'
+    md5-parity conversation partition (delta EXCEPT base) via one
+    distributed hash anti-join on the full triple key."""
+    from ifctordf_ray.pipelines import kg
+
+    return kg.kg_delta_triples(sf_dir)
+
+
 def _stage_tr(module, name):
     """Stage operating on the derived transcript Dataset.  Multi-consumer
     stages (link_mentions) re-execute the cheap pruned derivation per
@@ -195,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_predicate_stats": _q_kg_predicate_stats,
         "kg_degree_histogram": _q_kg_degree_histogram,
         "kg_vocab_dispatch": _q_kg_vocab_dispatch,
+        "kg_delta_triples": _q_kg_delta_triples,
         "kg_mention_next_hop": _stage("graphq", "mention_next_hop"),
         "kg_dedup_turns": _stage_tr("turndedup", "dedup_turns"),
         "kg_turn_redirects": _stage_tr("turndedup", "turn_redirects"),
@@ -414,6 +424,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_predicate_stats": O.kg_predicate_stats_sql(),
         "kg_degree_histogram": O.kg_degree_histogram_sql(),
         "kg_vocab_dispatch": O.kg_vocab_dispatch_sql(),
+        "kg_delta_triples": O.kg_delta_triples_sql(),
         "kg_mention_next_hop": GQ.mention_next_hop_sql(),
         "kg_dedup_turns": TD.dedup_turns_sql(),
         "kg_turn_redirects": TD.turn_redirects_sql(),

@@ -86,6 +86,52 @@ def kg_vocab_dispatch(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def kg_delta_triples(sf_dir: str) -> ray.data.Dataset:
+    """Incremental KG construction: the triples contributed ONLY by the
+    'new' conversation partition — delta EXCEPT base, the production
+    "apply tonight's partition to the graph without re-emitting
+    yesterday's triples" operator.  The new/base split is the same
+    deterministic md5-parity dataset tag the vocab dispatch uses
+    (md5(conv_id) >= '8' -> new).
+
+    Shape at scale: both sides stream through the SAME flagship
+    extraction; the EXCEPT is ONE distributed hash anti-join on the full
+    (subj, pred, obj, obj_kind) key — no broadcast (both sides are
+    graph-sized), no driver state.  Set semantics make the delta
+    well-defined: a triple some base conversation already emitted (a
+    shared content-derived wrapper, e.g. a number mentioned in both
+    halves) is NOT re-emitted; tests/test_incremental.py asserts
+    base ∪ delta == full graph and base ∩ delta == ∅."""
+    import pyarrow as pa
+
+    from ifctordf_ray.functions.kernels import md5_hex, safe_join
+
+    def _parity(want_new: bool):
+        def flt(t: pa.Table) -> pa.Table:
+            hx = md5_hex(t["conv_id"].to_pylist())
+            return t.filter(pa.array([(h >= "8") == want_new for h in hx]))
+
+        return flt
+
+    tr = transcripts_from_events(sf_dir, drop_dangling=True)
+    new_t = extract.extract_fast(
+        tr.map_batches(_parity(True), batch_format="pyarrow"), prevalidated=True
+    )
+    base_t = extract.extract_fast(
+        tr.map_batches(_parity(False), batch_format="pyarrow"), prevalidated=True
+    )
+    tri_schema = pa.schema([(c, pa.string()) for c in extract.TRIPLE_COLS])
+    return safe_join(
+        new_t,
+        tri_schema,
+        base_t,
+        tri_schema,
+        join_type="left_anti",
+        on=tuple(extract.TRIPLE_COLS),
+        right_on=tuple(extract.TRIPLE_COLS),
+    )
+
+
 def materialize(
     triples: ray.data.Dataset, out_dir: str, parquet: bool = False,
     turtle: bool = False, compression: str | None = None,

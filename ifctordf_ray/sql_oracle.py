@@ -20,7 +20,12 @@ def _tools_in() -> str:
     return ", ".join(f"'{t}'" for t in S.TOOLS)
 
 
-def transcripts_cte() -> str:
+def transcripts_cte(where: str | None = None) -> str:
+    if where:
+        return (
+            "transcripts AS (SELECT * FROM "
+            f"({transcripts_from_events_sql()}) WHERE {where})"
+        )
     return f"transcripts AS ({transcripts_from_events_sql()})"
 
 
@@ -36,9 +41,9 @@ def kg_transcripts_sql() -> str:
     return f"WITH {transcripts_cte()} SELECT * FROM transcripts"
 
 
-def _live_turn_cte() -> str:
+def _live_turn_cte(where: str | None = None) -> str:
     """CTEs: transcripts -> refs -> dangling -> live -> turn (adds IRIs)."""
-    return f"""{transcripts_cte()},
+    return f"""{transcripts_cte(where)},
 refs AS (
     SELECT t.conv_id, t.turn_idx, u.m AS raw, CAST(u.m AS BIGINT) AS target
     FROM transcripts t, UNNEST(regexp_extract_all(t.text, '{S.REF_RE}', 1)) AS u(m)
@@ -170,13 +175,14 @@ def _turn_triples_unions(mentions_turn_select: str) -> str:
 {mentions_turn_select}"""
 
 
-def kg_triples_sql() -> str:
-    """The full deduplicated triple set (spec in stages/extract.py)."""
+def kg_triples_sql(where: str | None = None) -> str:
+    """The full deduplicated triple set (spec in stages/extract.py).
+    `where` filters the derived transcript table (partition predicate)."""
     mentions = f"""    SELECT t_iri, '{S.P_MENTIONS_TURN}',
            'inst:turn/' || conv_id || '/' || CAST(CAST(u.m AS BIGINT) AS VARCHAR),
            'uri'
     FROM turn, UNNEST(regexp_extract_all(txt, '{S.REF_RE}', 1)) AS u(m)"""
-    return f"""WITH {_live_turn_cte()}
+    return f"""WITH {_live_turn_cte(where)}
 SELECT DISTINCT subj, pred, obj, obj_kind FROM (
 {_turn_triples_unions(mentions)}
 )"""
@@ -294,6 +300,19 @@ SELECT DISTINCT subj, pred, obj, obj_kind FROM (
     FROM v WHERE tool IS NOT NULL
       AND vocab_ver || '#' || tool IN ({tool_keys})
 )"""
+
+
+def kg_delta_triples_sql() -> str:
+    """Incremental construction: triples contributed ONLY by the 'new'
+    conversation partition (md5-parity split, the same deterministic
+    dataset-level tag as the vocab dispatch) — new-partition triples
+    EXCEPT the base graph's.  Set semantics make the delta well-defined:
+    a triple already emitted by some base conversation (shared
+    content-derived wrapper, e.g. a number mentioned in both halves) is
+    NOT re-emitted."""
+    new = kg_triples_sql(where="md5(conv_id) >= '8'")
+    base = kg_triples_sql(where="md5(conv_id) < '8'")
+    return f"SELECT * FROM ({new}) EXCEPT SELECT * FROM ({base})"
 
 
 def kg_predicate_stats_sql() -> str:

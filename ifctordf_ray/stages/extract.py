@@ -836,20 +836,9 @@ def distinct(
     ]
 
     def dedup_sorted(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        if n == 0:
+        if t.num_rows == 0:
             return t.select(cols)
-        t = t.sort_by(local_keys).select(cols)
-        if n == 1:
-            return t
-        keep = np.ones(n, dtype=bool)
-        same = np.ones(n - 1, dtype=bool)
-        for c in cols:
-            col = t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) else t[c]
-            eq = pc.equal(col.slice(1), col.slice(0, n - 1))
-            same &= pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
-        keep[1:] = ~same
-        return t.filter(pa.array(keep))
+        return _dedup_adjacent(t.sort_by(local_keys).select(cols), cols)
 
     # batch_size=None => one batch per SORTED BLOCK.  Required for
     # exactness: the adjacent-equality mask must see a whole sorted block
@@ -858,6 +847,117 @@ def distinct(
     return sorted_ds.map_batches(
         dedup_sorted, batch_format="pyarrow", batch_size=None
     )
+
+
+def _dedup_adjacent(t: pa.Table, cols: list[str]) -> pa.Table:
+    """Adjacent-equality distinct over a table ALREADY sorted on `cols`
+    (vectorized: one shifted-equality mask per column, AND-combined)."""
+    n = t.num_rows
+    if n <= 1:
+        return t
+    keep = np.ones(n, dtype=bool)
+    same = np.ones(n - 1, dtype=bool)
+    for c in cols:
+        col = t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) else t[c]
+        eq = pc.equal(col.slice(1), col.slice(0, n - 1))
+        same &= pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+    keep[1:] = ~same
+    return t.filter(pa.array(keep))
+
+
+# ---- one-pass custom range shuffle (raw-Ray alternative to distinct) ----
+@ray.remote
+def _shuffle_sample(tbl: pa.Table, n: int = 256) -> np.ndarray:
+    """Evenly-spaced int64 key sample from one block (boundary estimation)."""
+    k = _sort_key8(tbl["subj"]).to_numpy(zero_copy_only=False)
+    if len(k) == 0:
+        return np.empty(0, np.int64)
+    step = max(1, len(k) // n)
+    return np.sort(k[::step][:n])
+
+
+@ray.remote
+def _shuffle_split(tbl: pa.Table, bounds: np.ndarray, k: int, cols: list[str]):
+    """Partition one block into k key ranges WITHOUT sorting it: bucket ids
+    via searchsorted on the static bounds, one stable argsort of small
+    ints, then zero-copy slices.  Equal keys never split across buckets
+    (side='right'), so duplicates always co-locate."""
+    tbl = tbl.select(cols)
+    if tbl.num_rows == 0:
+        return tuple(tbl for _ in range(k)) if k > 1 else tbl
+    key = _sort_key8(tbl[cols[0]]).to_numpy(zero_copy_only=False)
+    b = np.searchsorted(bounds, key, side="right")
+    order = np.argsort(b, kind="stable")
+    t2 = tbl.take(pa.array(order))
+    bs = b[order]
+    offs = np.searchsorted(bs, np.arange(k + 1))
+    out = tuple(t2.slice(offs[j], offs[j + 1] - offs[j]) for j in range(k))
+    return out if k > 1 else out[0]
+
+
+@ray.remote
+def _shuffle_merge(cols: list[str], *parts: pa.Table) -> pa.Table:
+    """One key range: concat its per-block parts, ONE Arrow multi-column
+    sort, vectorized adjacent dedup.  No heap merge, no Python rows."""
+    t = pa.concat_tables(parts).combine_chunks()
+    if t.num_rows == 0:
+        return t
+    return _dedup_adjacent(t.sort_by([(c, "ascending") for c in cols]), cols)
+
+
+def distinct_onepass(
+    ds: ray.data.Dataset, cols: list[str], num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Global distinct + sort via a custom ONE-PASS range shuffle on raw
+    Ray tasks — the scale-path alternative to `distinct` (Ray Data sort).
+
+    Why it can beat the built-in sort here: (1) no map-side per-block
+    sort — blocks are range-partitioned by searchsorted against static
+    sampled bounds (argsort of small ints, zero-copy slices); (2) the
+    exchange moves ONLY `cols` — the int64 sort key is recomputed per
+    task instead of shipped (8 B/row lighter than distinct()'s __k8
+    column); (3) each reduce is one Arrow concat + one multi-column sort
+    + a vectorized adjacency mask — no per-run heap merge.  Output
+    blocks are globally range-ordered and internally fully sorted, same
+    contract as distinct(int_prefix_key=True).
+
+    Partitioning assumption (documented per SURVEY §2 custom-operator
+    rule): duplicates co-locate because equal rows share cols[0], hence
+    the same 8-byte prefix key, and searchsorted(side='right') maps equal
+    keys to one bucket.  On a multi-node cluster the split/merge tasks
+    spread across nodes exactly like Ray Data's sort map/reduce tasks.
+
+    Barrier semantics match ds.sort() (a shuffle is a barrier); lineage
+    recompute falls back to Ray object reconstruction of task outputs."""
+    from ifctordf_ray import tuning
+
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return ds
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    cap = getattr(tuning, "_EXEC_CPU_CAP", None)
+    slots = min(cpus, cap) if cap else cpus
+    k = num_partitions or max(8, 2 * slots)
+    samples = [s for s in ray.get([_shuffle_sample.remote(r) for r in refs])]
+    allk = np.sort(np.concatenate(samples)) if samples else np.empty(0, np.int64)
+    if allk.size:
+        cuts = np.linspace(0, allk.size - 1, k + 1).astype(np.int64)[1:-1]
+        bounds = np.unique(allk[cuts])
+    else:
+        bounds = np.empty(0, np.int64)
+    k = len(bounds) + 1
+    if k == 1:
+        parts = [[p] for p in (_shuffle_split.remote(r, bounds, 1, cols) for r in refs)]
+    else:
+        parts = [
+            _shuffle_split.options(num_returns=k).remote(r, bounds, k, cols)
+            for r in refs
+        ]
+    merged = [
+        _shuffle_merge.remote(cols, *[parts[i][j] for i in range(len(parts))])
+        for j in range(k)
+    ]
+    return ray.data.from_arrow_refs(merged)
 
 
 def extract_fast(
