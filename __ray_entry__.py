@@ -117,6 +117,23 @@ def _q_kg_delta_triples(sf_dir: str):
     return kg.kg_delta_triples(sf_dir)
 
 
+def _q_kg_inferred_types(sf_dir: str):
+    """RDFS-entailed rdf:type materialization (readOntology/OntModel
+    analog): transitive subclass closure precomputed from the schema
+    TBox, applied in one vectorized map over the triple stream."""
+    from ifctordf_ray.pipelines import kg
+
+    return kg.kg_inferred_types(sf_dir)
+
+
+def _q_kg_star_pattern(sf_dir: str):
+    """SPARQL-style 2-arm star pattern over the constructed graph,
+    answered with one groupby instead of a self-join."""
+    from ifctordf_ray.pipelines import kg
+
+    return kg.kg_star_pattern(sf_dir)
+
+
 def _stage_tr(module, name):
     """Stage operating on the derived transcript Dataset.  Multi-consumer
     stages (link_mentions) re-execute the cheap pruned derivation per
@@ -205,6 +222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_histogram": _q_kg_degree_histogram,
         "kg_vocab_dispatch": _q_kg_vocab_dispatch,
         "kg_delta_triples": _q_kg_delta_triples,
+        "kg_inferred_types": _q_kg_inferred_types,
+        "kg_star_pattern": _q_kg_star_pattern,
         "kg_mention_next_hop": _stage("graphq", "mention_next_hop"),
         "kg_dedup_turns": _stage_tr("turndedup", "dedup_turns"),
         "kg_turn_redirects": _stage_tr("turndedup", "turn_redirects"),
@@ -425,6 +444,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_degree_histogram": O.kg_degree_histogram_sql(),
         "kg_vocab_dispatch": O.kg_vocab_dispatch_sql(),
         "kg_delta_triples": O.kg_delta_triples_sql(),
+        "kg_inferred_types": O.kg_inferred_types_sql(),
+        "kg_star_pattern": O.kg_star_pattern_sql(),
         "kg_mention_next_hop": GQ.mention_next_hop_sql(),
         "kg_dedup_turns": TD.dedup_turns_sql(),
         "kg_turn_redirects": TD.turn_redirects_sql(),

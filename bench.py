@@ -95,11 +95,14 @@ def _run_benchmarks() -> dict:
     # fewer bytes through the one shared disk — see BASELINE.md); default
     # stays uncompressed.
     sink_comp = os.environ.get("GRAFT_SINK_COMPRESSION") or None
-    # GRAFT_SINK_FORMAT=parquet swaps the flagship materialization to the
-    # bucketed zstd Parquet graph sink (the north star's other sanctioned
-    # output) — columnar encoding converts the disk-bound text write into
-    # CPU work; the scaling bar is reported on BOTH formats (BASELINE.md).
-    sink_fmt = os.environ.get("GRAFT_SINK_FORMAT", "nt")
+    # Flagship materialization: the range-partitioned zstd Parquet graph
+    # sink (default as of round 4 — columnar encoding converts the
+    # disk-bound text write into CPU work that scales per node; measured
+    # 2.0x the .nt wall at 32 CPUs and the better scaling pair, see
+    # BASELINE.md).  GRAFT_SINK_FORMAT=nt swaps back to sorted N-Triples
+    # text parts; BOTH sanctioned formats are timed every plain run (the
+    # non-headline one lands in queries as kg_construct_nt/_parquet).
+    sink_fmt = os.environ.get("GRAFT_SINK_FORMAT", "parquet")
     t0 = time.time()
     triples = kg.kg_from_events(sf_dir, mode="fast", replicate=replicate)
     if sink_fmt == "parquet":

@@ -132,6 +132,94 @@ def kg_delta_triples(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def kg_inferred_types(sf_dir: str) -> ray.data.Dataset:
+    """RDFS-entailed rdf:type materialization — the runtime-inference
+    analog of the reference's readOntology + Jena OntModel pass
+    (IfcSpfReader.java: the ifcOWL TBox drives class resolution; here the
+    closed TBox lives in schema.SUBCLASS_OF).  For every asserted
+    (x, rdf:type, C) triple, emit (x, rdf:type, S) for each S in C's
+    transitive superclass closure, plus the asserted triple — DISTINCT
+    set semantics (exact under diamond hierarchies too).
+
+    Scale shape: the closure is vocab-sized and precomputed at import
+    (no broadcast, no shuffle to build it); the instance pass is one
+    vectorized map_batches (per-class filter + constant-column emit);
+    the final distinct is over type-triples only."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ifctordf_ray import schema as S
+
+    closure = S.subclass_closure()
+    triples = kg_from_events(sf_dir, mode="fast")
+
+    def _const(n: int, v: str) -> pa.Array:
+        return pa.nulls(n, pa.string()).fill_null(v)
+
+    def infer(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["pred"], S.RDF_TYPE))
+        outs = [t]
+        for cls, supers in closure.items():
+            sub = t.filter(pc.equal(t["obj"], cls))
+            n = sub.num_rows
+            if n:
+                for sp in supers:
+                    outs.append(
+                        pa.table(
+                            {
+                                "subj": sub["subj"],
+                                "pred": _const(n, S.RDF_TYPE),
+                                "obj": _const(n, sp),
+                                "obj_kind": _const(n, "uri"),
+                            }
+                        )
+                    )
+        return pa.concat_tables(outs)
+
+    inferred = triples.map_batches(infer, batch_format="pyarrow")
+    return extract.distinct(inferred, extract.TRIPLE_COLS)
+
+
+def kg_star_pattern(
+    sf_dir: str, role: str = "tool", tool: str = "logger"
+) -> ray.data.Dataset:
+    """Graph pattern query over the constructed KG — the SPARQL-style
+    2-arm star join  ?t ont:hasRole role/X . ?t ont:usedTool tool/Y  —
+    answered in ONE pass: filter the two arms out of the (distinct)
+    triple stream, then ONE groupby(subj) counting matched arms (the
+    triple set's distinctness guarantees <= 1 row per (subj, arm), so
+    count == 2 IS the star match; no self-join, no broadcast)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from ifctordf_ray import schema as S
+
+    role_obj, tool_obj = f"ont:role/{role}", f"ont:tool/{tool}"
+    triples = kg_from_events(sf_dir, mode="fast")
+
+    def arms(t: pa.Table) -> pa.Table:
+        m = pc.or_(
+            pc.and_(
+                pc.equal(t["pred"], S.P_HAS_ROLE), pc.equal(t["obj"], role_obj)
+            ),
+            pc.and_(
+                pc.equal(t["pred"], S.P_USED_TOOL), pc.equal(t["obj"], tool_obj)
+            ),
+        )
+        return t.filter(m).select(["subj"])
+
+    hits = triples.map_batches(arms, batch_format="pyarrow")
+    both = hits.groupby("subj").aggregate(Count(alias_name="n_arms"))
+
+    def matched(t: pa.Table) -> pa.Table:
+        if "n_arms" not in t.schema.names:  # zero-block upstream
+            return pa.table({"subj": pa.array([], pa.string())})
+        return t.filter(pc.equal(t["n_arms"], 2)).select(["subj"])
+
+    return both.map_batches(matched, batch_format="pyarrow")
+
+
 def materialize(
     triples: ray.data.Dataset, out_dir: str, parquet: bool = False,
     turtle: bool = False, compression: str | None = None,

@@ -68,6 +68,35 @@ P_HAS_HEXBINARY = "ont:hasHexBinary"  # wrapper -> xsd:hexBinary literal (the la
 ROLES: tuple[str, ...] = ("user", "assistant", "system", "tool")
 TOOLS: tuple[str, ...] = ("logger", "search", "code", "browser", "shell")
 
+# TBox class hierarchy (rdfs:subClassOf edges) — the readOntology/OntModel
+# analog (IfcSpfReader reads the ifcOWL TBox and Jena materializes the
+# class tree; here the tiny closed TBox is a schema constant and its
+# TRANSITIVE closure is precomputed at import, broadcast-free).
+SUBCLASS_OF: tuple[tuple[str, str], ...] = (
+    (CLS_CONVERSATION, "ont:Dialogue"),
+    ("ont:Dialogue", "ont:Resource"),
+    (CLS_TURN, "ont:Utterance"),
+    ("ont:Utterance", "ont:Resource"),
+)
+
+
+def subclass_closure() -> dict[str, tuple[str, ...]]:
+    """class -> ALL (transitive) superclasses, sorted.  Vocab-sized."""
+    direct: dict[str, set[str]] = {}
+    for c, s in SUBCLASS_OF:
+        direct.setdefault(c, set()).add(s)
+    out: dict[str, tuple[str, ...]] = {}
+    for c in direct:
+        seen: set[str] = set()
+        stack = list(direct[c])
+        while stack:
+            s = stack.pop()
+            if s not in seen:
+                seen.add(s)
+                stack.extend(direct.get(s, ()))
+        out[c] = tuple(sorted(seen))
+    return out
+
 # Mention-detection regexes (the tokenizer analog, IfcSpfParser.java:60-145).
 # RE2-compatible so Python `re` and DuckDB `regexp_extract_all` agree exactly.
 NUM_RE = r"\d+"          # numeric mention; lexical form kept VERBATIM (P5 contract)

@@ -315,6 +315,37 @@ def kg_delta_triples_sql() -> str:
     return f"SELECT * FROM ({new}) EXCEPT SELECT * FROM ({base})"
 
 
+def kg_inferred_types_sql() -> str:
+    """RDFS-entailed rdf:type set: asserted type triples plus one triple
+    per transitive superclass (recursive closure over the VALUES TBox —
+    the same schema.SUBCLASS_OF constant the Ray pass precomputes)."""
+    vals = ", ".join(f"('{c}', '{s}')" for c, s in S.SUBCLASS_OF)
+    return f"""WITH RECURSIVE t AS ({kg_triples_sql()}),
+sub(c, s) AS (VALUES {vals}),
+closure(c, s) AS (
+    SELECT c, s FROM sub
+    UNION
+    SELECT closure.c, sub.s FROM closure JOIN sub ON closure.s = sub.c
+),
+types AS (SELECT subj, obj FROM t WHERE pred = '{S.RDF_TYPE}')
+SELECT DISTINCT subj, '{S.RDF_TYPE}' AS pred, obj, 'uri' AS obj_kind FROM (
+    SELECT subj, obj FROM types
+    UNION ALL
+    SELECT ty.subj, cl.s AS obj FROM types ty JOIN closure cl ON ty.obj = cl.c
+)"""
+
+
+def kg_star_pattern_sql(role: str = "tool", tool: str = "logger") -> str:
+    """2-arm star pattern: subjects with BOTH hasRole role/X and usedTool
+    tool/Y.  Distinct triples guarantee <= 1 row per (subj, arm), so
+    HAVING count(*) = 2 is exactly the star match."""
+    return f"""WITH t AS ({kg_triples_sql()})
+SELECT subj FROM t
+WHERE (pred = '{S.P_HAS_ROLE}' AND obj = 'ont:role/{role}')
+   OR (pred = '{S.P_USED_TOOL}' AND obj = 'ont:tool/{tool}')
+GROUP BY subj HAVING count(*) = 2"""
+
+
 def kg_predicate_stats_sql() -> str:
     """Per-predicate triple counts over the deduplicated graph."""
     return f"""WITH t AS ({kg_triples_sql()})
