@@ -134,6 +134,51 @@ def _q_kg_star_pattern(sf_dir: str):
     return kg.kg_star_pattern(sf_dir)
 
 
+def _q_kg_void_stats(sf_dir: str):
+    """VoID dataset statistics: one observation-pair pass + one distinct
+    exchange + a vocab-sized groupby."""
+    from ifctordf_ray.pipelines import kg
+
+    return kg.kg_void_stats(sf_dir)
+
+
+def _q_kg_property_paths(sf_dir: str):
+    """nextTurn{1,3} bounded transitive closure via per-hop hash joins."""
+    from ifctordf_ray.pipelines import kg
+
+    return kg.kg_property_paths(sf_dir)
+
+
+def _q_kg_shape_violations(sf_dir: str):
+    """SHACL-style cardinality validation report over the graph."""
+    from ifctordf_ray.pipelines import kg
+
+    return kg.kg_shape_violations(sf_dir)
+
+
+def _q_kg_describe(sf_dir: str):
+    """DESCRIBE-style per-subject adjacency serialization."""
+    from ifctordf_ray.pipelines import kg
+
+    return kg.kg_describe(sf_dir)
+
+
+def _q_kg_predicate_cooccurrence(sf_dir: str):
+    """Subject-profile predicate pair counts via closed-vocab bitmask
+    aggregate (schema-bounded driver state)."""
+    from ifctordf_ray.pipelines import kg
+
+    return kg.kg_predicate_cooccurrence(sf_dir)
+
+
+def _q_kg_named_graphs(sf_dir: str):
+    """Per-conversation named-graph triple counts (quad-store
+    partition manifest)."""
+    from ifctordf_ray.pipelines import kg
+
+    return kg.kg_named_graphs(sf_dir)
+
+
 def _stage_tr(module, name):
     """Stage operating on the derived transcript Dataset.  Multi-consumer
     stages (link_mentions) re-execute the cheap pruned derivation per
@@ -224,6 +269,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_delta_triples": _q_kg_delta_triples,
         "kg_inferred_types": _q_kg_inferred_types,
         "kg_star_pattern": _q_kg_star_pattern,
+        "kg_void_stats": _q_kg_void_stats,
+        "kg_property_paths": _q_kg_property_paths,
+        "kg_shape_violations": _q_kg_shape_violations,
+        "kg_describe": _q_kg_describe,
+        # list_members (ordered list recovery) is a library op only: the
+        # synthetic sf corpora contain no structured list mentions, so a
+        # queries() entry would be a permanently-0-row oracle — fixture
+        # pytest coverage instead (tests/test_kg_query_ops.py).
+        "kg_predicate_cooccurrence": _q_kg_predicate_cooccurrence,
+        "kg_named_graphs": _q_kg_named_graphs,
         "kg_mention_next_hop": _stage("graphq", "mention_next_hop"),
         "kg_dedup_turns": _stage_tr("turndedup", "dedup_turns"),
         "kg_turn_redirects": _stage_tr("turndedup", "turn_redirects"),
@@ -446,6 +501,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_delta_triples": O.kg_delta_triples_sql(),
         "kg_inferred_types": O.kg_inferred_types_sql(),
         "kg_star_pattern": O.kg_star_pattern_sql(),
+        "kg_void_stats": O.kg_void_stats_sql(),
+        "kg_property_paths": O.kg_property_paths_sql(),
+        "kg_shape_violations": O.kg_shape_violations_sql(),
+        "kg_describe": O.kg_describe_sql(),
+        "kg_predicate_cooccurrence": O.kg_predicate_cooccurrence_sql(),
+        "kg_named_graphs": O.kg_named_graphs_sql(),
         "kg_mention_next_hop": GQ.mention_next_hop_sql(),
         "kg_dedup_turns": TD.dedup_turns_sql(),
         "kg_turn_redirects": TD.turn_redirects_sql(),

@@ -220,6 +220,502 @@ def kg_star_pattern(
     return both.map_batches(matched, batch_format="pyarrow")
 
 
+def kg_void_stats(sf_dir: str) -> ray.data.Dataset:
+    """VoID-style dataset statistics over the constructed graph: triple
+    count, distinct subjects / properties / URI objects / classes, and
+    per-class instance counts — the descriptive metadata a published KG
+    ships alongside its triples.
+
+    Scale shape: ONE vectorized map emits (stat, k) observation pairs
+    (the triple's own 4-tuple is its key for n_triples — the graph is a
+    SET, so every row is unique by construction), ONE distinct exchange
+    over the pairs, then a vocab-sized groupby(stat) count.  No driver
+    state, no broadcast.  The \\x1f joint is collision-safe for this
+    engine's lexical space and — being constructed identically in the
+    SQL oracle — deterministic regardless."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ifctordf_ray import schema as S
+
+    triples = kg_from_events(sf_dir, mode="fast")
+    SEP = "\x1f"
+
+    def pairs(t: pa.Table) -> pa.Table:
+        parts: list[pa.Table] = []
+
+        def const(n: int, v: str) -> pa.Array:
+            return pa.nulls(n, pa.string()).fill_null(v)
+
+        def add(stat_arr, keys):
+            parts.append(pa.table({"stat": stat_arr, "k": keys}))
+
+        n = t.num_rows
+        add(
+            const(n, "n_triples"),
+            pc.binary_join_element_wise(
+                t["subj"], t["pred"], t["obj"], t["obj_kind"], SEP
+            ),
+        )
+        add(const(n, "n_distinct_subjects"), t["subj"])
+        add(const(n, "n_properties"), t["pred"])
+        uri = t.filter(pc.equal(t["obj_kind"], "uri"))
+        add(const(uri.num_rows, "n_distinct_uri_objects"), uri["obj"])
+        ty = t.filter(pc.equal(t["pred"], S.RDF_TYPE))
+        add(const(ty.num_rows, "n_classes"), ty["obj"])
+        add(
+            pc.binary_join_element_wise(
+                const(ty.num_rows, "class_instances"), ty["obj"], ":"
+            ),
+            ty["subj"],
+        )
+        return pa.concat_tables(parts).combine_chunks()
+
+    from ray.data.aggregate import Count
+
+    obs = triples.map_batches(pairs, batch_format="pyarrow")
+    uniq = extract.distinct(obs, ["stat", "k"])
+    return uniq.groupby("stat").aggregate(Count(alias_name="n"))
+
+
+def kg_property_paths(sf_dir: str, max_hops: int = 3) -> ray.data.Dataset:
+    """SPARQL property-path analog: nextTurn{1,max_hops} reachability
+    pairs (src, dst, dist) — the bounded transitive closure of the
+    turn-succession chain, the query-side counterpart of the reference's
+    list hasNext chains (T7-T10).
+
+    Scale shape: ONE exchange total.  nextTurn edges never cross a
+    conversation (emitted arithmetically inside the per-conversation
+    assembly, extract.py — the documented partitioning assumption), so
+    the closure is computed per chain: derive the chain key from the
+    turn IRI, ONE groupby(chain).map_groups, and inside each group a
+    fully vectorized walk — sort edges by turn index, build the
+    consecutive-linkage mask (dst[i] == src[i+1], checked, not
+    assumed), and hop-k pairs are shifted-array slices guarded by the
+    AND of the k-1 intermediate links.  No joins, no driver state, and
+    group size is conversation-length-bounded (same bound the assembly
+    groupby relies on).  The per-hop hash-join formulation was the
+    naive alternative: max_hops-1 all-to-all exchanges, each replaying
+    the edge derivation — strictly worse at any scale."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ifctordf_ray import schema as S
+
+    triples = kg_from_events(sf_dir, mode="fast")
+
+    def edges_fn(t: pa.Table) -> pa.Table:
+        e = t.filter(pc.equal(t["pred"], S.P_NEXT_TURN))
+        # subj is inst:turn/{conv}/{idx}; greedy conv + anchored \d+ idx
+        # keeps the split correct even if conv ids ever contain '/'
+        m = pc.extract_regex(e["subj"], r"^inst:turn/(?P<chain>.+)/(?P<idx>\d+)$")
+        return pa.table(
+            {
+                "chain": pc.struct_field(m, "chain"),
+                "idx": pc.cast(pc.struct_field(m, "idx"), pa.int64()),
+                "src": e["subj"],
+                "dst": e["obj"],
+            }
+        )
+
+    edges = triples.map_batches(edges_fn, batch_format="pyarrow")
+
+    def closure(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g["idx"])
+        src = g["src"].take(order).to_numpy(zero_copy_only=False)
+        dst = g["dst"].take(order).to_numpy(zero_copy_only=False)
+        n = len(src)
+        # link[i]: edge i's head IS edge i+1's tail (verified, not assumed)
+        link = dst[:-1] == src[1:] if n > 1 else np.zeros(0, bool)
+        srcs, dsts, dists = [src], [dst], [np.full(n, 1, np.int64)]
+        valid = np.ones(max(n - 1, 0), bool)
+        for h in range(2, max_hops + 1):
+            w = n - (h - 1)
+            if w <= 0:
+                break
+            valid = valid[:w] & link[h - 2 : h - 2 + w]
+            srcs.append(src[:w][valid])
+            dsts.append(dst[h - 1 :][valid])
+            dists.append(np.full(int(valid.sum()), h, np.int64))
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(srcs), pa.string()),
+                "dst": pa.array(np.concatenate(dsts), pa.string()),
+                "dist": pa.array(np.concatenate(dists), pa.int64()),
+            }
+        )
+
+    return edges.groupby("chain").map_groups(closure, batch_format="pyarrow")
+
+
+def kg_shape_violations(sf_dir: str) -> ray.data.Dataset:
+    """SHACL-style cardinality validation report over the constructed
+    graph (shapes: schema.SHAPES, targeting ont:Turn instances).  Emits
+    one row per violation: (focus, pred, n, allowed, kind) with
+    kind='max' (observed n > max_count) or kind='min' (required
+    predicate absent, n=0).  Both kinds fire on real corpora: 'min'
+    rows are turns whose role was out-of-vocab (L6 routes the triple to
+    the error side-output, leaving the typed Turn role-less); 'max'
+    rows are multi-number turns.
+
+    Scale shape: max checks are ONE groupby((subj, pred)) count over the
+    constrained-predicate slice with a vectorized closed-vocab limit
+    lookup (index_in + take — no join, the shape table is schema-sized);
+    min checks are ONE distributed anti-join of typed targets against
+    the required predicate's subjects."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from ifctordf_ray import schema as S
+    from ifctordf_ray.functions.kernels import safe_join
+
+    triples = kg_from_events(sf_dir, mode="fast")
+    max_preds = [p for p, _mn, mx in S.SHAPES if mx is not None]
+    max_vals = [mx for _p, _mn, mx in S.SHAPES if mx is not None]
+    min_preds = [p for p, mn, _mx in S.SHAPES if mn >= 1]
+
+    def constrained(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["pred"], pa.array(max_preds))
+        e = t.filter(m)
+        return pa.table({"focus": e["subj"], "pred": e["pred"]})
+
+    counts = (
+        triples.map_batches(constrained, batch_format="pyarrow")
+        .groupby(["focus", "pred"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def over_max(t: pa.Table) -> pa.Table:
+        if "n" not in t.schema.names:  # zero-block upstream
+            return pa.table(
+                {
+                    "focus": pa.array([], pa.string()),
+                    "pred": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "allowed": pa.array([], pa.int64()),
+                    "kind": pa.array([], pa.string()),
+                }
+            )
+        allowed = pc.take(
+            pa.array(max_vals, pa.int64()),
+            pc.index_in(t["pred"], pa.array(max_preds)),
+        )
+        t = t.append_column("allowed", allowed)
+        v = t.filter(pc.greater(pc.cast(t["n"], pa.int64()), t["allowed"]))
+        return pa.table(
+            {
+                "focus": v["focus"],
+                "pred": v["pred"],
+                "n": pc.cast(v["n"], pa.int64()),
+                "allowed": v["allowed"],
+                "kind": pa.nulls(v.num_rows, pa.string()).fill_null("max"),
+            }
+        )
+
+    viol = counts.map_batches(over_max, batch_format="pyarrow")
+
+    one_schema = pa.schema([("focus", pa.string())])
+    for req in min_preds:
+
+        def targets(t: pa.Table, _req=req) -> pa.Table:
+            ty = t.filter(
+                pc.and_(
+                    pc.equal(t["pred"], S.RDF_TYPE),
+                    pc.equal(t["obj"], S.CLS_TURN),
+                )
+            )
+            return pa.table({"focus": ty["subj"]})
+
+        def havers(t: pa.Table, _req=req) -> pa.Table:
+            h = t.filter(pc.equal(t["pred"], _req))
+            return pa.table({"focus": h["subj"]})
+
+        missing = safe_join(
+            triples.map_batches(targets, batch_format="pyarrow"),
+            one_schema,
+            triples.map_batches(havers, batch_format="pyarrow"),
+            one_schema,
+            join_type="left_anti",
+            on=("focus",),
+            right_on=("focus",),
+        )
+
+        def as_min_rows(t: pa.Table, _req=req) -> pa.Table:
+            n = t.num_rows
+            return pa.table(
+                {
+                    "focus": t["focus"],
+                    "pred": pa.nulls(n, pa.string()).fill_null(_req),
+                    "n": pa.nulls(n, pa.int64()).fill_null(0),
+                    "allowed": pa.nulls(n, pa.int64()).fill_null(1),
+                    "kind": pa.nulls(n, pa.string()).fill_null("min"),
+                }
+            )
+
+        viol = viol.union(missing.map_batches(as_min_rows, batch_format="pyarrow"))
+    return viol
+
+
+def kg_describe(sf_dir: str) -> ray.data.Dataset:
+    """DESCRIBE-style per-subject serialization: every subject with its
+    full (pred, obj) adjacency rendered as ONE deterministic string —
+    items sorted bytewise, literals quoted — the grouped-graph analog of
+    the reference's per-entity RDF block emission (parseModelToGraph
+    renders each instance's statements together).
+
+    Scale shape: groupby(subj) with a custom AggregateFn whose
+    accumulator is the subject's item list (degree-bounded: turns have
+    closed-vocab + per-turn-mention degree; conversations are bounded by
+    conversation length — same bound the assembly groupby already
+    relies on); finalize joins the sorted items.  Item rendering is
+    vectorized per block before accumulation."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import AggregateFn
+
+    triples = kg_from_events(sf_dir, mode="fast")
+
+    def items_fn(t: pa.Table) -> pa.Table:
+        quoted = pc.binary_join_element_wise(
+            pa.nulls(t.num_rows, pa.string()).fill_null('"'),
+            t["obj"],
+            pa.nulls(t.num_rows, pa.string()).fill_null('"'),
+            "",
+        )
+        rendered = pc.if_else(pc.equal(t["obj_kind"], "uri"), t["obj"], quoted)
+        item = pc.binary_join_element_wise(t["pred"], rendered, " ")
+        return pa.table({"subj": t["subj"], "item": item})
+
+    def acc_block(acc: list, block) -> list:
+        col = block.column("item")
+        return acc + col.to_pylist()
+
+    agg = AggregateFn(
+        init=lambda k: [],
+        merge=lambda a, b: a + b,
+        accumulate_block=acc_block,
+        finalize=lambda items: "; ".join(sorted(items)),
+        name="description",
+    )
+    return (
+        triples.map_batches(items_fn, batch_format="pyarrow")
+        .groupby("subj")
+        .aggregate(agg)
+    )
+
+
+def list_members(triples: ray.data.Dataset) -> ray.data.Dataset:
+    """Ordered list recovery — the INVERSE of the construction-side
+    hasContents/hasNext chain emission (T7–T10, RDFWriter.java:136-137's
+    list graphs): for every structured list in the graph, its members in
+    position order as (head, pos, member, member_kind, linked), where
+    `linked` verifies the chain from the data (the pos-1 node carries a
+    hasNext edge; pos 0 is trivially linked) rather than trusting the
+    IRI-embedded position.
+
+    Scale shape: one vectorized pass splits the hasContents / hasNext
+    predicate slices into tagged (chain, pos) rows; ONE
+    groupby(chain).map_groups computes the linked mask in-group with
+    np.isin — group size = list length (input-bounded, same bound the
+    construction side relies on); no joins, no driver state.  A 0-row
+    schema anchor is unioned in so a list-free corpus still yields the
+    contract schema (empty groupby output drops it otherwise)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ifctordf_ray import schema as S
+
+    RE = r"^inst:listn/(?P<chain>[0-9a-f]+)/(?P<pos>\d+)$"
+
+    def tagged(t: pa.Table) -> pa.Table:
+        def const(n: int, v: str) -> pa.Array:
+            return pa.nulls(n, pa.string()).fill_null(v)
+
+        c = t.filter(pc.equal(t["pred"], S.P_HAS_CONTENTS))
+        mc = pc.extract_regex(c["subj"], RE)
+        nx = t.filter(pc.equal(t["pred"], S.P_HAS_NEXT))
+        mn = pc.extract_regex(nx["subj"], RE)
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "chain": pc.struct_field(mc, "chain"),
+                        "pos": pc.cast(pc.struct_field(mc, "pos"), pa.int64()),
+                        "member": c["obj"],
+                        "member_kind": c["obj_kind"],
+                        "tag": const(c.num_rows, "c"),
+                    }
+                ),
+                pa.table(
+                    {
+                        "chain": pc.struct_field(mn, "chain"),
+                        "pos": pc.cast(pc.struct_field(mn, "pos"), pa.int64()),
+                        "member": pa.nulls(nx.num_rows, pa.string()),
+                        "member_kind": pa.nulls(nx.num_rows, pa.string()),
+                        "tag": const(nx.num_rows, "n"),
+                    }
+                ),
+            ]
+        ).combine_chunks()
+
+    def unfold(g: pa.Table) -> pa.Table:
+        chain = g["chain"][0].as_py()
+        is_c = pc.equal(g["tag"], "c")
+        c = g.filter(is_c)
+        npos = g.filter(pc.invert(is_c))["pos"].to_numpy(zero_copy_only=False)
+        order = pc.sort_indices(c["pos"])
+        c = c.take(order)
+        cpos = c["pos"].to_numpy(zero_copy_only=False)
+        linked = (cpos == 0) | np.isin(cpos - 1, npos)
+        n = c.num_rows
+        return pa.table(
+            {
+                "head": pa.nulls(n, pa.string()).fill_null(
+                    f"inst:listn/{chain}/0"
+                ),
+                "pos": c["pos"],
+                "member": c["member"],
+                "member_kind": c["member_kind"],
+                "linked": pa.array(linked, pa.bool_()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("head", pa.string()),
+            ("pos", pa.int64()),
+            ("member", pa.string()),
+            ("member_kind", pa.string()),
+            ("linked", pa.bool_()),
+        ]
+    )
+    unfolded = (
+        triples.map_batches(tagged, batch_format="pyarrow")
+        .groupby("chain")
+        .map_groups(unfold, batch_format="pyarrow")
+    )
+    anchor = ray.data.from_arrow(out_schema.empty_table())
+    return anchor.union(unfolded)
+
+
+def kg_predicate_cooccurrence(sf_dir: str) -> ray.data.Dataset:
+    """Subject-profile predicate co-occurrence: for every unordered
+    predicate pair (pred_a < pred_b bytewise), the number of subjects
+    carrying BOTH — the schema-shape profile a KG publisher reports (and
+    the input to characteristic-set cardinality estimation).
+
+    Scale shape: the predicate vocabulary is CLOSED (schema.PRED_TABLE,
+    |P| = 21 < 63), so each predicate maps to one bit of an int64 and a
+    subject's whole profile is ONE mask: a vectorized shift_left map,
+    groupby(subj) with a bitwise-OR AggregateFn (per-block pre-combined
+    via np.bitwise_or.reduce), then groupby(mask).count() — whose
+    cardinality is bounded by the schema's realizable profiles, NOT the
+    data.  Only that tiny mask histogram reaches the driver, where the
+    mask→pairs expansion is pure integer arithmetic.  Compare: the naive
+    distinct(subj,pred) self-join shuffles the corpus twice."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import AggregateFn, Count
+
+    from ifctordf_ray import schema as S
+
+    vocab = sorted(S.PRED_NAMES)  # bit i = vocab[i]; lex order so bit
+    # order IS the pred_a < pred_b output order
+    assert len(vocab) < 63
+    vocab_arr = pa.array(vocab, pa.string())
+
+    triples = kg_from_events(sf_dir, mode="fast")
+
+    def bits(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["pred"], vocab_arr)  # closed vocab: never null
+        return pa.table(
+            {
+                "subj": t["subj"],
+                "bit": pc.shift_left(
+                    pa.scalar(1, pa.int64()), pc.cast(idx, pa.int64())
+                ),
+            }
+        )
+
+    def acc_block(acc: int, block) -> int:
+        vals = block.column("bit").to_numpy(zero_copy_only=False)
+        if not len(vals):
+            return acc
+        return acc | int(np.bitwise_or.reduce(vals))
+
+    mask_agg = AggregateFn(
+        init=lambda k: 0,
+        merge=lambda a, b: a | b,
+        accumulate_block=acc_block,
+        finalize=lambda m: m,
+        name="mask",
+    )
+    masks = (
+        triples.map_batches(bits, batch_format="pyarrow")
+        .groupby("subj")
+        .aggregate(mask_agg)
+        .select_columns(["mask"])
+        .groupby("mask")
+        .aggregate(Count(alias_name="n"))
+    )
+    # schema-bounded (distinct realizable profiles), never corpus-sized
+    hist = masks.take_all()
+    acc: dict[tuple[str, str], int] = {}
+    for row in hist:
+        m, cnt = int(row["mask"]), int(row["n"])
+        preds = [vocab[i] for i in range(len(vocab)) if m >> i & 1]
+        for i in range(len(preds)):
+            for j in range(i + 1, len(preds)):
+                key = (preds[i], preds[j])
+                acc[key] = acc.get(key, 0) + cnt
+    out = pa.table(
+        {
+            "pred_a": pa.array([k[0] for k in acc], pa.string()),
+            "pred_b": pa.array([k[1] for k in acc], pa.string()),
+            "n_subjects": pa.array(list(acc.values()), pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(out)
+
+
+def kg_named_graphs(sf_dir: str) -> ray.data.Dataset:
+    """Named-graph partitioning stats: every triple is assigned to its
+    provenance graph — the conversation whose subject scope emitted it
+    (inst:conv/{c} or inst:turn/{c}/{i} → graph c) or the 'shared'
+    default graph for globally-canonical nodes (text/number/decimal/hex
+    wrappers, list nodes, ontology individuals — content-derived IRIs
+    shared across conversations by design, schema.py A1 note).  Output:
+    (graph, n_triples) — the quad-store partition manifest.
+
+    Scale shape: one vectorized regex map + ONE groupby(graph) count
+    (Ray pre-combines per block); output is conversation-count-sized."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    triples = kg_from_events(sf_dir, mode="fast")
+
+    def graph_of(t: pa.Table) -> pa.Table:
+        conv = pc.extract_regex(t["subj"], r"^inst:conv/(?P<g>.+)$")
+        turn = pc.extract_regex(t["subj"], r"^inst:turn/(?P<g>.+)/\d+$")
+        g = pc.coalesce(
+            pc.struct_field(conv, "g"),
+            pc.struct_field(turn, "g"),
+            pa.scalar("shared", pa.string()),
+        )
+        return pa.table({"graph": g})
+
+    return (
+        triples.map_batches(graph_of, batch_format="pyarrow")
+        .groupby("graph")
+        .aggregate(Count(alias_name="n_triples"))
+    )
+
+
 def materialize(
     triples: ray.data.Dataset, out_dir: str, parquet: bool = False,
     turtle: bool = False, compression: str | None = None,

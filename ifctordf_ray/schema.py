@@ -80,6 +80,23 @@ SUBCLASS_OF: tuple[tuple[str, str], ...] = (
 )
 
 
+# SHACL-style cardinality shapes on ont:Turn-targeted predicates (the
+# validation analog of the reference's WHERE/cardinality checks on EXPRESS
+# attributes — IfcSpfReader aborts on malformed records; here violations
+# are DATA, emitted as a report).  (pred, min_count, max_count); max=None
+# means unbounded.  mentionsNumber max=1 is a deliberately strict QA gate:
+# multi-number turns (a fifth of real corpora) violate it, so the 'max'
+# branch of the report fires on real data, alongside 'min' rows from
+# role-less (out-of-vocab-role) turns.
+SHAPES: tuple[tuple[str, int, int | None], ...] = (
+    (P_HAS_ROLE, 1, 1),
+    (P_USED_TOOL, 0, 1),
+    (P_NEXT_TURN, 0, 1),
+    (P_MENTIONS_NUMBER, 0, 1),
+    (P_MENTIONS_TURN, 0, 1),
+)
+
+
 def subclass_closure() -> dict[str, tuple[str, ...]]:
     """class -> ALL (transitive) superclasses, sorted.  Vocab-sized."""
     direct: dict[str, set[str]] = {}

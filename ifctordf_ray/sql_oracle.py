@@ -346,6 +346,112 @@ WHERE (pred = '{S.P_HAS_ROLE}' AND obj = 'ont:role/{role}')
 GROUP BY subj HAVING count(*) = 2"""
 
 
+def kg_void_stats_sql() -> str:
+    """VoID statistics: the same (stat, k) observation-pair construction
+    as the Ray pass (chr(31) joint), count(DISTINCT k) per stat."""
+    j = " || chr(31) || "
+    return f"""WITH t AS ({kg_triples_sql()}),
+pairs AS (
+    SELECT 'n_triples' AS stat, subj{j}pred{j}obj{j}obj_kind AS k FROM t
+    UNION ALL SELECT 'n_distinct_subjects', subj FROM t
+    UNION ALL SELECT 'n_properties', pred FROM t
+    UNION ALL SELECT 'n_distinct_uri_objects', obj FROM t WHERE obj_kind = 'uri'
+    UNION ALL SELECT 'n_classes', obj FROM t WHERE pred = '{S.RDF_TYPE}'
+    UNION ALL SELECT 'class_instances:' || obj, subj FROM t WHERE pred = '{S.RDF_TYPE}'
+)
+SELECT stat, CAST(count(DISTINCT k) AS BIGINT) AS n FROM pairs GROUP BY stat"""
+
+
+def kg_property_paths_sql(max_hops: int = 3) -> str:
+    """nextTurn{{1,max_hops}} reachability: hop k is one self-join of
+    hop k-1 against the edge set (chains are simple paths, so UNION ALL
+    is already set-valued)."""
+    ctes = [
+        f"e AS (SELECT subj AS src, obj AS dst FROM t WHERE pred = '{S.P_NEXT_TURN}')",
+        "p1 AS (SELECT src, dst FROM e)",
+    ]
+    sels = ["SELECT src, dst, CAST(1 AS BIGINT) AS dist FROM p1"]
+    for h in range(2, max_hops + 1):
+        ctes.append(
+            f"p{h} AS (SELECT p.src, e.dst FROM p{h - 1} p JOIN e ON p.dst = e.src)"
+        )
+        sels.append(f"SELECT src, dst, CAST({h} AS BIGINT) AS dist FROM p{h}")
+    return (
+        f"WITH t AS ({kg_triples_sql()}),\n"
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL ".join(sels)
+    )
+
+
+def kg_shape_violations_sql() -> str:
+    """SHACL-style cardinality report: max violations via a per-
+    (focus, pred) count joined to the VALUES shape table; min violations
+    via NOT EXISTS over ont:Turn targets."""
+    max_shapes = [(p, mx) for p, _mn, mx in S.SHAPES if mx is not None]
+    min_preds = [p for p, mn, _mx in S.SHAPES if mn >= 1]
+    vals = ", ".join(f"('{p}', {mx})" for p, mx in max_shapes)
+    inlist = ", ".join(f"'{p}'" for p, _ in max_shapes)
+    min_sels = [
+        f"""SELECT f.focus, '{req}' AS pred, CAST(0 AS BIGINT) AS n,
+       CAST(1 AS BIGINT) AS allowed, 'min' AS kind
+FROM turns f WHERE NOT EXISTS (
+    SELECT 1 FROM t WHERE t.pred = '{req}' AND t.subj = f.focus)"""
+        for req in min_preds
+    ]
+    return f"""WITH t AS ({kg_triples_sql()}),
+shapes(pred, max_count) AS (VALUES {vals}),
+counts AS (
+    SELECT subj AS focus, pred, CAST(count(*) AS BIGINT) AS n
+    FROM t WHERE pred IN ({inlist}) GROUP BY subj, pred
+),
+turns AS (SELECT subj AS focus FROM t
+          WHERE pred = '{S.RDF_TYPE}' AND obj = '{S.CLS_TURN}')
+SELECT c.focus, c.pred, c.n, CAST(s.max_count AS BIGINT) AS allowed,
+       'max' AS kind
+FROM counts c JOIN shapes s ON c.pred = s.pred WHERE c.n > s.max_count
+UNION ALL {' UNION ALL '.join(min_sels)}"""
+
+
+def kg_describe_sql() -> str:
+    """DESCRIBE serialization: bytewise-sorted '; '-joined items, quoted
+    literals — identical rendering to the Ray AggregateFn."""
+    return f"""WITH t AS ({kg_triples_sql()}),
+items AS (
+    SELECT subj,
+           pred || ' ' || CASE WHEN obj_kind = 'uri' THEN obj
+                               ELSE '"' || obj || '"' END AS item
+    FROM t
+)
+SELECT subj, string_agg(item, '; ' ORDER BY item) AS description
+FROM items GROUP BY subj"""
+
+
+def kg_predicate_cooccurrence_sql() -> str:
+    """Predicate co-occurrence: distinct (subj, pred) self-joined on
+    subj with pred_a < pred_b (bytewise — matches the Ray side's
+    lex-sorted bit order)."""
+    return f"""WITH t AS ({kg_triples_sql()}),
+sp AS (SELECT DISTINCT subj, pred FROM t)
+SELECT a.pred AS pred_a, b.pred AS pred_b,
+       CAST(count(*) AS BIGINT) AS n_subjects
+FROM sp a JOIN sp b ON a.subj = b.subj AND a.pred < b.pred
+GROUP BY a.pred, b.pred"""
+
+
+def kg_named_graphs_sql() -> str:
+    """Named-graph stats: conversation-scoped subjects map to their conv
+    graph (greedy turn split — conv ids may contain '/'); everything
+    else is the shared default graph."""
+    return f"""WITH t AS ({kg_triples_sql()})
+SELECT CASE WHEN subj LIKE 'inst:conv/%' THEN substr(subj, 11)
+            WHEN subj LIKE 'inst:turn/%'
+                 THEN regexp_extract(subj, '^inst:turn/(.+)/[0-9]+$', 1)
+            ELSE 'shared' END AS graph,
+       CAST(count(*) AS BIGINT) AS n_triples
+FROM t GROUP BY 1"""
+
+
 def kg_predicate_stats_sql() -> str:
     """Per-predicate triple counts over the deduplicated graph."""
     return f"""WITH t AS ({kg_triples_sql()})

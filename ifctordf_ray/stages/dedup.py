@@ -855,6 +855,21 @@ def min_label_components(
         sentinel_row={"doc": -1, "label": -1},
     ).materialize()
 
+    def _part_sums(t: pa.Table) -> pa.Table:
+        # exact per-block Python-int partial sums shipped as DECIMAL
+        # STRINGS: md5-derived int64 labels overflow int64 under Sum()
+        # (Ray's reduce then falls back to pickled-object blocks — seen
+        # as 'sum(label)' ArrowConversion noise in gate logs); Python
+        # ints are arbitrary-precision, so the exact-sum convergence
+        # invariant is preserved with block-count-sized driver state.
+        vals = t["label"].to_numpy(zero_copy_only=False)
+        total = int(vals.astype(object).sum()) if len(vals) else 0
+        return pa.table({"s": pa.array([str(total)], pa.string())})
+
+    def _exact_sum(ds: ray.data.Dataset) -> int:
+        parts = ds.map_batches(_part_sums, batch_format="pyarrow").take_all()
+        return sum(int(r["s"]) for r in parts)
+
     prev_sum: int | None = None
     for _ in range(max_iters):
         cand = edges.join(
@@ -870,7 +885,7 @@ def min_label_components(
             _LAB_SCHEMA,
             sentinel_row={"doc": -1, "label": -1},
         ).materialize()
-        s = new_labels.sum("label")
+        s = _exact_sum(new_labels)
         labels = new_labels
         if s == prev_sum:
             break
