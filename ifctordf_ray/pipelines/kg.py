@@ -815,6 +815,88 @@ def materialize_parquet(
     return sum(m["n_triples"] for m in per_file)
 
 
+def materialize_parquet_fastset(
+    sf_dir: str, out_dir: str, replicate: int = 1, compression: str = "zstd"
+) -> int:
+    """EXCHANGE-LIGHT Parquet flagship: the same triple SET as
+    materialize_parquet, with the global sorted-distinct exchange applied
+    only to the slice that can actually hold cross-batch duplicates.
+
+    Why this is exact: conversation-scoped triples (inst:conv/…,
+    inst:turn/… subjects) are each emitted by exactly ONE transcript row
+    and pre-deduplicated per batch, so they are globally distinct by
+    construction for the prevalidated dense fast path (the full argument
+    + the property test live at extract.SHARED_SUBJ_WIRE_CODES).  Only
+    shared content-derived wrapper subjects (text/num/dec/hex/listn —
+    ~10% of rows) can repeat across batches, and exactly that slice goes
+    through distinct().
+
+    Scale shape: ONE streaming pass — extract batches flow into
+    write_fastset_part, which writes the conversation slice directly as
+    content-addressed locally-sorted zstd parts (CPU-bound, scales per
+    node) and passes ONLY the shared slice to the sorted exchange
+    (measured 99.7% of exchange rows were already unique: the full-graph
+    exchange existed for the .nt sort contract, which this layout does
+    not promise).  The all-to-all volume drops ~10x; nothing is
+    materialized mid-pipeline and there is no second pass over the data
+    (manifest counts come from file footers).
+
+    Trade-off vs materialize_parquet (documented, intentional): no
+    global subject order and no disjoint-range pruning — the sorted
+    materializations remain the contract for ordered/prunable output;
+    file layout depends on batching (the triple SET is identical and
+    verified so by tests/test_fastset.py)."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from ifctordf_ray.sources.transcripts import transcripts_from_events
+
+    tr = transcripts_from_events(sf_dir, replicate=replicate, drop_dangling=True)
+    compact = extract.extract_compact(tr, prevalidated=True)
+    pq_dir = f"{out_dir}/parquet"
+    shared = compact.map_batches(
+        sinks.write_fastset_part,
+        fn_kwargs={"out_dir": pq_dir, "compression": compression, "split": True},
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    shared_triples = extract.decode_triples(
+        extract.distinct(shared, extract.COMPACT_COLS, int_prefix_key=True)
+    )
+    shared_triples.map_batches(
+        sinks.write_fastset_part,
+        fn_kwargs={"out_dir": pq_dir, "compression": compression, "split": False},
+        batch_format="pyarrow",
+        batch_size=None,
+    ).count()
+
+    per_file = []
+    for f in sorted(glob.glob(f"{pq_dir}/part-*.parquet")):
+        md = _pq.ParquetFile(f).metadata
+        per_file.append({"path": f, "n_triples": md.num_rows})
+    from ifctordf_ray import schema as S
+
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = f"{out_dir}/manifest.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "prefixes": S.PREFIXES,
+                "format": f"parquet-fastset/{compression}",
+                "n_triples": sum(m["n_triples"] for m in per_file),
+                "files": per_file,
+            },
+            f,
+            indent=1,
+            default=str,
+        )
+    os.replace(tmp, f"{out_dir}/manifest.json")
+    return sum(m["n_triples"] for m in per_file)
+
+
 def run(
     source: str,
     out_dir: str,

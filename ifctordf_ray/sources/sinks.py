@@ -455,6 +455,75 @@ def write_graph_parquet(
     )
 
 
+def write_fastset_part(
+    batch: pa.Table,
+    out_dir: str,
+    compression: str = "zstd",
+    split: bool = True,
+) -> pa.Table:
+    """Sink task of the exchange-light Parquet materialization
+    (kg.materialize_parquet_fastset): write this batch's
+    conversation-scoped rows as ONE content-addressed locally-sorted
+    Parquet part, and RETURN the shared-wrapper compact rows (the only
+    slice that can hold cross-batch duplicates — extract.
+    SHARED_SUBJ_WIRE_CODES) to the downstream distinct exchange.
+
+    split=False: the batch is already-public-schema deduplicated shared
+    triples; write everything, return a manifest-row table.
+
+    Content-addressed filenames (md5 of the serialized bytes) make
+    retried / lineage-recomputed tasks idempotent: same table -> same
+    bytes -> same name, and os.replace is atomic.  Stateless task, not
+    an actor pool."""
+    import io
+
+    from ifctordf_ray.stages.extract import (
+        SHARED_SUBJ_WIRE_CODES,
+        decode_compact_batch,
+    )
+
+    def _manifest(rows: list[tuple[str, int]]) -> pa.Table:
+        return pa.table(
+            {
+                "path": pa.array([p for p, _ in rows], pa.string()),
+                "n_triples": pa.array([n for _, n in rows], pa.int64()),
+            }
+        )
+
+    if split:
+        first = _pc.utf8_slice_codeunits(batch["subj"], 0, 1)
+        shared_mask = _pc.is_in(
+            first, pa.array(list(SHARED_SUBJ_WIRE_CODES), pa.string())
+        )
+        to_write = decode_compact_batch(batch.filter(_pc.invert(shared_mask)))
+        ret = batch.filter(shared_mask)
+    else:
+        to_write = batch
+        ret = None
+    if to_write.num_rows == 0:
+        return ret if ret is not None else _manifest([])
+    os.makedirs(out_dir, exist_ok=True)
+    # local subject sort: deterministic file bytes for a given batch
+    # content + tight-ish row-group stats; global order is NOT promised
+    # by this layout (that is the sorted materializations' contract)
+    to_write = to_write.sort_by(
+        [(c, "ascending") for c in ("subj", "pred", "obj", "obj_kind")]
+    )
+    buf = io.BytesIO()
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(to_write, buf, compression=compression)
+    data = buf.getvalue()
+    h = hashlib.md5(data).hexdigest()[:20]
+    path = os.path.join(out_dir, f"part-{h}.parquet")
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    return ret if ret is not None else _manifest([(path, to_write.num_rows)])
+
+
 def read_graph_parquet(out_dir: str) -> ray.data.Dataset:
     """Load a graph written by write_graph_parquet back as a triples
     Dataset (subject-bucket hive partitions pruned at the read for

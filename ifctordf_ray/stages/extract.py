@@ -960,6 +960,52 @@ def distinct_onepass(
     return ray.data.from_arrow_refs(merged)
 
 
+# Wire codes whose SUBJECTS can carry globally-duplicated triples.
+# Everything conversation-scoped (W_CONV, W_TURN subjects) is emitted by
+# exactly ONE transcript row: the conversation rdf:type fires only from
+# the conv_type_idx row, every turn-subject triple (type/turnIndex/
+# atTime/hasRole/usedTool*/textPresence/hasText/mentions*) comes from
+# that turn's own row, and nextTurn comes solely from the successor row
+# — so after the per-batch triple-keyed pre-dedup (which collapses
+# row-LOCAL multiplicity like a number mentioned twice in one text) the
+# conversation-scoped slice is globally distinct BY CONSTRUCTION for
+# prevalidated dense input (unique (conv_id, turn_idx) rows).  Only
+# content-derived shared-wrapper subjects — text/num/dec/hex wrappers
+# and list-chain nodes, each emitted once per MENTIONING row — can
+# duplicate across batches and need the global distinct exchange.
+# tests/test_fastset.py property-checks this invariant.
+SHARED_SUBJ_WIRE_CODES = (S.W_DEC, S.W_HEX, S.W_LISTN, S.W_NUM, S.W_TEXT)
+
+
+def extract_compact(
+    transcripts: ray.data.Dataset, prevalidated: bool = False
+) -> ray.data.Dataset:
+    """The extract_fast MAP stage without the distinct exchange: compact
+    wire-format triples (subj, pred_id, obj), per-batch pre-deduplicated.
+    Exposed for consumers that settle set semantics themselves —
+    kg.materialize_parquet_fastset routes only the shared-wrapper slice
+    (SHARED_SUBJ_WIRE_CODES) through the exchange."""
+    if prevalidated:
+        fn_kwargs = {}
+    else:
+        dangling, _ = resolve_references(transcripts)
+        fn_kwargs = {"dangling_ref": ray.put(dangling)}
+    # batch_size 8192: with the triple-keyed in-batch pre-dedup (see
+    # extract_batch_triples), this scope already collapses ~99% of the
+    # duplicate rows before the exchange (measured 20.64M pre-distinct
+    # vs 20.57M distinct on the 2M-turn corpus); 65536 collapsed barely
+    # more rows but slowed the per-batch group_by/mention loops ~1.8x.
+    # Deterministic and retry-exact — a worker-level seen-cache was tried
+    # and rejected in round 4 (leaks across executions, breaks lineage
+    # recompute).
+    return transcripts.map_batches(
+        extract_triples_fn,
+        fn_kwargs=fn_kwargs,
+        batch_format="pyarrow",
+        batch_size=8192,
+    )
+
+
 def extract_fast(
     transcripts: ray.data.Dataset, prevalidated: bool = False
 ) -> ray.data.Dataset:
@@ -976,25 +1022,7 @@ def extract_fast(
     upstream (e.g. transcripts_from_events(drop_dangling=True), where
     validation is in-group decidable) — the reference-resolution pass and
     its barrier are skipped and the pipeline is fully streaming."""
-    if prevalidated:
-        fn_kwargs = {}
-    else:
-        dangling, _ = resolve_references(transcripts)
-        fn_kwargs = {"dangling_ref": ray.put(dangling)}
-    # batch_size 8192: with the triple-keyed in-batch pre-dedup (see
-    # extract_batch_triples), this scope already collapses ~99% of the
-    # duplicate rows before the exchange (measured 20.64M pre-distinct
-    # vs 20.57M distinct on the 2M-turn corpus); 65536 collapsed barely
-    # more rows but slowed the per-batch group_by/mention loops ~1.8x.
-    # Deterministic and retry-exact — a worker-level seen-cache was tried
-    # and rejected in round 4 (leaks across executions, breaks lineage
-    # recompute).
-    triples = transcripts.map_batches(
-        extract_triples_fn,
-        fn_kwargs=fn_kwargs,
-        batch_format="pyarrow",
-        batch_size=8192,
-    )
+    triples = extract_compact(transcripts, prevalidated=prevalidated)
     return decode_triples(distinct(triples, COMPACT_COLS, int_prefix_key=True))
 
 
