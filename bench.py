@@ -260,7 +260,7 @@ def _scaling() -> None:
         json.dumps(
             {
                 "metric": "scaling_efficiency",
-                "sink_format": os.environ.get("GRAFT_SINK_FORMAT", "nt"),
+                "sink_format": os.environ.get("GRAFT_SINK_FORMAT", "parquet"),
                 **stage_detail,
                 "cpus": [lo, hi],
                 f"sec_{lo}": t_lo,
