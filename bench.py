@@ -133,12 +133,11 @@ def _run_benchmarks() -> dict:
     # isolates software scaling from the single-box memory-bandwidth
     # ceiling that the full sorted-dedup shuffle hits (see BASELINE.md)
     t0 = time.time()
-    from ifctordf_ray.stages.extract import extract_triples_fn
+    from ifctordf_ray.stages.extract import extract_compact
 
-    transcripts_from_events(
-        sf_dir, replicate=replicate, drop_dangling=True
-    ).map_batches(
-        extract_triples_fn, batch_format="pyarrow", batch_size=8192
+    extract_compact(
+        transcripts_from_events(sf_dir, replicate=replicate, drop_dangling=True),
+        prevalidated=True,
     ).count()
     queries["kg_extract_only"] = round(time.time() - t0, 3)
 

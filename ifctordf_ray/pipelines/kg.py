@@ -855,7 +855,12 @@ def materialize_parquet_fastset(
     from ifctordf_ray.sources.transcripts import transcripts_from_events
 
     tr = transcripts_from_events(sf_dir, replicate=replicate, drop_dangling=True)
-    compact = extract.extract_compact(tr, prevalidated=True)
+    # deterministic_batches: the content-addressed part-file names below
+    # hash batch contents, so rerun-idempotency needs run-to-run stable
+    # batch boundaries (see extract_compact's docstring).
+    compact = extract.extract_compact(
+        tr, prevalidated=True, deterministic_batches=True
+    )
     pq_dir = f"{out_dir}/parquet"
     shared = compact.map_batches(
         sinks.write_fastset_part,

@@ -867,11 +867,16 @@ def _dedup_adjacent(t: pa.Table, cols: list[str]) -> pa.Table:
 
 # ---- one-pass custom range shuffle (raw-Ray alternative to distinct) ----
 @ray.remote
-def _shuffle_sample(tbl: pa.Table, n: int = 256) -> np.ndarray:
-    """Evenly-spaced int64 key sample from one block (boundary estimation)."""
-    k = _sort_key8(tbl["subj"]).to_numpy(zero_copy_only=False)
-    if len(k) == 0:
+def _shuffle_sample(tbl: pa.Table, key_col: str, n: int = 256) -> np.ndarray:
+    """Evenly-spaced int64 key sample from one block (boundary estimation).
+
+    Empty blocks — including the ZERO-COLUMN empty blocks Ray emits for
+    empty input bundles without running the map UDF — return an empty
+    sample, which the driver also uses to drop them from the exchange
+    (a block is empty iff its sample is: any n>=1 rows sample >=1 key)."""
+    if tbl.num_columns == 0 or tbl.num_rows == 0:
         return np.empty(0, np.int64)
+    k = _sort_key8(tbl[key_col]).to_numpy(zero_copy_only=False)
     step = max(1, len(k) // n)
     return np.sort(k[::step][:n])
 
@@ -938,7 +943,14 @@ def distinct_onepass(
     cap = getattr(tuning, "_EXEC_CPU_CAP", None)
     slots = min(cpus, cap) if cap else cpus
     k = num_partitions or max(8, 2 * slots)
-    samples = [s for s in ray.get([_shuffle_sample.remote(r) for r in refs])]
+    samples = ray.get([_shuffle_sample.remote(r, cols[0]) for r in refs])
+    # drop empty blocks (empty iff empty sample) — they contribute
+    # nothing to a distinct and Ray's zero-column empty blocks would
+    # poison the merge concat
+    refs = [r for r, s in zip(refs, samples) if s.size]
+    samples = [s for s in samples if s.size]
+    if not refs:
+        return ds.limit(0)
     allk = np.sort(np.concatenate(samples)) if samples else np.empty(0, np.int64)
     if allk.size:
         cuts = np.linspace(0, allk.size - 1, k + 1).astype(np.int64)[1:-1]
@@ -946,15 +958,36 @@ def distinct_onepass(
     else:
         bounds = np.empty(0, np.int64)
     k = len(bounds) + 1
+    # raw tasks bypass Ray Data's exec-CPU cap (resource_limits applies to
+    # Dataset operators only).  Measured at 32 CPUs / cap 16 (2M-turn
+    # flagship, Parquet): num_cpus=1 (32 concurrent) 6.1 s, =2 (16
+    # concurrent, cap-equivalent) 6.6 s, =4 7.7 s — unlike the built-in
+    # sort (which regresses uncapped), this exchange moves ~8 B/row less
+    # and does no map-side sort, so full concurrency wins; default stays
+    # Ray's num_cpus=1.  GRAFT_ONEPASS_TASK_CPUS overrides for tuning.
+    import os as _os
+
+    env_cpus = _os.environ.get("GRAFT_ONEPASS_TASK_CPUS")
+    per_task = {"num_cpus": float(env_cpus)} if env_cpus else {}
     if k == 1:
-        parts = [[p] for p in (_shuffle_split.remote(r, bounds, 1, cols) for r in refs)]
+        parts = [
+            [p]
+            for p in (
+                _shuffle_split.options(**per_task).remote(r, bounds, 1, cols)
+                for r in refs
+            )
+        ]
     else:
         parts = [
-            _shuffle_split.options(num_returns=k).remote(r, bounds, k, cols)
+            _shuffle_split.options(num_returns=k, **per_task).remote(
+                r, bounds, k, cols
+            )
             for r in refs
         ]
     merged = [
-        _shuffle_merge.remote(cols, *[parts[i][j] for i in range(len(parts))])
+        _shuffle_merge.options(**per_task).remote(
+            cols, *[parts[i][j] for i in range(len(parts))]
+        )
         for j in range(k)
     ]
     return ray.data.from_arrow_refs(merged)
@@ -977,32 +1010,74 @@ def distinct_onepass(
 SHARED_SUBJ_WIRE_CODES = (S.W_DEC, S.W_HEX, S.W_LISTN, S.W_NUM, S.W_TEXT)
 
 
+EXTRACT_SLICE_ROWS = 8192
+
+
+def extract_triples_chunked(batch: pa.Table, dangling_ref=None):
+    """Generator form of extract_triples_fn: slices the block into
+    EXTRACT_SLICE_ROWS-row chunks in-task and yields one compact-triple
+    table per chunk.  Yielding (not concat) lets Ray's output buffer cut
+    blocks at target_max_block_size, so a large input block never holds
+    its full triple expansion in heap at once."""
+    n = batch.num_rows
+    if n <= EXTRACT_SLICE_ROWS:
+        yield extract_triples_fn(batch, dangling_ref=dangling_ref)
+        return
+    for off in range(0, n, EXTRACT_SLICE_ROWS):
+        yield extract_triples_fn(
+            batch.slice(off, EXTRACT_SLICE_ROWS), dangling_ref=dangling_ref
+        )
+
+
 def extract_compact(
-    transcripts: ray.data.Dataset, prevalidated: bool = False
+    transcripts: ray.data.Dataset,
+    prevalidated: bool = False,
+    deterministic_batches: bool = False,
 ) -> ray.data.Dataset:
     """The extract_fast MAP stage without the distinct exchange: compact
     wire-format triples (subj, pred_id, obj), per-batch pre-deduplicated.
     Exposed for consumers that settle set semantics themselves —
     kg.materialize_parquet_fastset routes only the shared-wrapper slice
-    (SHARED_SUBJ_WIRE_CODES) through the exchange."""
+    (SHARED_SUBJ_WIRE_CODES) through the exchange.
+
+    deterministic_batches=True emits one output table per 8192-row input
+    batch (a fixed batch_size instead of the generator form), making
+    downstream BATCH BOUNDARIES run-to-run deterministic — required by
+    batch-content-addressed consumers (the fastset sink names part files
+    by batch content hash; with the generator form Ray's output buffer
+    cuts blocks by adaptive size estimation, which varies across runs).
+    The triple SET is identical either way."""
     if prevalidated:
         fn_kwargs = {}
     else:
         dangling, _ = resolve_references(transcripts)
         fn_kwargs = {"dangling_ref": ray.put(dangling)}
-    # batch_size 8192: with the triple-keyed in-batch pre-dedup (see
-    # extract_batch_triples), this scope already collapses ~99% of the
-    # duplicate rows before the exchange (measured 20.64M pre-distinct
-    # vs 20.57M distinct on the 2M-turn corpus); 65536 collapsed barely
-    # more rows but slowed the per-batch group_by/mention loops ~1.8x.
-    # Deterministic and retry-exact — a worker-level seen-cache was tried
-    # and rejected in round 4 (leaks across executions, breaks lineage
-    # recompute).
+    # batch_size=None + in-task 8192-row slicing (extract_triples_chunked):
+    # one task per upstream block, so the task count follows the block
+    # count the read/groupby sized to the session.  A batch_size here
+    # becomes the fused chain's min_rows_per_bundle, measured in
+    # PRE-expansion rows when fused behind the events->turns derivation
+    # (20x row explosion) — at batch_size=8192 the 2M-turn flagship
+    # collapsed to 10 tasks / 10 sort partitions regardless of CPUs,
+    # capping every downstream all-to-all at 10-way parallelism (the
+    # measured scaling killer: 10 tasks pack 2 slots perfectly and leave
+    # 8 slots in ragged waves).  The 8192-row UDF granularity itself is
+    # kept (slice loop below): it bounds the per-batch group_by/mention
+    # loops (65536 was ~1.8x slower) and the in-batch pre-dedup still
+    # collapses ~99% of duplicate rows before the exchange.  Set output
+    # is invariant to slice boundaries — the global distinct settles it.
+    if deterministic_batches:
+        return transcripts.map_batches(
+            extract_triples_fn,
+            fn_kwargs=fn_kwargs,
+            batch_format="pyarrow",
+            batch_size=EXTRACT_SLICE_ROWS,
+        )
     return transcripts.map_batches(
-        extract_triples_fn,
+        extract_triples_chunked,
         fn_kwargs=fn_kwargs,
         batch_format="pyarrow",
-        batch_size=8192,
+        batch_size=None,
     )
 
 
@@ -1021,9 +1096,18 @@ def extract_fast(
     prevalidated=True asserts dangling conversations were already dropped
     upstream (e.g. transcripts_from_events(drop_dangling=True), where
     validation is in-group decidable) — the reference-resolution pass and
-    its barrier are skipped and the pipeline is fully streaming."""
+    its barrier are skipped and the pipeline is fully streaming.
+
+    The global distinct goes through the custom one-pass exchange
+    (distinct_onepass) rather than Ray Data's sort: same output contract
+    (globally range-ordered, internally sorted blocks — set-equality
+    property-tested in tests/test_onepass_shuffle.py), one fewer pass
+    over the data (no map-side sort, the 8-byte key is recomputed per
+    task instead of shipped), measured 16%/9% faster at 8/2 CPUs and the
+    difference between 0.74 and 0.80 two-level scaling efficiency on the
+    2M-turn flagship (BASELINE.md round-4 campaign)."""
     triples = extract_compact(transcripts, prevalidated=prevalidated)
-    return decode_triples(distinct(triples, COMPACT_COLS, int_prefix_key=True))
+    return decode_triples(distinct_onepass(triples, COMPACT_COLS))
 
 
 def extract_grouped_mapgroups(transcripts: ray.data.Dataset) -> ray.data.Dataset:
