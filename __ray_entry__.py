@@ -456,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kmeans_assign": _stage("similarity", "kmeans_assign"),
         "emb_kmeans_train": _stage("similarity", "kmeans_train"),
         "emb_pq_codes": _stage("similarity", "pq_codes"),
+        "emb_pq_adc_search": _stage("similarity", "pq_adc_search"),
         "emb_knn_recall": _stage("similarity", "knn_recall"),
         "kg_conv_role_sequence": _stage("graphq", "conv_role_sequence"),
         # --- multimodal plumbing ---
@@ -685,6 +686,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans_assign": SIM.kmeans_assign_sql(),
         "emb_kmeans_train": SIM.kmeans_train_sql(),
         "emb_pq_codes": SIM.pq_codes_sql(),
+        "emb_pq_adc_search": SIM.pq_adc_search_sql(),
         "emb_knn_recall": SIM.knn_recall_sql(),
         "kg_conv_role_sequence": GQ.conv_role_sequence_sql(),
         "mm_media_stats": MM.media_stats_sql(),

@@ -1206,6 +1206,169 @@ def pq_codes_sql(k: int = PQ_K) -> str:
     """
 
 
+class _PQAdcScorer:
+    """ADC (asymmetric distance computation) scorer — the PQ search side:
+    per actor, precompute the query LUT[nq, M, K] of exact int64 squared
+    distances between each query's quantized sub-vector and each codebook
+    centroid (nq*M*K entries — tiny); per batch, encode the batch with
+    the same nearest-centroid rule as pq_codes and sum M LUT lookups per
+    (query, vector).  This is how a 100-TB ANN index scans: the corpus is
+    touched only through its M-byte codes, never the raw floats (Jégou et
+    al., "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+    """
+
+    def __init__(self, state_ref, k: int):
+        (q_ids, qmat), (_, cmat) = ray.get(state_ref)
+        self.q_ids = q_ids
+        self.k = k
+        cq = np.floor(cmat * COV_Q + 0.5).astype(np.int64)
+        self.cent = cq.reshape(cq.shape[0], PQ_M, EMB_DIM // PQ_M)  # (K, M, sd)
+        qq = np.floor(qmat * COV_Q + 0.5).astype(np.int64)
+        qq = qq.reshape(qq.shape[0], PQ_M, EMB_DIM // PQ_M)  # (nq, M, sd)
+        # (nq, K, M) -> (nq, M, K)
+        self.lut = (
+            ((qq[:, None, :, :] - self.cent[None, :, :, :]) ** 2)
+            .sum(axis=3)
+            .transpose(0, 2, 1)
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        nq = len(self.q_ids)
+        if n == 0 or nq == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "adc_dist": pa.array([], pa.int64()),
+                }
+            )
+        embs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        q = np.floor(embs * COV_Q + 0.5).astype(np.int64).reshape(n, PQ_M, -1)
+        d = ((q[:, None, :, :] - self.cent[None, :, :, :]) ** 2).sum(axis=3)
+        code = d.argmin(axis=1)  # (n, M); first min = lowest code, as SQL
+        # lut[:, m, code[:, m]] summed over m -> (nq, n)
+        adc = self.lut[:, np.arange(PQ_M)[None, :], code].sum(axis=2)
+        vec_ids = batch["vec_id"].to_numpy()
+        # per-batch pre-top-k UNDER THE GLOBAL TOTAL ORDER (adc_dist,
+        # neighbor_id) — lexsort, not bare argsort, so boundary ties
+        # keep exactly the rows the global rule would: the global top-k
+        # of a union is a subset of the union of per-batch top-ks only
+        # when every batch ranks by the same total order
+        kk = min(self.k, n)
+        idx = np.stack(
+            [np.lexsort((vec_ids, adc[i]))[:kk] for i in range(nq)]
+        )
+        rows_q = np.repeat(self.q_ids, kk)
+        rows_n = vec_ids[idx.ravel()]
+        rows_d = np.take_along_axis(adc, idx, axis=1).ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q, pa.int64()),
+                "neighbor_id": pa.array(rows_n.astype(np.int64), pa.int64()),
+                "adc_dist": pa.array(rows_d.astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def _adc_topk(group: pa.Table, k: int) -> pa.Table:
+    g = group.sort_by(
+        [("adc_dist", "ascending"), ("neighbor_id", "ascending")]
+    ).slice(0, k)
+    return g.append_column(
+        "rank", pa.array(np.arange(1, g.num_rows + 1), pa.int64())
+    )
+
+
+def pq_adc_search(
+    sf_dir: str, k: int = DEFAULT_K, nq: int = DEFAULT_NQ
+) -> ray.data.Dataset:
+    """(query_id, neighbor_id, adc_dist, rank): PQ asymmetric-distance
+    top-k — the search operator over the pq_codes representation.  Exact
+    integer arithmetic end to end (same COV_Q quantization as pq_codes),
+    so the DuckDB oracle reproduces it bit-for-bit; ties broken
+    (adc_dist, neighbor_id).
+
+    Scale shape: codebook + query LUT broadcast once (ray.put); corpus
+    streamed with per-batch encode + LUT-sum + per-batch top-k under the
+    global (adc_dist, neighbor_id) total order (so the final exact top-k
+    over nq tiny groups sees #batches*k rows per query, never the
+    corpus).  No shuffle of corpus-sized data."""
+    state_ref = ray.put(
+        (_load_queries(sf_dir, nq), _load_queries(sf_dir, PQ_K))
+    )
+    ds = _clean_read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    scored = ds.map_batches(
+        _PQAdcScorer,
+        fn_constructor_kwargs={"state_ref": state_ref, "k": k},
+        max_restarts=0,  # ObjectRef constructor arg (ray#53727 warning)
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+    return scored.groupby("query_id").map_groups(
+        lambda g: _adc_topk(g, k), batch_format="pyarrow"
+    )
+
+
+def pq_adc_search_sql(k: int = DEFAULT_K, nq: int = DEFAULT_NQ) -> str:
+    sub_d = EMB_DIM // PQ_M
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(t.i AS BIGINT) AS i,
+               CAST(t.i AS BIGINT) // {sub_d} AS subspace,
+               CAST(floor(CAST(embedding[CAST(t.i + 1 AS INTEGER)] AS DOUBLE)
+                          * {COV_Q} + 0.5) AS BIGINT) AS qv
+        FROM embeddings CROSS JOIN (SELECT unnest(range({EMB_DIM})) AS i) t
+    ),
+    seeds AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {PQ_K})
+    ),
+    cent AS (
+        SELECT s.code, e.i, e.subspace, e.qv
+        FROM seeds s JOIN e ON e.vec_id = s.vec_id
+    ),
+    codes AS (
+        SELECT vec_id, subspace, code FROM (
+            SELECT e.vec_id, e.subspace, c.code,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, e.subspace
+                       ORDER BY sum((e.qv - c.qv) * (e.qv - c.qv)), c.code
+                   ) AS rn
+            FROM e JOIN cent c ON e.i = c.i
+            GROUP BY e.vec_id, e.subspace, c.code
+        ) WHERE rn = 1
+    ),
+    queries AS (
+        SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT {nq}
+    ),
+    lut AS (
+        SELECT q.query_id, c.subspace, c.code,
+               CAST(sum((eq.qv - c.qv) * (eq.qv - c.qv)) AS BIGINT) AS d
+        FROM queries q
+        JOIN e eq ON eq.vec_id = q.query_id
+        JOIN cent c ON c.i = eq.i
+        GROUP BY q.query_id, c.subspace, c.code
+    ),
+    adc AS (
+        SELECT l.query_id, cd.vec_id AS neighbor_id,
+               CAST(sum(l.d) AS BIGINT) AS adc_dist
+        FROM codes cd
+        JOIN lut l ON l.subspace = cd.subspace AND l.code = cd.code
+        GROUP BY l.query_id, cd.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+        FROM adc
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 # ---------------------------------------------------------------------------
 # ANN quality evaluation: recall@k of the LSH index vs exact brute force
 # ---------------------------------------------------------------------------

@@ -73,6 +73,65 @@ def test_pq_codes_matches_numpy(sf_small):
         assert r["dist"] == int(d[i, :, m].min())
 
 
+def test_pq_adc_search_matches_numpy_and_sql(sf_small):
+    con = _duck(sf_small, ["embeddings"])
+    a = _compare(
+        similarity.pq_adc_search(sf_small), similarity.pq_adc_search_sql(), con
+    )
+    nq, k = similarity.DEFAULT_NQ, similarity.DEFAULT_K
+    assert len(a) == nq * k
+    # full-precision numpy replay of the ADC pipeline (encode + LUT sum)
+    t = pq.read_table(f"{sf_small}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    embs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    q = np.floor(embs * similarity.COV_Q + 0.5).astype(np.int64)
+    order = np.argsort(ids)
+    cent = q[order[: similarity.PQ_K]].reshape(similarity.PQ_K, similarity.PQ_M, -1)
+    qs = q.reshape(len(q), similarity.PQ_M, -1)
+    d = ((qs[:, None, :, :] - cent[None, :, :, :]) ** 2).sum(axis=3)  # (n,K,M)
+    codes = d.argmin(axis=1)  # (n, M)
+    q_rows = order[:nq]
+    lut = (
+        (qs[q_rows][:, None, :, :] - cent[None, :, :, :]) ** 2
+    ).sum(axis=3).transpose(0, 2, 1)  # (nq, M, K)
+    adc = lut[:, np.arange(similarity.PQ_M)[None, :], codes].sum(axis=2)  # (nq,n)
+    for qi, qid in enumerate(ids[q_rows]):
+        want = sorted(zip(adc[qi].tolist(), ids.tolist()))[:k]
+        got = a[a.query_id == qid].sort_values("rank")
+        assert list(zip(got.adc_dist, got.neighbor_id)) == [
+            (int(dd), int(nn)) for dd, nn in want
+        ]
+
+
+def test_pq_adc_pre_topk_tie_exactness(ray_session):
+    # two batches engineered so the k-th distance TIES across batches:
+    # the per-batch pre-top-k must keep the globally-preferred (lower
+    # neighbor_id) rows, which only holds under a (dist, id) lexsort
+    import ray.data
+
+    from ifctordf_ray.stages.similarity import _PQAdcScorer
+    import pyarrow as pa
+    import ray as _ray
+
+    dim = similarity.EMB_DIM
+    base = np.zeros(dim)
+    q_ids = np.array([0], dtype=np.int64)
+    qmat = base[None, :] + 1.0
+    cmat = np.tile(base, (similarity.PQ_K, 1))  # all centroids equal
+    ref = _ray.put(((q_ids, qmat), (np.arange(similarity.PQ_K), cmat)))
+    s = _PQAdcScorer(ref, k=2)
+    # all vectors identical -> every adc_dist ties; ids deliberately
+    # unsorted within the batch
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([50, 7, 30], pa.int64()),
+            "embedding": pa.array([ [0.0] * dim ] * 3),
+        }
+    )
+    out = s(tbl)
+    assert out["neighbor_id"].to_pylist() == [7, 30]  # lowest ids kept
+
+
 def test_jsonl_roundtrip(sf_small, tmp_path):
     import ray.data
 
