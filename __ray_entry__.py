@@ -403,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_user_rolling_median": _rel("user_rolling_median"),
         "rel_value_trend": _rel("value_trend"),
         "rel_order_skyline": _rel("order_skyline"),
+        "rel_order_price_band_join": _rel("order_price_band_join"),
         "rel_benford_digits": _rel("benford_digits"),
         # --- dedup ---
         "doc_exact_duplicates": _stage("dedup", "exact_duplicates"),
@@ -633,6 +634,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_user_rolling_median": R.user_rolling_median_sql(),
         "rel_value_trend": R.value_trend_sql(),
         "rel_order_skyline": R.order_skyline_sql(),
+        "rel_order_price_band_join": R.order_price_band_join_sql(),
         "rel_benford_digits": R.benford_digits_sql(),
         "doc_exact_duplicates": D.exact_duplicates_sql(),
         "doc_deduped_ids": D.deduped_doc_ids_sql(),

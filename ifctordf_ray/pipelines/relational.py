@@ -3408,3 +3408,144 @@ def benford_digits_sql() -> str:
     FROM c WHERE cents > 0
     GROUP BY event_type, digit
     """
+
+
+# ---------------------------------------------------------------------------
+# Band (inequality) join: |price_a - price_b| <= delta
+# ---------------------------------------------------------------------------
+BAND_DELTA_CENTS = 1000  # $10 band
+
+
+def order_price_band_join(
+    sf_dir: str, delta: int = BAND_DELTA_CENTS
+) -> ray.data.Dataset:
+    """(okey_a, okey_b, price_a_cents, price_b_cents, diff_cents): every
+    unordered pair of distinct orders whose total prices lie within
+    `delta` cents of each other — a BAND JOIN (inequality theta-join),
+    the non-equi join class Ray Data's join() cannot express.
+
+    Custom-operator shape (SURVEY §2 rule — composition of map_batches +
+    one sorted exchange): bucket each row at b = price//delta and emit a
+    second PROMOTED copy at b+1; any qualifying pair (|dp| <= delta =>
+    |db| <= 1) then co-locates in exactly one bucket, and is counted
+    exactly once by the in-bucket rule "native x native (same bucket) +
+    promoted x native (adjacent buckets)" — promoted x promoted pairs
+    are the previous bucket's native pairs and are excluded.  ONE range
+    sort on the int64 bucket key co-locates whole buckets per block
+    (equal keys never split across range partitions — same contract the
+    distinct exchange relies on, extract.distinct); pair generation is a
+    per-block vectorized sorted-window searchsorted + repeat/arange
+    expansion, no per-group Python and no driver state.
+
+    Partitioning assumption documented: pair volume per bucket is
+    bounded by the local price density within one delta-band; a price
+    hot-spot (many equal prices) concentrates pairs in one bucket — at
+    that point salt the bucket and run the promoted trick per salt, as
+    rel_order_lineitem_join_salted does for hot keys.
+
+    Oracle: the naive inequality self-join (DuckDB IEJoin)."""
+    ds = _clean_read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        p = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        b = np.floor_divide(p, delta)
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate([b, b + 1]), pa.int64()),
+                "okey": pa.array(np.concatenate([k, k]), pa.int64()),
+                "price": pa.array(np.concatenate([p, p]), pa.int64()),
+                "native": pa.array(
+                    np.concatenate(
+                        [np.ones(len(k), bool), np.zeros(len(k), bool)]
+                    )
+                ),
+            }
+        )
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "okey_a": pa.array([], pa.int64()),
+                "okey_b": pa.array([], pa.int64()),
+                "price_a_cents": pa.array([], pa.int64()),
+                "price_b_cents": pa.array([], pa.int64()),
+                "diff_cents": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0 or "bucket" not in t.schema.names:
+            return empty
+        t = t.sort_by(
+            [("bucket", "ascending"), ("price", "ascending"), ("okey", "ascending")]
+        )
+        bkt = t["bucket"].to_numpy(zero_copy_only=False)
+        p = t["price"].to_numpy(zero_copy_only=False)
+        k = t["okey"].to_numpy(zero_copy_only=False)
+        nat = t["native"].to_numpy(zero_copy_only=False)
+        n = len(p)
+        # window end per row: last index j (within the same bucket) with
+        # p[j] <= p[i] + delta.  One GLOBAL searchsorted via a composite
+        # key: rel = p - bucket*delta is bucket-relative and bounded in
+        # [-delta, delta) (native rows land in [0, delta), promoted ones
+        # in [-delta, 0)), so c = bucket*4*delta + rel + delta lives in
+        # [4db, 4db + 2d) — monotone in (bucket, p) with a >delta gap to
+        # the next bucket, hence c_i + delta never crosses buckets
+        bucket_end = np.searchsorted(bkt, bkt, side="right")
+        c = bkt * (4 * delta) + (p - bkt * delta) + delta
+        win_end = np.minimum(
+            np.searchsorted(c, c + delta, side="right"), bucket_end
+        )
+        counts = win_end - np.arange(n) - 1
+        counts = np.maximum(counts, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        i_idx = np.repeat(np.arange(n), counts)
+        # j runs i+1 .. win_end-1: flat arange minus per-i offsets
+        offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        j_idx = np.arange(total) - np.repeat(offs, counts) + i_idx + 1
+        keep = nat[i_idx] | nat[j_idx]  # drop promoted x promoted
+        # drop self-pairs (the same order's native and promoted copies
+        # never share a bucket, but two DISTINCT source rows could carry
+        # the same orderkey only if the input had duplicates — guard)
+        keep &= k[i_idx] != k[j_idx]
+        i_idx, j_idx = i_idx[keep], j_idx[keep]
+        ka, kb = k[i_idx], k[j_idx]
+        pa_, pb = p[i_idx], p[j_idx]
+        swap = ka > kb
+        ka2 = np.where(swap, kb, ka)
+        kb2 = np.where(swap, ka, kb)
+        pa2 = np.where(swap, pb, pa_)
+        pb2 = np.where(swap, pa_, pb)
+        return pa.table(
+            {
+                "okey_a": pa.array(ka2, pa.int64()),
+                "okey_b": pa.array(kb2, pa.int64()),
+                "price_a_cents": pa.array(pa2, pa.int64()),
+                "price_b_cents": pa.array(pb2, pa.int64()),
+                "diff_cents": pa.array(np.abs(pb2 - pa2), pa.int64()),
+            }
+        )
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+    # ONE range exchange on the bucket key; whole buckets per block
+    return bucketed.sort("bucket").map_batches(
+        block_pairs, batch_format="pyarrow", batch_size=None
+    )
+
+
+def order_price_band_join_sql(delta: int = BAND_DELTA_CENTS) -> str:
+    return f"""
+    WITH o AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS p
+        FROM orders
+    )
+    SELECT a.k AS okey_a, b.k AS okey_b,
+           a.p AS price_a_cents, b.p AS price_b_cents,
+           abs(a.p - b.p) AS diff_cents
+    FROM o a JOIN o b
+      ON a.k < b.k AND b.p BETWEEN a.p - {delta} AND a.p + {delta}
+    """

@@ -115,3 +115,23 @@ def test_benford_digits_parity(sf_small):
         "SELECT count(*) FROM events WHERE CAST(floor(value*100+0.5) AS BIGINT) > 0"
     ).fetchone()[0]
     assert a["n"].sum() == total
+
+
+def test_order_price_band_join_parity(sf_small):
+    from ifctordf_ray.pipelines.relational import (
+        BAND_DELTA_CENTS,
+        order_price_band_join,
+        order_price_band_join_sql,
+    )
+
+    con = _duck(sf_small, ["orders"])
+    a = _compare(
+        order_price_band_join(sf_small), order_price_band_join_sql(), con
+    )
+    assert len(a) > 0
+    # band invariant + canonical pair orientation + no self-pairs
+    assert (a["diff_cents"] <= BAND_DELTA_CENTS).all()
+    assert (a["diff_cents"] == (a["price_a_cents"] - a["price_b_cents"]).abs()).all()
+    assert (a["okey_a"] < a["okey_b"]).all()
+    # each unordered pair exactly once (the promoted-x-promoted exclusion)
+    assert not a.duplicated(["okey_a", "okey_b"]).any()
