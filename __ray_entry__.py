@@ -458,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kmeans_train": _stage("similarity", "kmeans_train"),
         "emb_pq_codes": _stage("similarity", "pq_codes"),
         "emb_pq_adc_search": _stage("similarity", "pq_adc_search"),
+        "emb_ivf_pq_search": _stage("similarity", "ivf_pq_search"),
         "emb_knn_recall": _stage("similarity", "knn_recall"),
         "kg_conv_role_sequence": _stage("graphq", "conv_role_sequence"),
         # --- multimodal plumbing ---
@@ -689,6 +690,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans_train": SIM.kmeans_train_sql(),
         "emb_pq_codes": SIM.pq_codes_sql(),
         "emb_pq_adc_search": SIM.pq_adc_search_sql(),
+        "emb_ivf_pq_search": SIM.ivf_pq_search_sql(),
         "emb_knn_recall": SIM.knn_recall_sql(),
         "kg_conv_role_sequence": GQ.conv_role_sequence_sql(),
         "mm_media_stats": MM.media_stats_sql(),

@@ -1369,6 +1369,238 @@ def pq_adc_search_sql(k: int = DEFAULT_K, nq: int = DEFAULT_NQ) -> str:
     """
 
 
+class _IvfPqScorer:
+    """IVF-ADC scan stage: per actor, the query LUTs (as _PQAdcScorer)
+    plus each query's probed coarse-centroid set; per batch (which
+    carries the IvfAssigner 'centroid' column), encode once and rank
+    each query only over its probed rows."""
+
+    def __init__(self, state_ref, k: int):
+        (q_ids, qmat), (_, cmat), probe_lists = ray.get(state_ref)
+        self.q_ids = q_ids
+        self.k = k
+        self.probes = [np.array(sorted(s), dtype=np.int64) for s in probe_lists]
+        cq = np.floor(cmat * COV_Q + 0.5).astype(np.int64)
+        self.cent = cq.reshape(cq.shape[0], PQ_M, EMB_DIM // PQ_M)
+        qq = np.floor(qmat * COV_Q + 0.5).astype(np.int64)
+        qq = qq.reshape(qq.shape[0], PQ_M, EMB_DIM // PQ_M)
+        self.lut = (
+            ((qq[:, None, :, :] - self.cent[None, :, :, :]) ** 2)
+            .sum(axis=3)
+            .transpose(0, 2, 1)
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "adc_dist": pa.array([], pa.int64()),
+            }
+        )
+        n = batch.num_rows
+        nq = len(self.q_ids)
+        if n == 0 or nq == 0:
+            return empty
+        embs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        q = np.floor(embs * COV_Q + 0.5).astype(np.int64).reshape(n, PQ_M, -1)
+        d = ((q[:, None, :, :] - self.cent[None, :, :, :]) ** 2).sum(axis=3)
+        code = d.argmin(axis=1)
+        adc = self.lut[:, np.arange(PQ_M)[None, :], code].sum(axis=2)  # (nq, n)
+        vec_ids = batch["vec_id"].to_numpy()
+        cents = batch["centroid"].to_numpy()
+        out_q, out_n, out_d = [], [], []
+        for qi in range(nq):
+            sel = np.flatnonzero(np.isin(cents, self.probes[qi]))
+            if sel.size == 0:
+                continue
+            sub_ids = vec_ids[sel]
+            sub_d = adc[qi, sel]
+            kk = min(self.k, sel.size)
+            top = np.lexsort((sub_ids, sub_d))[:kk]
+            out_q.append(np.full(kk, self.q_ids[qi], dtype=np.int64))
+            out_n.append(sub_ids[top])
+            out_d.append(sub_d[top])
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(
+                    np.concatenate(out_n).astype(np.int64), pa.int64()
+                ),
+                "adc_dist": pa.array(
+                    np.concatenate(out_d).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+
+def ivf_pq_search(
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    nq: int = DEFAULT_NQ,
+    nc: int = IVF_NC,
+    nprobe: int = IVF_NPROBE,
+) -> ray.data.Dataset:
+    """(query_id, neighbor_id, adc_dist, rank): the composed billion-scale
+    ANN architecture — IVF coarse probing x PQ asymmetric-distance scan
+    (IVFADC, Jégou et al. 2011).  Each query ranks ONLY the vectors whose
+    coarse centroid is in that query's nprobe probe set (per-query sets,
+    stricter than knn_ivf's union-probe), scored through the M-byte PQ
+    codes via the broadcast LUT — at scale the corpus contributes a
+    (nprobe/nc) slice of code reads per query and no raw floats.
+
+    Exact-integer ADC (COV_Q quantization) + 6-dp-rounded cosine probing,
+    both SQL-replicated, ties (adc_dist, neighbor_id)."""
+    c_ids, cmat = _load_queries(sf_dir, nc)
+    q_ids, qmat = _load_queries(sf_dir, nq)
+    if len(q_ids) == 0 or len(c_ids) == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "adc_dist": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        )
+    cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qsims = np.round(qn @ cn.T, ROUND_DP)
+    probe_lists = []
+    for row in qsims:
+        order = sorted(range(len(c_ids)), key=lambda j: (-row[j], c_ids[j]))
+        probe_lists.append({int(c_ids[j]) for j in order[:nprobe]})
+    union = pa.array(sorted(set().union(*probe_lists)), pa.int64())
+
+    cent_ref = ray.put((c_ids, cmat))
+    state_ref = ray.put(
+        ((q_ids, qmat), _load_queries(sf_dir, PQ_K), probe_lists)
+    )
+    ds = _clean_read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    assigned = ds.map_batches(
+        IvfAssigner,
+        fn_constructor_kwargs={"centroids_ref": cent_ref},
+        max_restarts=0,  # ObjectRef constructor arg (ray#53727 warning)
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def keep_union(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t["centroid"], union))
+
+    scored = assigned.map_batches(keep_union, batch_format="pyarrow").map_batches(
+        _IvfPqScorer,
+        fn_constructor_kwargs={"state_ref": state_ref, "k": k},
+        max_restarts=0,  # ObjectRef constructor arg (ray#53727 warning)
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+    return scored.groupby("query_id").map_groups(
+        lambda g: _adc_topk(g, k), batch_format="pyarrow"
+    )
+
+
+def ivf_pq_search_sql(
+    k: int = DEFAULT_K,
+    nq: int = DEFAULT_NQ,
+    nc: int = IVF_NC,
+    nprobe: int = IVF_NPROBE,
+) -> str:
+    sub_d = EMB_DIM // PQ_M
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(t.i AS BIGINT) AS i,
+               CAST(t.i AS BIGINT) // {sub_d} AS subspace,
+               CAST(floor(CAST(embedding[CAST(t.i + 1 AS INTEGER)] AS DOUBLE)
+                          * {COV_Q} + 0.5) AS BIGINT) AS qv
+        FROM embeddings CROSS JOIN (SELECT unnest(range({EMB_DIM})) AS i) t
+    ),
+    seeds AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {PQ_K})
+    ),
+    centpq AS (
+        SELECT s.code, e.i, e.subspace, e.qv
+        FROM seeds s JOIN e ON e.vec_id = s.vec_id
+    ),
+    codes AS (
+        SELECT vec_id, subspace, code FROM (
+            SELECT e.vec_id, e.subspace, c.code,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, e.subspace
+                       ORDER BY sum((e.qv - c.qv) * (e.qv - c.qv)), c.code
+                   ) AS rn
+            FROM e JOIN centpq c ON e.i = c.i
+            GROUP BY e.vec_id, e.subspace, c.code
+        ) WHERE rn = 1
+    ),
+    cent AS (
+        SELECT vec_id AS cid, embedding AS ce
+        FROM embeddings ORDER BY vec_id LIMIT {nc}
+    ),
+    assigned AS (
+        SELECT vec_id, cid AS centroid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(c.ce AS DOUBLE[])), {ROUND_DP}) DESC, c.cid ASC
+                   ) AS rn
+            FROM embeddings e, cent c
+        ) WHERE rn = 1
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings ORDER BY vec_id LIMIT {nq}
+    ),
+    probe AS (
+        SELECT query_id, cid FROM (
+            SELECT q.query_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_cosine_similarity(
+                           CAST(q.qe AS DOUBLE[]),
+                           CAST(c.ce AS DOUBLE[])), {ROUND_DP}) DESC, c.cid ASC
+                   ) AS rn
+            FROM q, cent c
+        ) WHERE rn <= {nprobe}
+    ),
+    lut AS (
+        SELECT qq.query_id, c.subspace, c.code,
+               CAST(sum((eq.qv - c.qv) * (eq.qv - c.qv)) AS BIGINT) AS d
+        FROM q qq
+        JOIN e eq ON eq.vec_id = qq.query_id
+        JOIN centpq c ON c.i = eq.i
+        GROUP BY qq.query_id, c.subspace, c.code
+    ),
+    adc AS (
+        SELECT l.query_id, cd.vec_id AS neighbor_id,
+               CAST(sum(l.d) AS BIGINT) AS adc_dist
+        FROM codes cd
+        JOIN assigned a ON a.vec_id = cd.vec_id
+        JOIN probe p ON p.cid = a.centroid
+        JOIN lut l ON l.query_id = p.query_id
+               AND l.subspace = cd.subspace AND l.code = cd.code
+        GROUP BY l.query_id, cd.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+        FROM adc
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 # ---------------------------------------------------------------------------
 # ANN quality evaluation: recall@k of the LSH index vs exact brute force
 # ---------------------------------------------------------------------------

@@ -153,3 +153,34 @@ def test_jsonl_roundtrip(sf_small, tmp_path):
         lambda t: t.select(["doc_id"]), batch_format="pyarrow"
     ).count()
     assert n == len(a)
+
+
+def test_ivf_pq_search_parity_and_probe_subset(sf_small):
+    con = _duck(sf_small, ["embeddings"])
+    a = _compare(
+        similarity.ivf_pq_search(sf_small), similarity.ivf_pq_search_sql(), con
+    )
+    nq, k = similarity.DEFAULT_NQ, similarity.DEFAULT_K
+    assert 0 < len(a) <= nq * k
+    # every ranked neighbor sits in a centroid the query probed: replay
+    # assignment + probing in numpy (same rounded-cosine, tie->lowest id)
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(
+        f"{sf_small}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    embs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    cmat = embs[order[: similarity.IVF_NC]]
+    c_ids = ids[order[: similarity.IVF_NC]]
+    norm = lambda m: m / np.linalg.norm(m, axis=1, keepdims=True)  # noqa: E731
+    sims = np.round(norm(embs) @ norm(cmat).T, similarity.ROUND_DP)
+    assign = {int(v): int(c_ids[j]) for v, j in zip(ids, sims.argmax(axis=1))}
+    qrows = order[: similarity.DEFAULT_NQ]
+    qsims = np.round(norm(embs[qrows]) @ norm(cmat).T, similarity.ROUND_DP)
+    for qi, qid in enumerate(ids[qrows]):
+        rank = sorted(range(len(c_ids)), key=lambda j: (-qsims[qi, j], c_ids[j]))
+        probed = {int(c_ids[j]) for j in rank[: similarity.IVF_NPROBE]}
+        got = a[a.query_id == int(qid)]
+        assert all(assign[int(n)] in probed for n in got.neighbor_id)
