@@ -414,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_near_dups": _stage("dedup", "near_dup_pairs_simhash"),
         "doc_verified_near_dups": _stage("dedup", "verified_near_dups"),
         "doc_containment_scores": _stage("dedup", "containment_scores"),
+        "doc_minhash_est_quality": _stage("dedup", "minhash_estimate_quality"),
         "doc_paragraph_dedup": _stage("dedup", "paragraph_dedup"),
         "doc_ngram_novelty": _stage("dedup", "ngram_novelty"),
         "doc_near_dup_clusters": _stage("dedup", "near_dup_clusters"),
@@ -647,6 +648,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash_near_dups": D.near_dup_pairs_simhash_sql(),
         "doc_verified_near_dups": D.verified_near_dups_sql(),
         "doc_containment_scores": D.containment_scores_sql(),
+        "doc_minhash_est_quality": D.minhash_estimate_quality_sql(),
         "doc_paragraph_dedup": D.paragraph_dedup_sql(),
         "doc_ngram_novelty": D.ngram_novelty_sql(),
         "doc_near_dup_clusters": D.near_dup_clusters_sql(),

@@ -659,6 +659,72 @@ def containment_scores(
     return j2.map_batches(score, batch_format="pyarrow")
 
 
+def minhash_estimate_quality(
+    sf_dir: str, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """(doc_a, doc_b, est_matches, exact_inter, exact_union): estimation
+    quality of the MinHash sketch, per LSH candidate pair — the dedup
+    index's analog of knn_recall: est_matches/NUM_PERM is the sketch's
+    Jaccard estimate, exact_inter/exact_union the truth it estimates.
+    The operator every production near-dedup needs when tuning NUM_PERM
+    / band shape: plot |est - exact| against union size before betting a
+    corpus-wide dedup threshold on the sketch.
+
+    All columns integer-exact (est_jaccard is m/64 with 64 a power of
+    two, so *NUM_PERM round-trips through float64 losslessly).  Same
+    scale shape as verified_near_dups: two candidate-count-proportional
+    hash joins, nothing corpus-sized on the driver."""
+    import pyarrow.compute as pc
+
+    j2 = _candidate_shingle_pairs(sf_dir, num_partitions)
+
+    def score(t: pa.Table) -> pa.Table:
+        inter, uni = [], []
+        for la, lb in zip(t["sh_a"].to_pylist(), t["sh_b"].to_pylist()):
+            sa = set(la.split(SHINGLE_SEP)) if la else set()
+            sb = set(lb.split(SHINGLE_SEP)) if lb else set()
+            inter.append(len(sa & sb))
+            uni.append(len(sa | sb))
+        est_m = pc.cast(
+            pc.round(pc.multiply(t["est_jaccard"], float(NUM_PERM))),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_a": t["doc_a"],
+                "doc_b": t["doc_b"],
+                "est_matches": est_m,
+                "exact_inter": pa.array(inter, pa.int64()),
+                "exact_union": pa.array(uni, pa.int64()),
+            }
+        )
+
+    return j2.map_batches(score, batch_format="pyarrow")
+
+
+def minhash_estimate_quality_sql() -> str:
+    return f"""WITH {_shingle_cte()},
+{_sig_cte()},
+{_candidates_cte()},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS ninter
+    FROM cand c
+    JOIN sh s1 ON s1.doc_id = c.doc_a
+    JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT e.doc_a, e.doc_b,
+       CAST(round(e.est_jaccard * {NUM_PERM}) AS BIGINT) AS est_matches,
+       CAST(coalesce(i.ninter, 0) AS BIGINT) AS exact_inter,
+       CAST(coalesce(na.n, 0) + coalesce(nb.n, 0)
+            - coalesce(i.ninter, 0) AS BIGINT) AS exact_union
+FROM est e
+LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+LEFT JOIN sizes na ON na.doc_id = e.doc_a
+LEFT JOIN sizes nb ON nb.doc_id = e.doc_b"""
+
+
 def containment_scores_sql(threshold: float = 0.6) -> str:
     return f"""WITH {_shingle_cte()},
 {_sig_cte()},

@@ -184,3 +184,22 @@ def test_ivf_pq_search_parity_and_probe_subset(sf_small):
         probed = {int(c_ids[j]) for j in rank[: similarity.IVF_NPROBE]}
         got = a[a.query_id == int(qid)]
         assert all(assign[int(n)] in probed for n in got.neighbor_id)
+
+
+def test_minhash_estimate_quality_parity(sf_small):
+    con = _duck(sf_small, ["documents"])
+    a = _compare(
+        dedup.minhash_estimate_quality(sf_small),
+        dedup.minhash_estimate_quality_sql(),
+        con,
+    )
+    assert len(a) > 0
+    assert ((a.est_matches >= 0) & (a.est_matches <= dedup.NUM_PERM)).all()
+    assert (a.exact_inter <= a.exact_union).all()
+    # the sketch should be unbiased-ish on candidates: at least one pair
+    # where estimate and truth agree within 25% of NUM_PERM
+    err = (
+        a.est_matches / dedup.NUM_PERM
+        - a.exact_inter / a.exact_union.where(a.exact_union > 0, 1)
+    ).abs()
+    assert (err < 0.25).any()
