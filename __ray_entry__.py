@@ -471,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_image_histograms": _stage("multimodal", "image_histograms"),
         "mm_image_edges": _stage("multimodal", "image_edges"),
         "mm_video_framesample": _stage("multimodal", "video_frame_sample"),
+        "mm_video_shot_boundaries": _stage("multimodal", "video_shot_boundaries"),
     }
 
 
@@ -706,4 +707,5 @@ def oracle_sql() -> dict[str, str]:
         "mm_image_histograms": MM.image_histograms_sql(),
         "mm_image_edges": MM.image_edges_sql(),
         "mm_video_framesample": MM.video_frame_sample_sql(),
+        "mm_video_shot_boundaries": MM.video_shot_boundaries_sql(),
     }

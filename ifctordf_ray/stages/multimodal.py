@@ -1130,3 +1130,87 @@ SELECT doc_id AS item_id,
                      ELSE {wb} END)) AS BIGINT) AS luma_sum
 FROM px GROUP BY doc_id, frame_idx, n_frames
 """
+
+
+# ---------------------------------------------------------------------------
+# Video shot-boundary detection: adjacent-frame absolute pixel difference
+# ---------------------------------------------------------------------------
+SHOT_DIFF_THRESHOLD = 6000  # sum of |byte delta| over the 192-byte frame
+
+
+class ShotBoundaryDetector:
+    """Actor-pool stage: decode the frame stream once, score every
+    ADJACENT frame pair by the L1 pixel delta (integer-exact), flag
+    pairs above SHOT_DIFF_THRESHOLD — the classical pixel-difference
+    shot-boundary detector, the first stage of any video-curation
+    pipeline (scene dedup, clip segmentation for captioning).
+    flat_map-shaped: one row per consecutive frame pair."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        items, fidx, diffs = [], [], []
+        for item, payload in zip(
+            batch["item_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            frames = decode_video_ppm(payload)
+            for f in range(len(frames) - 1):
+                a = frames[f].astype(np.int64)
+                b = frames[f + 1].astype(np.int64)
+                items.append(item)
+                fidx.append(f + 1)  # index of the LATER frame
+                diffs.append(int(np.abs(a - b).sum()))
+        d = np.array(diffs, dtype=np.int64)
+        return pa.table(
+            {
+                "item_id": pa.array(items, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "diff_sum": pa.array(d, pa.int64()),
+                "is_boundary": pa.array(d > SHOT_DIFF_THRESHOLD),
+            }
+        )
+
+
+def video_shot_boundaries(sf_dir: str, batch_size: int = 64) -> ray.data.Dataset:
+    """queries() entry: video decode + adjacent-frame L1 delta + boundary
+    flag; single-frame videos emit no rows.  Exact DuckDB oracle
+    (video_shot_boundaries_sql)."""
+    return video_from_documents(sf_dir).map_batches(
+        ShotBoundaryDetector, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, 4),
+        max_restarts=0,  # silence ray#53727 actor-restart warning
+    )
+
+
+def video_shot_boundaries_sql() -> str:
+    """Exact replica: frame f's pixel byte i is text byte f*N_PIX+i
+    (space-padded), so the pair (f, f+1) differences two text windows."""
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           regexp_replace(coalesce(text, ''), '[^ -~]', ' ', 'g') AS txt,
+           1 + doc_id % {VID_MAX_FRAMES} AS n_frames
+    FROM documents
+),
+pairs AS (
+    SELECT doc_id, n_frames, unnest(range(1, n_frames)) AS frame_idx
+    FROM t WHERE n_frames >= 2
+),
+px AS (
+    SELECT p.doc_id, p.frame_idx,
+           CASE WHEN (p.frame_idx - 1) * {N_PIX_BYTES} + i <= length(t.txt)
+                THEN unicode(substr(t.txt,
+                         CAST((p.frame_idx - 1) * {N_PIX_BYTES} + i AS INTEGER), 1))
+                ELSE {PAD_BYTE} END AS b_prev,
+           CASE WHEN p.frame_idx * {N_PIX_BYTES} + i <= length(t.txt)
+                THEN unicode(substr(t.txt,
+                         CAST(p.frame_idx * {N_PIX_BYTES} + i AS INTEGER), 1))
+                ELSE {PAD_BYTE} END AS b_cur
+    FROM pairs p JOIN t USING (doc_id)
+    CROSS JOIN (SELECT unnest(range(1, {N_PIX_BYTES + 1})) AS i)
+)
+SELECT doc_id AS item_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(sum(abs(b_cur - b_prev)) AS BIGINT) AS diff_sum,
+       CAST(sum(abs(b_cur - b_prev)) > {SHOT_DIFF_THRESHOLD} AS BOOLEAN)
+           AS is_boundary
+FROM px GROUP BY doc_id, frame_idx
+"""

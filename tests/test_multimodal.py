@@ -343,3 +343,54 @@ def test_video_frame_sample_parity(sf_small):
     assert (g.n == -(-g.nf // FRAME_STEP)).all()
     # luminance bounded by all-255 pixels
     assert (a.luma_sum <= 255 * 64 * sum(_LUMA_W)).all() and (a.luma_sum >= 0).all()
+
+
+def test_video_shot_boundaries_parity(sf_small):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ifctordf_ray.stages.multimodal import (
+        SHOT_DIFF_THRESHOLD,
+        ShotBoundaryDetector,
+        text_to_video,
+        video_n_frames,
+        video_shot_boundaries,
+        video_shot_boundaries_sql,
+    )
+
+    # unit: identical frames -> diff 0, not a boundary; disjoint text
+    # windows -> large diff
+    same = text_to_video("x" * 192, 2)  # frame 1 fully padded vs 'x' bytes
+    det = ShotBoundaryDetector()
+    out = det(
+        pa.table(
+            {
+                "item_id": pa.array([1], pa.int64()),
+                "payload": pa.array([same], pa.binary()),
+            }
+        )
+    )
+    assert out.num_rows == 1
+    assert out["diff_sum"][0].as_py() == 192 * abs(ord("x") - ord(" "))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_small}/documents.parquet')"
+    )
+    a = video_shot_boundaries(sf_small).to_pandas()
+    b = con.execute(video_shot_boundaries_sql()).df()
+    cols = sorted(a.columns)
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True).astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b)
+    # one row per adjacent pair of every multi-frame video
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(f"{sf_small}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_pylist()
+    want = sum(max(0, video_n_frames(i) - 1) for i in ids)
+    assert len(a) == want
+    assert (a.is_boundary == (a.diff_sum > SHOT_DIFF_THRESHOLD)).all()
