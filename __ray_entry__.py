@@ -284,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_turn_redirects": _stage_tr("turndedup", "turn_redirects"),
         "kg_linked_mentions": _stage_tr("link", "link_mentions"),
         "kg_sft_pairs": _stage_tr("chunking", "sft_pairs"),
+        "kg_sft_echo_overlap": _stage_tr("chunking", "sft_echo_overlap"),
         "kg_context_windows": _stage_tr("chunking", "context_windows"),
         # --- relational operator coverage ---
         "rel_pricing_summary": _rel("pricing_summary"),
@@ -517,6 +518,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_turn_redirects": TD.turn_redirects_sql(),
         "kg_linked_mentions": L.link_mentions_sql(),
         "kg_sft_pairs": CH.sft_pairs_sql(),
+        "kg_sft_echo_overlap": CH.sft_echo_overlap_sql(),
         "kg_context_windows": CH.context_windows_sql(),
         "rel_pricing_summary": R.pricing_summary_sql(),
         "rel_nation_revenue": R.nation_revenue_sql(),

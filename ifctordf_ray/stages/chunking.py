@@ -431,3 +431,113 @@ def context_windows_sql(k: int = CTX_K) -> str:
     FROM tr
     QUALIFY turn_idx > 0
     """
+
+
+# ---------------------------------------------------------------------------
+# SFT echo / leakage screen: prompt-response n-gram overlap
+# ---------------------------------------------------------------------------
+ECHO_MIN_SHARED = 2  # pairs sharing fewer shingles are never flagged
+
+
+def sft_echo_overlap(
+    tr: ray.data.Dataset, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """(conv_id, prompt_idx, p_shingles, r_shingles, overlap, is_echo):
+    word-3-gram overlap between each SFT pair's prompt and response —
+    the echo/leakage screen a dialogue-SFT corpus needs before training
+    (a response that mostly restates its prompt teaches copying; a
+    response that quotes the prompt verbatim can leak injected context).
+    is_echo flags pairs where >= half the response's distinct shingles
+    come from the prompt (and at least ECHO_MIN_SHARED are shared).
+
+    Distributed shape: rides sft_pairs' per-turn hash join (no
+    per-conversation grouping), then one stateless vectorized-per-row
+    scoring map; integer-exact columns so the SQL oracle is bit-equal."""
+    import numpy as np
+
+    from ifctordf_ray.stages.dedup import shingles
+
+    pairs = sft_pairs(tr, num_partitions=num_partitions)
+
+    def score(t: pa.Table) -> pa.Table:
+        pn, rn, ov = [], [], []
+        for p, r in zip(t["prompt"].to_pylist(), t["response"].to_pylist()):
+            sp = shingles(p)
+            sr = shingles(r)
+            pn.append(len(sp))
+            rn.append(len(sr))
+            ov.append(len(sp & sr))
+        pn = np.array(pn, dtype=np.int64)
+        rn = np.array(rn, dtype=np.int64)
+        ov = np.array(ov, dtype=np.int64)
+        echo = (ov >= ECHO_MIN_SHARED) & (2 * ov >= rn)
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "prompt_idx": t["prompt_idx"],
+                "p_shingles": pa.array(pn, pa.int64()),
+                "r_shingles": pa.array(rn, pa.int64()),
+                "overlap": pa.array(ov, pa.int64()),
+                "is_echo": pa.array(echo),
+            }
+        )
+
+    return pairs.map_batches(score, batch_format="pyarrow")
+
+
+def sft_echo_overlap_sql() -> str:
+    from ifctordf_ray.stages.dedup import SHINGLE_K, WORD_RE
+
+    shingle_expr = (
+        f"""CASE WHEN len(ws) >= {SHINGLE_K}
+                 THEN list_transform(range(len(ws) - {SHINGLE_K - 1}),
+                      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+                 WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+                 ELSE [] END"""
+    )
+    return f"""
+    WITH pairs AS ({sft_pairs_sql()}),
+    pw AS (
+        SELECT conv_id, prompt_idx,
+               regexp_extract_all(lower(coalesce(prompt, '')), '{WORD_RE}') AS ws
+        FROM pairs
+    ),
+    rw AS (
+        SELECT conv_id, prompt_idx,
+               regexp_extract_all(lower(coalesce(response, '')), '{WORD_RE}') AS ws
+        FROM pairs
+    ),
+    psh AS (
+        SELECT DISTINCT conv_id, prompt_idx, shingle
+        FROM (SELECT conv_id, prompt_idx, {shingle_expr} AS shl FROM pw),
+             UNNEST(shl) AS u(shingle)
+    ),
+    rsh AS (
+        SELECT DISTINCT conv_id, prompt_idx, shingle
+        FROM (SELECT conv_id, prompt_idx, {shingle_expr} AS shl FROM rw),
+             UNNEST(shl) AS u(shingle)
+    ),
+    sizes AS (
+        SELECT p.conv_id, p.prompt_idx,
+               coalesce(pn.n, 0) AS p_shingles, coalesce(rn.n, 0) AS r_shingles
+        FROM pairs p
+        LEFT JOIN (SELECT conv_id, prompt_idx, count(*) AS n FROM psh
+                   GROUP BY 1, 2) pn USING (conv_id, prompt_idx)
+        LEFT JOIN (SELECT conv_id, prompt_idx, count(*) AS n FROM rsh
+                   GROUP BY 1, 2) rn USING (conv_id, prompt_idx)
+    ),
+    inter AS (
+        SELECT p.conv_id, p.prompt_idx, count(*) AS ov
+        FROM psh p JOIN rsh r
+          ON r.conv_id = p.conv_id AND r.prompt_idx = p.prompt_idx
+         AND r.shingle = p.shingle
+        GROUP BY 1, 2
+    )
+    SELECT s.conv_id, s.prompt_idx,
+           CAST(s.p_shingles AS BIGINT) AS p_shingles,
+           CAST(s.r_shingles AS BIGINT) AS r_shingles,
+           CAST(coalesce(i.ov, 0) AS BIGINT) AS overlap,
+           (coalesce(i.ov, 0) >= {ECHO_MIN_SHARED}
+            AND 2 * coalesce(i.ov, 0) >= s.r_shingles) AS is_echo
+    FROM sizes s LEFT JOIN inter i USING (conv_id, prompt_idx)
+    """

@@ -135,3 +135,43 @@ def test_order_price_band_join_parity(sf_small):
     assert (a["okey_a"] < a["okey_b"]).all()
     # each unordered pair exactly once (the promoted-x-promoted exclusion)
     assert not a.duplicated(["okey_a", "okey_b"]).any()
+
+
+def test_sft_echo_overlap_parity(sf_small):
+    import pyarrow as pa
+    import ray.data
+
+    from ifctordf_ray.sources.transcripts import transcripts_from_events
+    from ifctordf_ray.stages.chunking import (
+        ECHO_MIN_SHARED,
+        sft_echo_overlap,
+        sft_echo_overlap_sql,
+    )
+
+    con = _duck(sf_small, ["events"])
+    a = _compare(
+        sft_echo_overlap(transcripts_from_events(sf_small)),
+        sft_echo_overlap_sql(),
+        con,
+    )
+    assert len(a) > 0
+    assert (a["overlap"] <= a[["p_shingles", "r_shingles"]].min(axis=1)).all()
+    assert (
+        a["is_echo"]
+        == ((a["overlap"] >= ECHO_MIN_SHARED) & (2 * a["overlap"] >= a["r_shingles"]))
+    ).all()
+    # a synthetic verbatim echo is flagged
+    tr = ray.data.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array(["c"] * 2, pa.string()),
+                "turn_idx": pa.array([0, 1], pa.int32()),
+                "role": pa.array(["user", "assistant"], pa.string()),
+                "text": pa.array(["the quick brown fox jumps high"] * 2),
+                "tool": pa.array([None, None], pa.string()),
+                "ts": pa.array([0, 1], pa.timestamp("us")),
+            }
+        )
+    )
+    e = sft_echo_overlap(tr).to_pandas()
+    assert len(e) == 1 and bool(e.is_echo[0])
