@@ -3549,3 +3549,57 @@ def order_price_band_join_sql(delta: int = BAND_DELTA_CENTS) -> str:
     FROM o a JOIN o b
       ON a.k < b.k AND b.p BETWEEN a.p - {delta} AND a.p + {delta}
     """
+
+
+# ---------------------------------------------------------------------------
+# Robust dispersion: per-user median absolute deviation (MAD)
+# ---------------------------------------------------------------------------
+def _mad_group(g: pa.Table) -> pa.Table:
+    c = np.sort(_cents(g["value"]).to_numpy(zero_copy_only=False))
+    n = len(c)
+    med = int(c[(n - 1) // 2])
+    dev = np.sort(np.abs(c - med))
+    return pa.table(
+        {
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "n_events": pa.array([n], pa.int64()),
+            "median_cents": pa.array([med], pa.int64()),
+            "mad_cents": pa.array([int(dev[(n - 1) // 2])], pa.int64()),
+        }
+    )
+
+
+def user_value_mad(sf_dir: str) -> ray.data.Dataset:
+    """(user_id, n_events, median_cents, mad_cents): per-user median
+    absolute deviation of event value — the robust dispersion measure
+    outlier gates should use instead of stddev (one wild event moves a
+    stddev band, not a MAD band).  Exact integer cents, discrete
+    lower-middle quantile both passes (quantile_disc semantics, as
+    user_median_value).  One group-keyed map_groups computes both order
+    statistics in-group — group size is a user's event count, no second
+    exchange."""
+    ds = _clean_read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+    return ds.groupby("user_id").map_groups(_mad_group, batch_format="pyarrow")
+
+
+def user_value_mad_sql() -> str:
+    return """
+    WITH c AS (
+        SELECT user_id,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, quantile_disc(cents, 0.5) AS med,
+               count(*) AS n
+        FROM c GROUP BY user_id
+    )
+    SELECT c.user_id,
+           CAST(m.n AS BIGINT) AS n_events,
+           CAST(m.med AS BIGINT) AS median_cents,
+           CAST(quantile_disc(abs(c.cents - m.med), 0.5) AS BIGINT) AS mad_cents
+    FROM c JOIN m USING (user_id)
+    GROUP BY c.user_id, m.n, m.med
+    """

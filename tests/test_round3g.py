@@ -175,3 +175,12 @@ def test_sft_echo_overlap_parity(sf_small):
     )
     e = sft_echo_overlap(tr).to_pandas()
     assert len(e) == 1 and bool(e.is_echo[0])
+
+
+def test_user_value_mad_parity(sf_small):
+    from ifctordf_ray.pipelines.relational import user_value_mad, user_value_mad_sql
+
+    con = _duck(sf_small, ["events"])
+    a = _compare(user_value_mad(sf_small), user_value_mad_sql(), con)
+    assert len(a) > 0
+    assert (a.mad_cents >= 0).all()
