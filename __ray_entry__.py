@@ -409,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_benford_digits": _rel("benford_digits"),
         # --- dedup ---
         "doc_exact_duplicates": _stage("dedup", "exact_duplicates"),
+        "doc_normalized_duplicates": _stage("dedup", "normalized_duplicates"),
         "doc_deduped_ids": _stage("dedup", "deduped_doc_ids"),
         "doc_decontaminated": _stage("dedup", "decontaminate"),
         "doc_minhash_near_dups": _stage("dedup", "near_dup_pairs_minhash"),
@@ -644,6 +645,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_order_price_band_join": R.order_price_band_join_sql(),
         "rel_benford_digits": R.benford_digits_sql(),
         "doc_exact_duplicates": D.exact_duplicates_sql(),
+        "doc_normalized_duplicates": D.normalized_duplicates_sql(),
         "doc_deduped_ids": D.deduped_doc_ids_sql(),
         "doc_decontaminated": D.decontaminate_sql(),
         # md5-derived hash spec == DuckDB md5_number_upper, so the full

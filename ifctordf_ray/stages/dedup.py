@@ -2276,3 +2276,61 @@ def blocking_pairs_sql(window: int = BLOCK_WINDOW) -> str:
            (a.bkey = b.bkey) AS same_key
     FROM s a JOIN s b ON b.rn > a.rn AND b.rn <= a.rn + {window}
     """
+
+
+# ---------------------------------------------------------------------------
+# Punctuation-blind (aggressive-canonical) exact dedup
+# ---------------------------------------------------------------------------
+def normalized_duplicates(sf_dir: str) -> ray.data.Dataset:
+    """(fingerprint, keep_doc_id, n_docs): exact dedup groups under the
+    AGGRESSIVE canonical form — lowercase, every non-alphanumeric run
+    collapsed to one space, trimmed — the C4/CCNet-style normalization
+    that catches near-verbatim copies differing only in punctuation,
+    quoting or casing, which the whitespace-only fingerprint
+    (exact_duplicates) keeps apart.  Keeper = min doc_id, same
+    first-seen-wins analog of resolveDuplicates.
+
+    Vectorized Arrow canonicalization (lower + regex-replace + trim);
+    md5 is the engine-wide content-hash spec (per-value, batch-cached);
+    one hash-groupby exchange moving (hash, id) rows only."""
+    import pyarrow.compute as pc
+
+    from ifctordf_ray.functions.kernels import md5_hex
+
+    ds = _clean_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def fp(t: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(pc.fill_null(t["text"], "")),
+                "[^a-z0-9]+",
+                " ",
+            ),
+            " ",
+        )
+        return pa.table(
+            {
+                "fingerprint": pa.array(md5_hex(norm.to_pylist()), pa.string()),
+                "doc_id": t["doc_id"],
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow").groupby(
+        "fingerprint"
+    ).aggregate(
+        Min("doc_id", alias_name="keep_doc_id"),
+        Count(alias_name="n_docs"),
+    )
+
+
+def normalized_duplicates_sql() -> str:
+    return r"""
+    SELECT md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                   '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """

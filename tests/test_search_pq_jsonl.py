@@ -203,3 +203,18 @@ def test_minhash_estimate_quality_parity(sf_small):
         - a.exact_inter / a.exact_union.where(a.exact_union > 0, 1)
     ).abs()
     assert (err < 0.25).any()
+
+
+def test_normalized_duplicates_parity_and_aggressiveness(sf_small):
+    con = _duck(sf_small, ["documents"])
+    a = _compare(
+        dedup.normalized_duplicates(sf_small),
+        dedup.normalized_duplicates_sql(),
+        con,
+    )
+    assert len(a) > 0
+    # the aggressive canonical form can only MERGE groups relative to the
+    # whitespace-only fingerprint, never split them
+    b = dedup.exact_duplicates(sf_small).to_pandas()
+    assert len(a) <= len(b)
+    assert a.n_docs.sum() == b.n_docs.sum()  # every doc in exactly one group
