@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_top_decile": _stage("textstats", "quality_top_decile"),
         "doc_lang_token_quantiles": _stage("textstats", "lang_token_quantiles"),
         "doc_lang_id": _stage("textstats", "lang_id"),
+        "doc_lang_confusion": _stage("textstats", "lang_confusion"),
         "doc_fingerprints": _stage("textstats", "fingerprints"),
         "doc_winnow_fingerprints": _stage("textstats", "winnow_fingerprints"),
         "doc_sample": _stage("textstats", "sample_docs"),
@@ -578,6 +579,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_top_decile": T.quality_top_decile_sql(),
         "doc_lang_token_quantiles": T.lang_token_quantiles_sql(),
         "doc_lang_id": T.lang_id_sql(),
+        "doc_lang_confusion": T.lang_confusion_sql(),
         "doc_fingerprints": T.fingerprints_sql(),
         "doc_winnow_fingerprints": T.winnow_fingerprints_sql(),
         "doc_sample": T.sample_docs_sql(),

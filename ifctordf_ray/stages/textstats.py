@@ -1472,3 +1472,43 @@ def lang_temperature_mix_sql(alpha: float = MIX_ALPHA) -> str:
            CAST((w_micro * {MIX_SCALE}) // t.tot AS BIGINT) AS share_micro
     FROM w, t
     """
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation: confusion matrix against the labeled column
+# ---------------------------------------------------------------------------
+def lang_confusion(sf_dir: str) -> ray.data.Dataset:
+    """(lang_true, pred_lang, n_docs): confusion matrix of the n-gram
+    lang-id heuristic against the table's labeled `lang` column — the
+    eval every language filter needs before its predictions gate a
+    corpus mixture (a filter that misroutes one language starves that
+    slice of the training mix).  Shape: one scoring map (LangId actor
+    pool, text column only) + a label-cardinality groupby; the matrix
+    is |langs|^2 rows regardless of corpus size."""
+    from ray.data.aggregate import Count
+
+    ds = _clean_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    class _LangWithLabel(LangId):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = super().__call__(batch.select(["doc_id", "text"]))
+            return out.append_column("lang_true", batch["lang"])
+
+    preds = ds.map_batches(
+        _LangWithLabel, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0
+    )
+    return preds.groupby(["lang_true", "pred_lang"]).aggregate(
+        Count(alias_name="n_docs")
+    )
+
+
+def lang_confusion_sql() -> str:
+    return f"""
+    WITH p AS ({lang_id_sql()})
+    SELECT d.lang AS lang_true, p.pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN p USING (doc_id)
+    GROUP BY 1, 2
+    """

@@ -218,3 +218,16 @@ def test_normalized_duplicates_parity_and_aggressiveness(sf_small):
     b = dedup.exact_duplicates(sf_small).to_pandas()
     assert len(a) <= len(b)
     assert a.n_docs.sum() == b.n_docs.sum()  # every doc in exactly one group
+
+
+def test_lang_confusion_parity(sf_small):
+    from ifctordf_ray.stages.textstats import lang_confusion, lang_confusion_sql
+
+    con = _duck(sf_small, ["documents"])
+    a = _compare(lang_confusion(sf_small), lang_confusion_sql(), con)
+    assert len(a) > 0
+    # the matrix accounts for every document exactly once
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.read_metadata(f"{sf_small}/documents.parquet").num_rows
+    assert a.n_docs.sum() == n_docs
