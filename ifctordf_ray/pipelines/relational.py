@@ -3603,3 +3603,80 @@ def user_value_mad_sql() -> str:
     FROM c JOIN m USING (user_id)
     GROUP BY c.user_id, m.n, m.med
     """
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection over each user's event-value series
+# ---------------------------------------------------------------------------
+def _cusum_group(g: pa.Table) -> pa.Table:
+    t = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    c = _cents(t["value"]).to_numpy(zero_copy_only=False)
+    n = len(c)
+    if n < 2:
+        return pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "peak_dev": pa.array([], pa.int64()),
+                "change_k": pa.array([], pa.int64()),
+            }
+        )
+    sk = np.cumsum(c)
+    sn = int(sk[-1])
+    k = np.arange(1, n, dtype=np.int64)  # split points 1..n-1
+    dev = np.abs(k * sn - n * sk[:-1])
+    best = int(np.argmax(dev))  # first max = smallest k, the tie rule
+    return pa.table(
+        {
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "n_events": pa.array([n], pa.int64()),
+            "peak_dev": pa.array([int(dev[best])], pa.int64()),
+            "change_k": pa.array([best + 1], pa.int64()),
+        }
+    )
+
+
+def user_cusum_changepoint(sf_dir: str) -> ray.data.Dataset:
+    """(user_id, n_events, peak_dev, change_k): CUSUM change-point scan
+    per user — the split k maximizing the mean-shift statistic
+    |k*S_n - n*S_k| over the (ts, event_id)-ordered value series (the
+    integer-scaled form of max |S_k - k/n * S_n|, so the whole scan is
+    exact int64, no float drift).  The drift detector a per-key metric
+    stream needs before alerting on behavior change; single-event users
+    have no split and emit nothing.  Ties -> smallest k.
+
+    Shape: one group-keyed map_groups (vectorized cumsum in-group);
+    group size is a user's event count — same partitioning contract as
+    every per-user window op here."""
+    ds = _clean_read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+    return ds.groupby("user_id").map_groups(_cusum_group, batch_format="pyarrow")
+
+
+def user_cusum_changepoint_sql() -> str:
+    return """
+    WITH c AS (
+        SELECT user_id, event_id, ts,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    w AS (
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k,
+               sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sk,
+               count(*) OVER (PARTITION BY user_id) AS n,
+               sum(cents) OVER (PARTITION BY user_id) AS sn
+        FROM c
+    ),
+    d AS (
+        SELECT user_id, n, k, abs(k * sn - n * sk) AS dev,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY abs(k * sn - n * sk) DESC, k ASC) AS rn
+        FROM w WHERE k < n
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           CAST(dev AS BIGINT) AS peak_dev, CAST(k AS BIGINT) AS change_k
+    FROM d WHERE rn = 1
+    """

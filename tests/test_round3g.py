@@ -184,3 +184,32 @@ def test_user_value_mad_parity(sf_small):
     a = _compare(user_value_mad(sf_small), user_value_mad_sql(), con)
     assert len(a) > 0
     assert (a.mad_cents >= 0).all()
+
+
+def test_user_cusum_changepoint_parity(sf_small):
+    import numpy as np
+
+    from ifctordf_ray.pipelines.relational import (
+        user_cusum_changepoint,
+        user_cusum_changepoint_sql,
+    )
+
+    con = _duck(sf_small, ["events"])
+    a = _compare(user_cusum_changepoint(sf_small), user_cusum_changepoint_sql(), con)
+    assert len(a) > 0
+    assert ((a.change_k >= 1) & (a.change_k < a.n_events)).all()
+    # synthetic step series: the detector must put the split at the step
+    import pyarrow as pa
+    from ifctordf_ray.pipelines.relational import _cusum_group
+
+    vals = [1.0] * 5 + [100.0] * 5
+    g = pa.table(
+        {
+            "user_id": pa.array([7] * 10, pa.int64()),
+            "event_id": pa.array(list(range(10)), pa.int64()),
+            "ts": pa.array(list(range(10)), pa.timestamp("us")),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    out = _cusum_group(g)
+    assert out["change_k"][0].as_py() == 5
