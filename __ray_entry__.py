@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_user_median_value": _rel("user_median_value"),
         "rel_user_value_mad": _rel("user_value_mad"),
         "rel_user_cusum_changepoint": _rel("user_cusum_changepoint"),
+        "rel_events_window_dedup": _rel("events_window_dedup"),
         "rel_customer_order_counts": _rel("customer_order_counts"),
         "rel_daily_active_users": _rel("daily_active_users"),
         "rel_event_transitions": _rel("event_transitions"),
@@ -544,6 +545,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_user_median_value": R.user_median_value_sql(),
         "rel_user_value_mad": R.user_value_mad_sql(),
         "rel_user_cusum_changepoint": R.user_cusum_changepoint_sql(),
+        "rel_events_window_dedup": R.events_window_dedup_sql(),
         "rel_customer_order_counts": R.customer_order_counts_sql(),
         "rel_daily_active_users": R.daily_active_users_sql(),
         "rel_event_transitions": R.event_transitions_sql(),

@@ -3680,3 +3680,79 @@ def user_cusum_changepoint_sql() -> str:
            CAST(dev AS BIGINT) AS peak_dev, CAST(k AS BIGINT) AS change_k
     FROM d WHERE rn = 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Stream-ingestion idempotency dedup: same (user, type) within a window
+# ---------------------------------------------------------------------------
+DEDUP_WINDOW_US = 6 * 3600 * 1_000_000  # 6 hours
+
+
+def _window_dedup_group(g: pa.Table) -> pa.Table:
+    t = g.sort_by(
+        [("event_type", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+    )
+    ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+    et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+    n = len(ts)
+    keep = np.ones(n, dtype=bool)
+    if n > 1:
+        same_type = et[1:] == et[:-1]
+        # chained rule: an event is a dup of the previous KEPT event of
+        # its type; a dropped event does not extend the window (exactly
+        # the LAG-less "last emitted" semantics of an ingest dedup)
+        last_ts = ts[0]
+        for i in range(1, n):
+            if same_type[i - 1] and ts[i] - last_ts <= DEDUP_WINDOW_US:
+                keep[i] = False
+            else:
+                last_ts = ts[i]
+    return t.filter(pa.array(keep)).select(["event_id", "user_id", "event_type", "ts"])
+
+
+def events_window_dedup(sf_dir: str) -> ray.data.Dataset:
+    """(event_id, user_id, event_type, ts): the event stream after
+    idempotency-window dedup — an event is dropped when the previous
+    EMITTED event of the same (user_id, event_type) is within
+    DEDUP_WINDOW_US (chained last-emitted semantics, what an ingest
+    dedup actor keyed on (user, type) actually does; retries and
+    double-sends collapse, genuinely-new activity survives).
+
+    Shape: one groupby(user_id).map_groups; per-group work is a sort +
+    a short Python chain over same-type runs (group = one user's
+    events).  The chained rule is deliberately NOT a LAG filter — a
+    dropped event must not extend the suppression window — which is
+    also why the SQL oracle needs a recursive per-run walk rather than
+    a window function."""
+    ds = _clean_read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    return ds.groupby("user_id").map_groups(
+        _window_dedup_group, batch_format="pyarrow"
+    )
+
+
+def events_window_dedup_sql() -> str:
+    return f"""
+    WITH RECURSIVE o AS (
+        SELECT event_id, user_id, event_type, ts,
+               CAST(epoch_us(ts) AS BIGINT) AS tus,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    walk (user_id, event_type, rn, event_id, ts, tus, last_emit, kept) AS (
+        SELECT user_id, event_type, rn, event_id, ts, tus, tus, TRUE
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_type, o.rn, o.event_id, o.ts, o.tus,
+               CASE WHEN o.tus - w.last_emit <= {DEDUP_WINDOW_US}
+                    THEN w.last_emit ELSE o.tus END,
+               o.tus - w.last_emit > {DEDUP_WINDOW_US}
+        FROM o JOIN walk w
+          ON o.user_id = w.user_id AND o.event_type = w.event_type
+         AND o.rn = w.rn + 1
+    )
+    SELECT event_id, user_id, event_type, ts FROM walk WHERE kept
+    """

@@ -213,3 +213,31 @@ def test_user_cusum_changepoint_parity(sf_small):
     )
     out = _cusum_group(g)
     assert out["change_k"][0].as_py() == 5
+
+
+def test_events_window_dedup_parity_and_chain_rule(sf_small):
+    import pyarrow as pa
+
+    from ifctordf_ray.pipelines.relational import (
+        DEDUP_WINDOW_US,
+        _window_dedup_group,
+        events_window_dedup,
+        events_window_dedup_sql,
+    )
+
+    con = _duck(sf_small, ["events"])
+    a = _compare(events_window_dedup(sf_small), events_window_dedup_sql(), con)
+    assert len(a) > 0
+    # chained last-EMITTED semantics: t=0 kept, t=0.5W dropped, t=1.2W
+    # KEPT (window anchored at the kept t=0, not the dropped t=0.5W)
+    w = DEDUP_WINDOW_US
+    g = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "user_id": pa.array([9] * 3, pa.int64()),
+            "event_type": pa.array(["click"] * 3, pa.string()),
+            "ts": pa.array([0, w // 2, w + w // 5], pa.timestamp("us")),
+        }
+    )
+    out = _window_dedup_group(g)
+    assert out["event_id"].to_pylist() == [1, 3]
