@@ -756,6 +756,21 @@ def materialize(
     return manifest
 
 
+def _fresh_parts_dir(path: str) -> None:
+    """Clear a sink-owned parts directory before writing.  The Parquet
+    sinks build their manifest and returned count by globbing the parts
+    dir after the write; rerunning into a dir left by an OLDER run (with
+    possibly different input) must not fold stale parts into the manifest
+    (ADVICE r4).  Clearing happens once on the driver before the pipeline
+    runs, so in-run task retries still hit the content-addressed skip
+    path — only prior-run leftovers are removed."""
+    import os
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+
 def materialize_parquet(
     triples: ray.data.Dataset, out_dir: str, compression: str = "zstd"
 ) -> int:
@@ -781,6 +796,7 @@ def materialize_parquet(
     # 16 hive dirs (a small-file explosion at many blocks).  The
     # hive-bucketed layout remains available via sinks.write_graph_parquet
     # for point-lookup workloads (subject_triples).
+    _fresh_parts_dir(f"{out_dir}/parquet")
     triples.write_parquet(f"{out_dir}/parquet", compression=compression)
     per_file = []
     for f in sorted(glob.glob(f"{out_dir}/parquet/*.parquet")):
@@ -862,6 +878,7 @@ def materialize_parquet_fastset(
         tr, prevalidated=True, deterministic_batches=True
     )
     pq_dir = f"{out_dir}/parquet"
+    _fresh_parts_dir(pq_dir)
     shared = compact.map_batches(
         sinks.write_fastset_part,
         fn_kwargs={"out_dir": pq_dir, "compression": compression, "split": True},

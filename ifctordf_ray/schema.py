@@ -335,10 +335,10 @@ def sniff_vocab_version(path: str) -> str:
     convert file with schema')."""
     import pyarrow.parquet as _pq
 
-    try:
-        md = _pq.read_schema(path).metadata or {}
-    except Exception:
-        return DEFAULT_VOCAB_VERSION
+    # IO/parse errors PROPAGATE (ADVICE r4): a corrupt or unreadable file
+    # must hard-error like the reference's unconvertible-schema abort,
+    # not be silently tagged with the default generation.
+    md = _pq.read_schema(path).metadata or {}
     raw = md.get(VOCAB_METADATA_KEY)
     if raw is None:
         return DEFAULT_VOCAB_VERSION

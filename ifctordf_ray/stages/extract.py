@@ -485,11 +485,13 @@ def extract_batch_triples(
     # emission (distinct() drops it); a deterministic min is kept for
     # schema compatibility.  Measured: 17% of the flagship's pre-distinct
     # exchange rows were cross-conversation wrapper repeats.
-    return (
-        out.group_by(COMPACT_COLS)
-        .aggregate([("conv_id", "min")])
-        .rename_columns(COMPACT_COLS + ["conv_id"])
-        .select(["conv_id"] + COMPACT_COLS)
+    # select/rename BY NAME (ADVICE r4): pyarrow names the min-aggregate
+    # column "conv_id_min"; relying on positional order of group keys vs
+    # aggregates would silently mislabel subj/pred_id/obj if a pyarrow
+    # upgrade reordered aggregate output.
+    agg = out.group_by(COMPACT_COLS).aggregate([("conv_id", "min")])
+    return agg.select(["conv_id_min"] + COMPACT_COLS).rename_columns(
+        ["conv_id"] + COMPACT_COLS
     )
 
 
@@ -936,9 +938,30 @@ def distinct_onepass(
     recompute falls back to Ray object reconstruction of task outputs."""
     from ifctordf_ray import tuning
 
+    # empty inputs return a cols-only empty dataset — SAME schema contract
+    # as the non-empty path, which projects to `cols` (ADVICE r4: the old
+    # `return ds` / `ds.limit(0)` leaked extra input columns like conv_id
+    # into the empty-corpus output schema).
+    def _empty_cols_only(schema: pa.Schema | None) -> ray.data.Dataset:
+        def typ(c: str):
+            # A ZERO-BLOCK pipeline may only expose an upstream fallback
+            # schema that predates this op's projection; recover the wire
+            # type from the compact-triple contract, else string.
+            if schema is not None and schema.get_field_index(c) != -1:
+                return schema.field(c).type
+            if _EMPTY_TRIPLES.schema.get_field_index(c) != -1:
+                return _EMPTY_TRIPLES.schema.field(c).type
+            return pa.string()
+
+        return ray.data.from_arrow(
+            pa.table({c: pa.array([], type=typ(c)) for c in cols})
+        )
+
     refs = ds.to_arrow_refs()
     if not refs:
-        return ds
+        sch = ds.schema()
+        return _empty_cols_only(getattr(sch, "base_schema", None))
+    first_ref = refs[0]
     cpus = int(ray.cluster_resources().get("CPU", 8))
     cap = getattr(tuning, "_EXEC_CPU_CAP", None)
     slots = min(cpus, cap) if cap else cpus
@@ -950,7 +973,7 @@ def distinct_onepass(
     refs = [r for r, s in zip(refs, samples) if s.size]
     samples = [s for s in samples if s.size]
     if not refs:
-        return ds.limit(0)
+        return _empty_cols_only(ray.get(first_ref).schema)
     allk = np.sort(np.concatenate(samples)) if samples else np.empty(0, np.int64)
     if allk.size:
         cuts = np.linspace(0, allk.size - 1, k + 1).astype(np.int64)[1:-1]

@@ -29,6 +29,27 @@ EMB_DIM = 64    # embedding width (TESTDATA.md); SQL oracles embed plane
                 # literals of this width — runtime asserts agreement
 
 
+def _emb_matrix(col, dtype=np.float64) -> np.ndarray:
+    """list<float> column -> (n, dim) matrix with NO per-element Python
+    objects (VERDICT r4 #2: the to_pylist path boxed every float of every
+    batch in every emb_ stage): flatten the list child buffer straight to
+    numpy and reshape.  float32 -> float64 widening is exact, so results
+    are bit-identical to the old to_pylist path.  Embeddings are non-null
+    fixed-width by contract; ragged input is a hard error, not a silent
+    mis-alignment.  n == 0 returns the same (0,)-shaped array the old
+    path produced (call-site empty guards unchanged)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.asarray([], dtype=dtype)
+    widths = np.diff(col.offsets.to_numpy())
+    if (widths != widths[0]).any():
+        raise ValueError("ragged embedding column")
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(dtype, copy=False).reshape(n, int(widths[0]))
+
+
 def _load_queries(sf_dir: str, nq: int) -> tuple[np.ndarray, np.ndarray]:
     """Pick the NQ lowest vec_ids + their embeddings WITHOUT collecting
     the corpus: per-block bottom-k on the narrow id column (tree-reduce),
@@ -67,7 +88,7 @@ class CosineScorer:
         self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        embs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        embs = _emb_matrix(batch["embedding"])
         norms = np.linalg.norm(embs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         sims = (embs / norms) @ self.qn.T  # (batch, nq)
@@ -149,7 +170,7 @@ class LshBucketer:
         self.planes = ray.get(planes_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        embs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        embs = _emb_matrix(batch["embedding"])
         signs = (embs @ self.planes.T) > 0
         codes = signs @ (1 << np.arange(self.planes.shape[0]))
         return batch.append_column("bucket", pa.array(codes.astype(np.int64)))
@@ -296,25 +317,29 @@ def near_dup_pairs_lsh(
     planes_ref = ray.put(planes)
 
     def bucketize(t: pa.Table) -> pa.Table:
+        # fully vectorized (VERDICT r4): per-table codes via one reshaped
+        # matmul; row replication across tables via Arrow take (no Python
+        # list extends).  Output row order identical to the old loop:
+        # for each table index in order, all rows in batch order.
         pl = ray.get(planes_ref)
-        embs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        embs = _emb_matrix(t["embedding"])
+        n = t.num_rows
         signs = (embs @ pl.T) > 0  # (n, L*b)
-        out_vec, out_tbl, out_code, out_emb = [], [], [], []
-        vec_ids = t["vec_id"].to_pylist()
-        emb_list = t["embedding"].to_pylist()
         w = 1 << np.arange(bits)
-        for ti in range(tables):
-            codes = signs[:, ti * bits : (ti + 1) * bits] @ w
-            out_vec.extend(vec_ids)
-            out_tbl.extend([ti] * len(vec_ids))
-            out_code.extend(int(c) for c in codes)
-            out_emb.extend(emb_list)
+        codes = np.concatenate(
+            [signs[:, ti * bits : (ti + 1) * bits] @ w for ti in range(tables)]
+        )
+        rep = t.select(["vec_id", "embedding"]).take(
+            pa.array(np.tile(np.arange(n, dtype=np.int64), tables))
+        )
         return pa.table(
             {
-                "vec_id": pa.array(out_vec, pa.int64()),
-                "tbl": pa.array(out_tbl, pa.int32()),
-                "code": pa.array(out_code, pa.int64()),
-                "embedding": pa.array(out_emb, t["embedding"].type),
+                "vec_id": rep["vec_id"].cast(pa.int64()),
+                "tbl": pa.array(
+                    np.repeat(np.arange(tables, dtype=np.int32), n), pa.int32()
+                ),
+                "code": pa.array(codes.astype(np.int64), pa.int64()),
+                "embedding": rep["embedding"],
             }
         )
 
@@ -329,10 +354,10 @@ def near_dup_pairs_lsh(
         )
         if n < 2:
             return empty
-        ids = np.asarray(g["vec_id"].to_pylist(), dtype=np.int64)
+        ids = g["vec_id"].to_numpy().astype(np.int64, copy=False)
         order = np.argsort(ids)[:PAIR_MAX_BUCKET]
         ids = ids[order]
-        embs = np.asarray(g["embedding"].to_pylist(), dtype=np.float64)[order]
+        embs = _emb_matrix(g["embedding"])[order]
         norms = np.linalg.norm(embs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         embs = embs / norms
@@ -434,7 +459,7 @@ class IvfAssigner:
         self.cn = c / np.linalg.norm(c, axis=1, keepdims=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        embs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        embs = _emb_matrix(batch["embedding"])
         norms = np.linalg.norm(embs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         sims = np.round((embs / norms) @ self.cn.T, ROUND_DP)
@@ -596,7 +621,7 @@ def near_dup_pairs_cosine(
         ti, tj = tile_id // C, tile_id % C
         vec_ids = g["vec_id"].to_numpy()
         chunk = g["chunk"].to_numpy()
-        embs = np.asarray(g["embedding"].to_pylist(), dtype=np.float64)
+        embs = _emb_matrix(g["embedding"])
         norms = np.linalg.norm(embs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         embs = embs / norms
@@ -713,9 +738,9 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
     )
 
     def partials(t: pa.Table) -> pa.Table:
-        embs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        embs = _emb_matrix(t["embedding"])
         q = np.floor(embs * CENTROID_Q + 0.5).astype(np.int64)  # (n, d)
-        labels = np.asarray(t["label"].to_pylist(), dtype=np.int64)
+        labels = t["label"].to_numpy().astype(np.int64, copy=False)
         uniq = np.unique(labels)
         d = q.shape[1]
         out_label, out_dim, out_sum, out_n = [], [], [], []
@@ -890,7 +915,7 @@ def quantized_codes(sf_dir: str) -> ray.data.Dataset:
     )
 
     def ranges(t: pa.Table) -> pa.Table:
-        m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        m = _emb_matrix(t["embedding"])
         return pa.table(
             {
                 "dim": pa.array(range(m.shape[1]), pa.int64()),
@@ -922,7 +947,7 @@ def quantized_codes(sf_dir: str) -> ray.data.Dataset:
             self.degen = ray.get(degen_r)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+            m = _emb_matrix(t["embedding"])
             q = np.floor((m - self.lo) / self.span * 255.0 + 0.5).astype(np.int64)
             q[:, self.degen] = 0
             fps = [
@@ -991,7 +1016,7 @@ def dim_covariance(sf_dir: str) -> ray.data.Dataset:
     iu = np.triu_indices(EMB_DIM)
 
     def partials(t: pa.Table) -> pa.Table:
-        embs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        embs = _emb_matrix(t["embedding"])
         q = np.floor(embs * COV_Q + 0.5).astype(np.int64)
         g = q.T @ q  # (d, d) int64 — one BLAS-like reduction per block
         return pa.table(
@@ -1057,7 +1082,7 @@ class _KmeansAssign:
         self.cent_q = np.floor(mat * COV_Q + 0.5).astype(np.int64)  # (K, d)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        embs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        embs = _emb_matrix(batch["embedding"])
         q = np.floor(embs * COV_Q + 0.5).astype(np.int64)  # (n, d)
         # exact int64 distances; argmin ties -> lowest cluster index
         d = ((q[:, None, :] - self.cent_q[None, :, :]) ** 2).sum(axis=2)
@@ -1135,7 +1160,7 @@ class _PQAssign:
         self.cent = q.reshape(q.shape[0], PQ_M, EMB_DIM // PQ_M)  # (K, M, d/M)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        embs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        embs = _emb_matrix(batch["embedding"])
         n = len(embs)
         q = np.floor(embs * COV_Q + 0.5).astype(np.int64).reshape(n, PQ_M, -1)
         # (n, K, M): exact int64 squared distance per subspace
@@ -1243,7 +1268,7 @@ class _PQAdcScorer:
                     "adc_dist": pa.array([], pa.int64()),
                 }
             )
-        embs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        embs = _emb_matrix(batch["embedding"])
         q = np.floor(embs * COV_Q + 0.5).astype(np.int64).reshape(n, PQ_M, -1)
         d = ((q[:, None, :, :] - self.cent[None, :, :, :]) ** 2).sum(axis=3)
         code = d.argmin(axis=1)  # (n, M); first min = lowest code, as SQL
@@ -1402,7 +1427,7 @@ class _IvfPqScorer:
         nq = len(self.q_ids)
         if n == 0 or nq == 0:
             return empty
-        embs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        embs = _emb_matrix(batch["embedding"])
         q = np.floor(embs * COV_Q + 0.5).astype(np.int64).reshape(n, PQ_M, -1)
         d = ((q[:, None, :, :] - self.cent[None, :, :, :]) ** 2).sum(axis=3)
         code = d.argmin(axis=1)
@@ -1707,7 +1732,7 @@ def power_iteration_step(sf_dir: str) -> ray.data.Dataset:
     ds = _clean_read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
 
     def partials(t: pa.Table) -> pa.Table:
-        embs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        embs = _emb_matrix(t["embedding"])
         q = np.floor(embs * COV_Q + 0.5).astype(np.int64)
         s = q.sum(axis=1)  # q_v . ones
         w = (q * s[:, None]).sum(axis=0)  # == (q^T q) @ ones, exact int64
@@ -1785,9 +1810,9 @@ def centroid_similarity(sf_dir: str) -> ray.data.Dataset:
     )
 
     def partials(t: pa.Table) -> pa.Table:
-        embs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        embs = _emb_matrix(t["embedding"])
         q = np.floor(embs * CENTROID_Q + 0.5).astype(np.int64)
-        labels = np.asarray(t["label"].to_pylist(), dtype=np.int64)
+        labels = t["label"].to_numpy().astype(np.int64, copy=False)
         uniq = np.unique(labels)
         d = q.shape[1]
         out_label, out_dim, out_sum = [], [], []
@@ -1897,7 +1922,7 @@ class _KmeansPartials:
         self.cent_q = ray.get(cent_ref)  # (K, d) int64
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        embs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        embs = _emb_matrix(batch["embedding"])
         q = np.floor(embs * COV_Q + 0.5).astype(np.int64)
         d = ((q[:, None, :] - self.cent_q[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)
@@ -2111,7 +2136,7 @@ def dim_minmax(sf_dir: str) -> ray.data.Dataset:
     ds = _clean_read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
 
     def partials(t: pa.Table) -> pa.Table:
-        embs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        embs = _emb_matrix(t["embedding"])
         return pa.table(
             {
                 "dim": pa.array(np.arange(EMB_DIM), pa.int64()),
@@ -2358,7 +2383,7 @@ def semdedup(
 
     def dedup_group(g: pa.Table) -> pa.Table:
         vids = g["vec_id"].to_numpy()
-        embs = np.asarray(g["embedding"].to_pylist(), dtype=np.float64)
+        embs = _emb_matrix(g["embedding"])
         norms = np.linalg.norm(embs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         embs = embs / norms
@@ -2591,7 +2616,7 @@ class _RandomProject:
         self.planes_q = ray.get(planes_ref)  # (RP_DIM, EMB_DIM) int64
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        embs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        embs = _emb_matrix(batch["embedding"])
         q = np.floor(embs * COV_Q + 0.5).astype(np.int64)  # (n, d)
         proj = q @ self.planes_q.T  # exact int64 (n, RP_DIM)
         n = len(q)

@@ -42,6 +42,18 @@ def test_sniff_vocab_version(tmp_path):
         S.sniff_vocab_version(p3)
 
 
+def test_sniff_vocab_version_corrupt_file_errors(tmp_path):
+    """A corrupt/unreadable file must hard-error (the reference aborts on
+    an unconvertible file) — NOT be silently tagged as the default
+    generation (ADVICE r4)."""
+    bad = tmp_path / "corrupt.parquet"
+    bad.write_bytes(b"this is not a parquet file")
+    with pytest.raises(Exception):
+        S.sniff_vocab_version(str(bad))
+    with pytest.raises(Exception):
+        S.sniff_vocab_version(str(tmp_path / "missing.parquet"))
+
+
 def test_two_versions_one_run(tmp_path):
     """The done-criterion fixture: one run over a v1 file and a v2 file
     holding the SAME rows; each file's rows are validated under its own
