@@ -163,6 +163,14 @@ def _q_kg_describe(sf_dir: str):
     return kg.kg_describe(sf_dir)
 
 
+def _q_kg_list_members(sf_dir: str):
+    """Ordered list recovery (T7-T10 inverse) over the list-injected
+    corpus — see kg.kg_list_members."""
+    from ifctordf_ray.pipelines import kg
+
+    return kg.kg_list_members(sf_dir)
+
+
 def _q_kg_predicate_cooccurrence(sf_dir: str):
     """Subject-profile predicate pair counts via closed-vocab bitmask
     aggregate (schema-bounded driver state)."""
@@ -273,10 +281,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_property_paths": _q_kg_property_paths,
         "kg_shape_violations": _q_kg_shape_violations,
         "kg_describe": _q_kg_describe,
-        # list_members (ordered list recovery) is a library op only: the
-        # synthetic sf corpora contain no structured list mentions, so a
-        # queries() entry would be a permanently-0-row oracle — fixture
-        # pytest coverage instead (tests/test_kg_query_ops.py).
+        # list_members over the deterministically list-injected corpus
+        # (the sf corpora carry no '((..),(..))' patterns natively; the
+        # injection is a pure function of the input table, mirrored
+        # verbatim in the SQL oracle — see sources.transcripts).
+        "kg_list_members": _q_kg_list_members,
         "kg_predicate_cooccurrence": _q_kg_predicate_cooccurrence,
         "kg_named_graphs": _q_kg_named_graphs,
         "kg_mention_next_hop": _stage("graphq", "mention_next_hop"),
@@ -516,6 +525,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_property_paths": O.kg_property_paths_sql(),
         "kg_shape_violations": O.kg_shape_violations_sql(),
         "kg_describe": O.kg_describe_sql(),
+        "kg_list_members": O.kg_list_members_sql(),
         "kg_predicate_cooccurrence": O.kg_predicate_cooccurrence_sql(),
         "kg_named_graphs": O.kg_named_graphs_sql(),
         "kg_mention_next_hop": GQ.mention_next_hop_sql(),

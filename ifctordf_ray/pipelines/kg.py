@@ -488,15 +488,21 @@ def kg_describe(sf_dir: str) -> ray.data.Dataset:
         item = pc.binary_join_element_wise(t["pred"], rendered, " ")
         return pa.table({"subj": t["subj"], "item": item})
 
+    # accumulator = list of Arrow arrays (one append per block touched,
+    # O(1) merge by list concat — never per-row Python); only finalize
+    # crosses to Python, on the degree-bounded per-subject item set
     def acc_block(acc: list, block) -> list:
-        col = block.column("item")
-        return acc + col.to_pylist()
+        return acc + [block.column("item").combine_chunks()]
+
+    def fin(chunks: list) -> str:
+        items = pa.concat_arrays(chunks) if chunks else pa.array([], pa.string())
+        return "; ".join(sorted(items.to_pylist()))
 
     agg = AggregateFn(
         init=lambda k: [],
         merge=lambda a, b: a + b,
         accumulate_block=acc_block,
-        finalize=lambda items: "; ".join(sorted(items)),
+        finalize=fin,
         name="description",
     )
     return (
@@ -599,6 +605,24 @@ def list_members(triples: ray.data.Dataset) -> ray.data.Dataset:
     )
     anchor = ray.data.from_arrow(out_schema.empty_table())
     return anchor.union(unfolded)
+
+
+def kg_list_members(sf_dir: str) -> ray.data.Dataset:
+    """Driver-checkable list_members pipeline: the sf corpora carry no
+    structured-list text patterns, so this derives them deterministically
+    (sources.transcripts.inject_list_mentions — a pure function of the
+    input table, mirrored verbatim in the SQL oracle), runs the flagship
+    extraction, and recovers every chain's ordered members (the T7-T10
+    inverse, RDFWriter.java:707-980)."""
+    from ifctordf_ray.sources.transcripts import (
+        inject_list_mentions,
+        transcripts_from_events,
+    )
+
+    tr = inject_list_mentions(
+        transcripts_from_events(sf_dir, drop_dangling=True)
+    )
+    return list_members(extract.extract_fast(tr, prevalidated=True))
 
 
 def kg_predicate_cooccurrence(sf_dir: str) -> ray.data.Dataset:

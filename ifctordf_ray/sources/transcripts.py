@@ -301,6 +301,72 @@ def tag_vocab_by_conv(tr: ray.data.Dataset) -> ray.data.Dataset:
     return tr.map_batches(tag, batch_format="pyarrow")
 
 
+# --- structured-list-mention injection (kg_list_members gate row) ---------
+# The driver-generated sf corpora contain no '((..),(..))' structured-list
+# text patterns, so the T7-T10 inverse (kg.list_members, the ordered list
+# recovery of RDFWriter.java:707-980's chains) had no non-trivial oracle.
+# This derivation appends one deterministic two-level list mention to every
+# (turn_idx % 4 == 1, non-null-text) turn, with cell values computed from
+# the turn's own text length — a pure function of the input table,
+# expressed identically in SQL (inject_list_mentions_sql) so the DuckDB
+# oracle sees byte-identical transcripts.  No external data.
+LIST_INJECT_MOD = 4
+
+
+def inject_list_mentions(tr: ray.data.Dataset) -> ray.data.Dataset:
+    """Append ' ((a,b),(c))' to each turn_idx%4==1 turn's text, where
+    a = len(text) % 5, b = (len(text)+2) % 7, c = (len(text)*3) % 11
+    (character length, matching SQL length())."""
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        txt = t["text"].combine_chunks()
+        L = (
+            pc.fill_null(pc.utf8_length(txt), 0)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        tix = np.asarray(t["turn_idx"].combine_chunks(), dtype=np.int64)
+        mask = pa.array(
+            (tix % LIST_INJECT_MOD == 1)
+            & pc.is_valid(txt).to_numpy(zero_copy_only=False)
+        )
+
+        def s(x: np.ndarray) -> pa.Array:
+            return pc.cast(pa.array(x), pa.string())
+
+        def const(v: str) -> pa.Array:
+            return pa.nulls(n, pa.string()).fill_null(v)
+
+        sfx = pc.binary_join_element_wise(
+            const(" (("), s(L % 5), const(","), s((L + 2) % 7),
+            const("),("), s(L * 3 % 11), const("))"), "",
+        )
+        new_text = pc.if_else(
+            mask, pc.binary_join_element_wise(pc.fill_null(txt, ""), sfx, ""), txt
+        )
+        return t.set_column(t.schema.get_field_index("text"), "text", new_text)
+
+    return tr.map_batches(fn, batch_format="pyarrow")
+
+
+def inject_list_mentions_sql(base_sql: str | None = None) -> str:
+    """The identical injection over the SQL-derived transcripts."""
+    base = base_sql or transcripts_from_events_sql()
+    return f"""
+        SELECT conv_id, turn_idx, role,
+               CASE WHEN text IS NOT NULL AND turn_idx % {LIST_INJECT_MOD} = 1
+                    THEN text || ' ((' || CAST(length(text) % 5 AS VARCHAR)
+                         || ',' || CAST((length(text) + 2) % 7 AS VARCHAR)
+                         || '),(' || CAST(length(text) * 3 % 11 AS VARCHAR)
+                         || '))'
+                    ELSE text END AS text,
+               tool, ts
+        FROM ({base})
+    """
+
+
 def transcripts_table(rows: list[dict]) -> pa.Table:
     """Build an in-memory transcript table for tests/fixtures.  Missing
     fields default to: role='user', text='', tool=None, ts derived as

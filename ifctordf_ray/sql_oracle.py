@@ -20,13 +20,11 @@ def _tools_in() -> str:
     return ", ".join(f"'{t}'" for t in S.TOOLS)
 
 
-def transcripts_cte(where: str | None = None) -> str:
+def transcripts_cte(where: str | None = None, base: str | None = None) -> str:
+    base = base or transcripts_from_events_sql()
     if where:
-        return (
-            "transcripts AS (SELECT * FROM "
-            f"({transcripts_from_events_sql()}) WHERE {where})"
-        )
-    return f"transcripts AS ({transcripts_from_events_sql()})"
+        return f"transcripts AS (SELECT * FROM ({base}) WHERE {where})"
+    return f"transcripts AS ({base})"
 
 
 # regex literals escaped for embedding in single-quoted SQL strings
@@ -41,9 +39,9 @@ def kg_transcripts_sql() -> str:
     return f"WITH {transcripts_cte()} SELECT * FROM transcripts"
 
 
-def _live_turn_cte(where: str | None = None) -> str:
+def _live_turn_cte(where: str | None = None, base: str | None = None) -> str:
     """CTEs: transcripts -> refs -> dangling -> live -> turn (adds IRIs)."""
-    return f"""{transcripts_cte(where)},
+    return f"""{transcripts_cte(where, base)},
 refs AS (
     SELECT t.conv_id, t.turn_idx, u.m AS raw, CAST(u.m AS BIGINT) AS target
     FROM transcripts t, UNNEST(regexp_extract_all(t.text, '{S.REF_RE}', 1)) AS u(m)
@@ -175,17 +173,49 @@ def _turn_triples_unions(mentions_turn_select: str) -> str:
 {mentions_turn_select}"""
 
 
-def kg_triples_sql(where: str | None = None) -> str:
+def kg_triples_sql(where: str | None = None, base: str | None = None) -> str:
     """The full deduplicated triple set (spec in stages/extract.py).
-    `where` filters the derived transcript table (partition predicate)."""
+    `where` filters the derived transcript table (partition predicate);
+    `base` substitutes the transcript derivation itself."""
     mentions = f"""    SELECT t_iri, '{S.P_MENTIONS_TURN}',
            'inst:turn/' || conv_id || '/' || CAST(CAST(u.m AS BIGINT) AS VARCHAR),
            'uri'
     FROM turn, UNNEST(regexp_extract_all(txt, '{S.REF_RE}', 1)) AS u(m)"""
-    return f"""WITH {_live_turn_cte(where)}
+    return f"""WITH {_live_turn_cte(where, base)}
 SELECT DISTINCT subj, pred, obj, obj_kind FROM (
 {_turn_triples_unions(mentions)}
 )"""
+
+
+def kg_list_members_sql() -> str:
+    """Ordered list recovery over the list-injected corpus (the
+    kg.list_members / T7-T10-inverse gate row): the full triple set is
+    built from the inject_list_mentions derivation, then every
+    hasContents row unfolds to (head, pos, member, member_kind, linked),
+    `linked` checking the pos-1 hasNext edge exists in the data."""
+    from ifctordf_ray.sources.transcripts import inject_list_mentions_sql
+
+    node_re = "^inst:listn/([0-9a-f]+)/([0-9]+)$"
+    return f"""WITH trip AS ({kg_triples_sql(base=inject_list_mentions_sql())}),
+c AS (
+    SELECT regexp_extract(subj, '{node_re}', 1) AS chain,
+           CAST(regexp_extract(subj, '{node_re}', 2) AS BIGINT) AS pos,
+           obj AS member, obj_kind AS member_kind
+    FROM trip
+    WHERE pred = '{S.P_HAS_CONTENTS}' AND regexp_matches(subj, '{node_re}')
+),
+nx AS (
+    SELECT regexp_extract(subj, '{node_re}', 1) AS chain,
+           CAST(regexp_extract(subj, '{node_re}', 2) AS BIGINT) AS pos
+    FROM trip
+    WHERE pred = '{S.P_HAS_NEXT}' AND regexp_matches(subj, '{node_re}')
+)
+SELECT 'inst:listn/' || c.chain || '/0' AS head, c.pos, c.member,
+       c.member_kind,
+       (c.pos = 0 OR EXISTS (
+           SELECT 1 FROM nx
+           WHERE nx.chain = c.chain AND nx.pos = c.pos - 1)) AS linked
+FROM c"""
 
 
 def kg_triples_deduped_sql() -> str:

@@ -24,6 +24,9 @@ driver-checkable):
   a, b, h < p: the product stays below 2^62, so the arithmetic is exact
   in uint64 numpy AND in DuckDB BIGINT (no silent mod-2^64 wraparound —
   a larger prime would overflow numpy's uint64 multiply).
+- LSH band hash: fixed-coefficient polynomial over the band's minhash
+  values mod 2^61-1 (_BAND_COEF/_M61) — vectorizable (no per-row string
+  build) and BIGINT-exact in the oracle.
 
 Scale notes: the LSH explode emits B rows/doc; the bucket groupby is the
 only shuffle; bucket sizes are capped (MAX_BUCKET) to bound pair blowup
@@ -50,6 +53,17 @@ NUM_BANDS = 16          # LSH bands (4 rows/band)
 ROWS_PER_BAND = NUM_PERM // NUM_BANDS
 MAX_BUCKET = 50         # skew guard: max docs per LSH bucket expanded to pairs
 _P31 = (1 << 31) - 1    # Mersenne-31: a*h < 2^62 fits uint64 exactly
+# Band-hash spec (vectorized): a band's key is a fixed-coefficient
+# polynomial over its ROWS_PER_BAND minhash values mod M61, plus the band
+# id.  Equality semantics are the same as hashing the joined value string
+# (buckets = docs whose band VECTORS agree, up to ~2^-61 collisions), but
+# the arithmetic is 4 vectorized multiply-adds per doc instead of a
+# Python string build + md5 per (doc, band) — and the identical
+# arithmetic runs in the DuckDB oracle (all quantities < 2^63: values
+# < 2^31, coefficients < 2^30, per-term mod, 4-term sum < 2^63).
+_M61 = (1 << 61) - 1
+_BAND_COEF = (1000000007, 998244353, 754974721, 167772161)
+assert ROWS_PER_BAND <= len(_BAND_COEF)
 
 
 from ifctordf_ray.functions.kernels import stable_hash64 as _stable_hash64  # noqa: E402
@@ -119,91 +133,233 @@ def minhash_signatures(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(_minhash_fn, batch_format="pyarrow")
 
 
-def _explode_bands(batch: pa.Table) -> pa.Table:
-    """signature row -> NUM_BANDS (band_id, band_hash, doc_id, sig) rows."""
-    doc_ids, band_ids, band_hashes, sigs = [], [], [], []
-    for doc, sig in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
-        for b in range(NUM_BANDS):
-            chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-            band_hashes.append(_stable_hash64(f"{b}:" + ",".join(map(str, chunk))))
-            band_ids.append(b)
-            doc_ids.append(doc)
-            sigs.append(sig)
-    return pa.table(
-        {
-            "band_id": pa.array(band_ids, pa.int32()),
-            # signed reinterpret: band_hash is a SHUFFLE KEY, and uint64
-            # values > 2^63 can crash Ray's groupby reduce (int64
-            # inference in convert_to_pyarrow_array); equality joins only
-            # need a bijection, so the int64 view is safe.
-            "band_hash": pa.array(
-                np.array(band_hashes, dtype=np.uint64).view(np.int64), pa.int64()
-            ),
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "sig": pa.array(sigs, pa.list_(pa.uint64())),
-        }
+def _sig_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<uint64> signature column -> (n, NUM_PERM) uint64 matrix,
+    zero-copy on the flattened values (no per-element Python boxing)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(arr), NUM_PERM)
+
+
+def _explode_bands(batch: pa.Table, with_sig: bool = True) -> pa.Table:
+    """signature row -> NUM_BANDS (band_id, band_hash, doc_id[, sig]) rows.
+
+    Fully vectorized: the fixed-length sig column reshapes to an
+    (n, NUM_BANDS, ROWS_PER_BAND) view and the band hash is the
+    _BAND_COEF polynomial mod _M61 (see header) — no per-row Python.
+    with_sig=False ships lean (band_hash, doc_id) rows only (the
+    candidate-join pair shape, NUM_BANDS x lighter through the bucket
+    shuffle); with_sig=True replicates the signature into every band row
+    so buckets can estimate Jaccard without a join."""
+    n = batch.num_rows
+    sig_col = batch["sig"].combine_chunks()
+    vals = _sig_matrix(sig_col).reshape(n, NUM_BANDS, ROWS_PER_BAND)
+    coef = np.array(_BAND_COEF[:ROWS_PER_BAND], dtype=np.uint64)
+    m = np.uint64(_M61)
+    # per-term mod keeps every intermediate < 2^63 (same arithmetic as
+    # the BIGINT SQL oracle); 4-term sum < 2^63 fits uint64 trivially
+    acc = ((vals * coef[None, None, :]) % m).sum(axis=2, dtype=np.uint64)
+    bh = (acc + np.arange(NUM_BANDS, dtype=np.uint64)[None, :]) % m
+    doc_rep = batch["doc_id"].combine_chunks().take(
+        pa.array(np.repeat(np.arange(n, dtype=np.int64), NUM_BANDS))
     )
+    cols = {
+        "band_id": pa.array(np.tile(np.arange(NUM_BANDS, dtype=np.int32), n)),
+        # band_hash < 2^61 so the int64 cast is lossless (shuffle keys
+        # stay int64: uint64 > 2^63 can crash Ray's groupby reduce)
+        "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
+        "doc_id": doc_rep,
+    }
+    if with_sig:
+        cols["sig"] = sig_col.take(
+            pa.array(np.repeat(np.arange(n, dtype=np.int64), NUM_BANDS))
+        )
+    return pa.table(cols)
+
+
+def _bucket_docs(group: pa.Table) -> tuple[np.ndarray, bool]:
+    """Shared bucket prep: doc ids sorted ascending, MAX_BUCKET skew cap
+    applied (lowest doc_ids kept — deterministic), truncation flag."""
+    docs = group["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(docs, kind="stable")
+    truncated = len(docs) > MAX_BUCKET
+    return order[:MAX_BUCKET], truncated
 
 
 def _bucket_pairs(group: pa.Table) -> pa.Table:
     """One LSH bucket -> candidate pairs with signature-estimated Jaccard.
-    Buckets larger than MAX_BUCKET are truncated (flagged, not silent)."""
-    n = group.num_rows
-    if n < 2:
-        return pa.table(
-            {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "est_jaccard": pa.array([], pa.float64()),
-                "truncated": pa.array([], pa.bool_()),
-            }
-        )
-    docs = group["doc_id"].to_pylist()
-    sigs = group["sig"].to_pylist()
-    order = np.argsort(docs)
-    truncated = n > MAX_BUCKET
-    order = order[:MAX_BUCKET]
-    a_l, b_l, est_l = [], [], []
-    for i, j in combinations(order, 2):
-        da, db = docs[i], docs[j]
-        if da == db:
-            continue
-        sa, sb = np.asarray(sigs[i]), np.asarray(sigs[j])
-        est = float(np.mean(sa == sb))
-        a_l.append(min(da, db))
-        b_l.append(max(da, db))
-        est_l.append(est)
+    Buckets larger than MAX_BUCKET are truncated (flagged, not silent).
+    Vectorized: one (m, m, NUM_PERM) equality reduction for the whole
+    bucket (m <= MAX_BUCKET bounds the intermediate)."""
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+            "truncated": pa.array([], pa.bool_()),
+        }
+    )
+    if group.num_rows < 2:
+        return empty
+    order, truncated = _bucket_docs(group)
+    docs = group["doc_id"].to_numpy(zero_copy_only=False)[order]
+    sig = _sig_matrix(group["sig"])[order]
+    m = len(docs)
+    iu, ju = np.triu_indices(m, k=1)
+    keep = docs[iu] != docs[ju]
+    iu, ju = iu[keep], ju[keep]
+    if not len(iu):
+        return empty
+    est = (sig[iu] == sig[ju]).mean(axis=1)
+    da, db = docs[iu], docs[ju]
     return pa.table(
         {
-            "doc_a": pa.array(a_l, pa.int64()),
-            "doc_b": pa.array(b_l, pa.int64()),
-            "est_jaccard": pa.array(est_l, pa.float64()),
-            "truncated": pa.array([truncated] * len(a_l), pa.bool_()),
+            "doc_a": pa.array(np.minimum(da, db), pa.int64()),
+            "doc_b": pa.array(np.maximum(da, db), pa.int64()),
+            "est_jaccard": pa.array(est, pa.float64()),
+            "truncated": pa.array(np.full(len(iu), truncated)),
+        }
+    )
+
+
+def _bucket_pairs_lean(group: pa.Table) -> pa.Table:
+    """Lean bucket expansion: (doc_a, doc_b) only — signatures are joined
+    onto the SURVIVING distinct pairs downstream instead of riding every
+    band row through the bucket shuffle."""
+    if group.num_rows < 2:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+    order, _truncated = _bucket_docs(group)
+    docs = group["doc_id"].to_numpy(zero_copy_only=False)[order]
+    m = len(docs)
+    iu, ju = np.triu_indices(m, k=1)
+    keep = docs[iu] != docs[ju]
+    da, db = docs[iu[keep]], docs[ju[keep]]
+    return pa.table(
+        {
+            "doc_a": pa.array(np.minimum(da, db), pa.int64()),
+            "doc_b": pa.array(np.maximum(da, db), pa.int64()),
         }
     )
 
 
 def near_dup_pairs_minhash(
-    sf_dir: str, threshold: float = 0.5
+    sf_dir: str, threshold: float = 0.5, ship_sigs: bool | None = None
 ) -> ray.data.Dataset:
     """MinHash-LSH near-duplicate candidate pairs (est_jaccard >=
-    threshold), deduplicated across bands via groupby(doc_a, doc_b)."""
+    threshold), deduplicated across bands via groupby(doc_a, doc_b).
+
+    Two physical shapes, same result (A/B table in BASELINE.md §band-
+    shape):
+    - ship_sigs=True: every band row carries the full signature, est
+      computed inside the bucket groupby (1 shuffle, NUM_BANDS x sig
+      volume through it).
+    - ship_sigs=False (default — candidates << docs x bands at real
+      thresholds, so joining sigs onto SURVIVING distinct pairs moves
+      fewer bytes): lean (band_hash, doc_id) band rows -> bucket pairs ->
+      distinct -> two hash joins against the signature table -> est.
+    Override per-run via GRAFT_MINHASH_SHIP_SIGS=1."""
+    import os
+
+    if ship_sigs is None:
+        ship_sigs = os.environ.get("GRAFT_MINHASH_SHIP_SIGS") == "1"
     sigs = minhash_signatures(sf_dir)
-    bands = sigs.map_batches(_explode_bands, batch_format="pyarrow")
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pyarrow"
-    )
     thresh = threshold
+    if ship_sigs:
+        bands = sigs.map_batches(_explode_bands, batch_format="pyarrow")
+        pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+            _bucket_pairs, batch_format="pyarrow"
+        )
 
-    def flt(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        def flt(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater_equal(t["est_jaccard"], thresh))
 
-        return t.filter(pc.greater_equal(t["est_jaccard"], thresh))
+        filtered = pairs.map_batches(flt, batch_format="pyarrow")
+        return filtered.groupby(["doc_a", "doc_b"]).aggregate(
+            Min("est_jaccard", alias_name="est_jaccard")
+        )
 
-    filtered = pairs.map_batches(flt, batch_format="pyarrow")
-    return filtered.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("est_jaccard", alias_name="est_jaccard")
+    from ifctordf_ray.functions.kernels import safe_join
+    from ifctordf_ray.tuning import default_join_partitions
+
+    import functools
+
+    bands = sigs.map_batches(
+        functools.partial(_explode_bands, with_sig=False), batch_format="pyarrow"
     )
+    cand = (
+        bands.groupby(["band_id", "band_hash"])
+        .map_groups(_bucket_pairs_lean, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_nb"))
+        .map_batches(
+            lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
+        )
+    )
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    nparts = default_join_partitions()
+    SIGBIN = pa.binary(8 * NUM_PERM)
+
+    def _sig_side(name: str):
+        # pack the signature into one fixed-size binary cell: Acero hash
+        # joins reject list<> payload columns, and the packed form is
+        # also lighter through the exchange (no offsets vector)
+        def pack(t: pa.Table, n=name) -> pa.Table:
+            mat = _sig_matrix(t["sig"])
+            packed = pa.Array.from_buffers(
+                SIGBIN, len(mat), [None, pa.py_buffer(np.ascontiguousarray(mat).tobytes())]
+            )
+            return pa.table({"sid": t["doc_id"], n: packed})
+
+        return sigs.map_batches(pack, batch_format="pyarrow")
+
+    def _sig_schema(name: str) -> pa.Schema:
+        return pa.schema([("sid", pa.int64()), (name, SIGBIN)])
+
+    j1 = safe_join(
+        cand, pair_schema, _sig_side("sig_a"), _sig_schema("sig_a"),
+        join_type="inner", on=("doc_a",), right_on=("sid",),
+        num_partitions=nparts,
+    )
+    j2 = safe_join(
+        j1,
+        pair_schema.append(pa.field("sig_a", SIGBIN)),
+        _sig_side("sig_b"), _sig_schema("sig_b"),
+        join_type="inner", on=("doc_b",), right_on=("sid",),
+        num_partitions=nparts,
+    )
+
+    def _unpack(col) -> np.ndarray:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if arr.type != SIGBIN:
+            arr = arr.cast(SIGBIN)
+        buf = arr.buffers()[1]
+        off = arr.offset * 8 * NUM_PERM
+        return np.frombuffer(
+            buf, dtype=np.uint64, count=len(arr) * NUM_PERM, offset=off
+        ).reshape(len(arr), NUM_PERM)
+
+    def est_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "est_jaccard": pa.array([], pa.float64()),
+                }
+            )
+        est = (_unpack(t["sig_a"]) == _unpack(t["sig_b"])).mean(axis=1)
+        out = pa.table(
+            {
+                "doc_a": t["doc_a"],
+                "doc_b": t["doc_b"],
+                "est_jaccard": pa.array(est, pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["est_jaccard"], thresh))
+
+    return j2.map_batches(est_fn, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -259,11 +415,15 @@ def _candidates_cte() -> str:
     Jaccard (replicates _explode_bands/_bucket_pairs INCLUDING the
     MAX_BUCKET skew cap: only the lowest-{MAX_BUCKET} doc_ids of a bucket
     form pairs, matching argsort(docs)[:MAX_BUCKET])."""
+    coef_case = " ".join(
+        f"WHEN {j} THEN {c}" for j, c in enumerate(_BAND_COEF[:ROWS_PER_BAND])
+    )
     return f"""band AS (
+    -- polynomial band hash, same arithmetic as _explode_bands: per-term
+    -- mod keeps products < 2^61 and the {ROWS_PER_BAND}-term sum < 2^63 (BIGINT-safe)
     SELECT doc_id, pid // {ROWS_PER_BAND} AS band_id,
-           md5_number_upper(
-               CAST(pid // {ROWS_PER_BAND} AS VARCHAR) || ':' ||
-               string_agg(CAST(v AS VARCHAR), ',' ORDER BY pid)) AS band_hash
+           (sum((v * CASE pid % {ROWS_PER_BAND} {coef_case} END) % {_M61})
+            + pid // {ROWS_PER_BAND}) % {_M61} AS band_hash
     FROM sig GROUP BY doc_id, pid // {ROWS_PER_BAND}
 ),
 bandr AS (

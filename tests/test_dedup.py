@@ -67,6 +67,51 @@ def test_lsh_pipeline_finds_planted_near_dups(tmp_path):
     assert got[(20, 21)] == pytest.approx(len(sa & sb) / len(sa | sb))
 
 
+def test_minhash_pair_shapes_agree(tmp_path):
+    # ship_sigs=True (sig rides every band row) and ship_sigs=False
+    # (lean band rows + sig join onto surviving pairs) are two physical
+    # plans for the same operator: identical output required
+    base = "spark group query row data slow small filter customer line batch value " * 3
+    texts = [f"unique document number {i} with its own words {i * 7} " * 4 for i in range(12)]
+    texts += [base, base + " tiny change", base + " another tweak"]
+    sf = _docs_ds(tmp_path, texts)
+
+    def key(rows):
+        return sorted((r["doc_a"], r["doc_b"], round(r["est_jaccard"], 9)) for r in rows)
+
+    heavy = key(dedup.near_dup_pairs_minhash(sf, threshold=0.3, ship_sigs=True).take_all())
+    lean = key(dedup.near_dup_pairs_minhash(sf, threshold=0.3, ship_sigs=False).take_all())
+    assert heavy == lean and len(heavy) > 0
+
+
+def test_band_hash_polynomial_spec():
+    # the vectorized band hash must equal the scalar spec: per-term mod,
+    # 4-term sum, + band id, mod M61 (the arithmetic the SQL oracle runs)
+    from ifctordf_ray.stages.dedup import (
+        _BAND_COEF, _M61, NUM_BANDS, ROWS_PER_BAND, MinHasher, _explode_bands,
+    )
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([7, 8], pa.int64()),
+            "text": ["alpha beta gamma delta epsilon zeta", "other words entirely here now ok"],
+        }
+    )
+    sigs = MinHasher()(batch)
+    bands = _explode_bands(sigs)
+    got = {
+        (r["doc_id"], r["band_id"]): r["band_hash"] for r in bands.to_pylist()
+    }
+    for row in sigs.to_pylist():
+        sig = row["sig"]
+        for b in range(NUM_BANDS):
+            chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+            want = (
+                sum((int(v) * c) % _M61 for v, c in zip(chunk, _BAND_COEF)) + b
+            ) % _M61
+            assert got[(row["doc_id"], b)] == want
+
+
 def test_exact_duplicates_first_seen(tmp_path):
     texts = ["same  TEXT here", "same text HERE", "other", "same text here"]
     sf = _docs_ds(tmp_path, texts)

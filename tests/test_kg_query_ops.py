@@ -176,6 +176,35 @@ def test_list_members_match_bruteforce_unfold():
     assert all(linked for *_rest, linked in got)
 
 
+def test_kg_list_members_matches_sql_oracle():
+    # the driver-checkable gate row: deterministic list injection (a pure
+    # function of the input table) -> flagship extraction -> unfold, vs
+    # the identical derivation in DuckDB
+    import duckdb
+
+    from ifctordf_ray import sql_oracle as O
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    exp = (
+        con.execute(O.kg_list_members_sql())
+        .fetch_arrow_table()
+        .sort_by([(c, "ascending") for c in ("head", "pos", "member")])
+    )
+    got = (
+        _table(kg.kg_list_members(SF))
+        .select(exp.column_names)
+        .sort_by([(c, "ascending") for c in ("head", "pos", "member")])
+    )
+    assert got.num_rows == exp.num_rows > 0
+    assert got.equals(exp.cast(got.schema))
+    # non-trivial structure: multi-position chains with verified links
+    assert any(p > 0 for p in got["pos"].to_pylist())
+    assert all(got["linked"].to_pylist())
+
+
 def test_list_members_schema_stable_on_listfree_corpus():
     # the sf corpora carry no list mentions: 0 rows, but the anchor
     # block keeps the contract schema visible to downstream consumers
